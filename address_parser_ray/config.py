@@ -1,0 +1,91 @@
+"""Pipeline configuration.
+
+The reference keeps its tunables as instance constants
+(``fuzz/inexus_parser.py:114-117``: ``TOPK_CANDIDATES=400``,
+``DICE_GATE=0.4`` ...; contest variant ``hcmut_assigment/main.py:61-64``).
+Here they live in one frozen dataclass so a run is fully described by its
+config — no per-run tuning, which is what keeps N-cpu and 4N-cpu runs
+bit-identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # ---- stage 0: normalize + fingerprint -------------------------------
+    #: char-shingle width over normalized content (the reference shingles
+    #: normalized addresses with char 4-grams, inexus_parser.py:2657-2660;
+    #: code is longer-range, so wider shingles).
+    shingle_k: int = 12
+    #: number of MinHash permutations over char shingles.
+    num_perm: int = 128
+    #: number of MinHash permutations over word tokens (the cheap
+    #: "token-set" sketch used by the scorer).
+    token_num_perm: int = 64
+    #: lowercase content during normalization.
+    lowercase: bool = True
+    #: strip line comments / collapse whitespace during normalization
+    #: (analogue of the reference's redundant-phrase removal,
+    #: inexus_parser.py:2295-2463).
+    strip_comments: bool = True
+
+    # ---- stage 1: blocking ----------------------------------------------
+    #: LSH bands over the char-shingle signature: bands * rows == num_perm.
+    #: (32, 4) targets a Jaccard threshold of (1/32)**(1/4) ≈ 0.42.
+    lsh_bands: int = 32
+    lsh_rows: int = 4
+    #: also emit an exact blocking key on (lang, basename(path)) — the
+    #: analogue of the reference's prefix-detected exact-key blocking
+    #: (inexus_parser.py:2685-2762).
+    exact_path_key: bool = True
+    #: records per (possibly salted) block above which the key is salted
+    #: into sub-buckets. Mirrors the reference's candidate caps
+    #: (top-K 400 / Dice-scan stop 200, inexus_parser.py:114, 2829-2831).
+    max_block_records: int = 256
+    #: hard cap on candidate pairs emitted per block (deterministic:
+    #: pairs are generated in sorted-id order and truncated).
+    max_pairs_per_block: int = 4096
+
+    # ---- stage 2: pairwise scoring --------------------------------------
+    #: cheap set-similarity gate before the rich score — the reference's
+    #: Dice gate 0.4 (inexus_parser.py:2804-2833). Applied to the MinHash
+    #: Jaccard estimate.
+    jaccard_gate: float = 0.25
+    #: blend weights (char-shingle Jaccard, token-set Jaccard,
+    #: path Jaro-Winkler, size ratio) — the analogue of the reference's
+    #: 0.6*base + 0.4*WRatio blend + component boosts
+    #: (inexus_parser.py:2893-2912).
+    w_shingle: float = 0.55
+    w_token: float = 0.30
+    w_path: float = 0.05
+    w_size: float = 0.10
+    #: final match threshold on the blended score.
+    match_threshold: float = 0.50
+
+    # ---- stage 3: clustering --------------------------------------------
+    #: max label-propagation rounds before giving up (fixpoint is usually
+    #: reached in <6 rounds thanks to pointer-jumping).
+    max_cc_rounds: int = 20
+
+    # ---- execution ------------------------------------------------------
+    #: batch size for fingerprinting (wide `content` strings → moderate).
+    fingerprint_batch_size: int = 512
+    #: actor-pool size bounds for the scoring stage.
+    scorer_concurrency: tuple = (2, 8)
+    scorer_batch_size: int = 2048
+
+    # ---- hashing seeds (fixed: determinism across runs/processes) -------
+    seed: int = 42
+
+    def __post_init__(self):
+        if self.lsh_bands * self.lsh_rows != self.num_perm:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
+                f"must equal num_perm ({self.num_perm})"
+            )
+
+
+DEFAULT_CONFIG = PipelineConfig()

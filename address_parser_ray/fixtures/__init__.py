@@ -1,0 +1,7 @@
+from address_parser_ray.fixtures.generator import (
+    VARIANT_SPECS,
+    generate_corpus,
+    write_corpus,
+)
+
+__all__ = ["VARIANT_SPECS", "generate_corpus", "write_corpus"]

@@ -1,0 +1,1 @@
+"""Stateless vectorized kernels used inside ``map_batches`` stages."""

@@ -1,0 +1,109 @@
+"""Text-analysis kernels for the training-data pipeline operators:
+tokenization, language-ID heuristic, quality scoring, token counting,
+document fingerprinting. All designed to run vectorized (pandas/pyarrow)
+inside ``map_batches``; the per-row fallbacks exist for tests.
+
+These widen the reference's per-record text toolkit
+(``tokenize`` at ``ner/build_standard_dataset.py:16,439-440``,
+``label_tokens`` BIO spans at ``:103-145``) into the operations a
+large-scale corpus pipeline needs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# reference tokenizer: r"\w+|[^\w\s]" (build_standard_dataset.py:16)
+TOKEN_PATTERN = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+WS_SPLIT = re.compile(r"\s+")
+WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+PUNCT_RE = re.compile(r"[.,;:!?]")
+
+# Tiny stopword lists per language for the n-gram/stopword langid
+# heuristic (public common-word lists).
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it", "with", "was"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour", "pas"},
+    "es": {"el", "la", "los", "las", "es", "una", "del", "que", "por", "para", "como"},
+    "zh": set(),  # handled by the CJK-codepoint ratio below
+}
+
+
+def tokenize(text: str) -> list[str]:
+    """Word-or-punct tokens (parity with reference tokenize)."""
+    return TOKEN_PATTERN.findall(text)
+
+
+def ws_token_count(text: str) -> int:
+    """Whitespace token count — matches DuckDB
+    ``len(regexp_split_to_array(trim(text), '\\s+'))`` (trim first; empty
+    string still yields 1 for parity with regexp_split_to_array)."""
+    return len(WS_SPLIT.split(text.strip()))
+
+
+def ws_token_count_series(texts: pd.Series) -> pd.Series:
+    """Vectorized whitespace token count over a pandas string column."""
+    return texts.fillna("").str.strip().str.split(WS_SPLIT).str.len().astype("int64")
+
+
+def detect_lang(text: str) -> str:
+    """Heuristic language ID: CJK codepoint ratio, else argmax stopword
+    hits (ties → lexicographically smallest lang code; 'unknown' if no
+    evidence). Deterministic, stateless."""
+    if not text:
+        return "unknown"
+    sample = text[:4000]
+    cjk = sum(1 for ch in sample if "一" <= ch <= "鿿")
+    if cjk and cjk / len(sample) > 0.05:
+        return "zh"
+    words = [w.lower() for w in WORD_RE.findall(sample)]
+    if not words:
+        return "unknown"
+    best_lang, best_hits = "unknown", 0
+    for lang in sorted(STOPWORDS):
+        sw = STOPWORDS[lang]
+        if not sw:
+            continue
+        hits = sum(1 for w in words if w in sw)
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang if best_hits > 0 else "unknown"
+
+
+def quality_features(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized quality-scoring features per document:
+    n_chars, n_tokens, punct_ratio, stopword_ratio (en), mean_token_len,
+    alpha_ratio and a blended [0,1] quality score (heuristic weights,
+    fixed by code — see PipelineConfig philosophy)."""
+    t = texts.fillna("")
+    n_chars = t.str.len().astype("int64")
+    tokens = t.str.strip().str.split(WS_SPLIT)
+    n_tokens = tokens.str.len().where(t.str.strip() != "", 0).astype("int64")
+    punct = t.str.count(PUNCT_RE).astype("int64")
+    alpha = t.str.count(r"[A-Za-z]").astype("int64")
+    sw = STOPWORDS["en"]
+    stop_hits = tokens.map(lambda ws: sum(1 for w in ws if w.lower() in sw))
+    denom_tok = n_tokens.clip(lower=1)
+    denom_ch = n_chars.clip(lower=1)
+    out = pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "punct_ratio": punct / denom_ch,
+            "stopword_ratio": stop_hits / denom_tok,
+            "alpha_ratio": alpha / denom_ch,
+            "mean_token_len": (n_chars / denom_tok),
+        }
+    )
+    length_score = np.clip(np.log1p(n_tokens) / np.log(501.0), 0, 1)
+    out["quality_score"] = (
+        0.4 * length_score
+        + 0.3 * np.clip(out["alpha_ratio"] / 0.7, 0, 1)
+        + 0.2 * np.clip(out["stopword_ratio"] / 0.3, 0, 1)
+        + 0.1 * (1.0 - np.clip(out["punct_ratio"] / 0.3, 0, 1))
+    )
+    return out

@@ -1,0 +1,133 @@
+"""Stage 0 — normalize + fingerprint (stateless-per-row, warm-state actor).
+
+The graft analogue of the reference's per-record preprocessing
+(``standardize_name`` ``fuzz/inexus_parser.py:2295-2463`` +
+``generate_ngrams`` ``:2657-2660``), fused into one ``map_batches`` pass
+that emits, per record:
+
+- ``record_id``        — stable int64 from (repo, path, commit)
+- ``content_sha256``   — the per-row invariant (BASELINE.json input_hint)
+- ``minhash``          — char-shingle MinHash signature (fixed list<u64>)
+- ``token_minhash``    — word-token MinHash sketch
+- ``simhash``          — 64-bit SimHash (near-dup alternative path)
+- size stats + ``basename`` (exact-key blocking feature)
+
+``content`` is DROPPED here: wide strings never enter a shuffle
+(SURVEY.md §7.4 "wide rows"). Everything downstream works on sketches.
+
+Run as an actor pool: MinHash permutation params are built once per
+actor in ``__init__`` (the reference builds its index once per process,
+``ner/build_real_dataset.py:170``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from address_parser_ray.config import DEFAULT_CONFIG, PipelineConfig
+from address_parser_ray.functions.hashing import (
+    char_shingle_hashes,
+    minhash_params,
+    minhash_signature,
+    sha256_hex,
+    simhash64,
+    stable_id64,
+    token_hashes,
+)
+from address_parser_ray.functions.normalize import basename_arrow, normalize_content_arrow
+from address_parser_ray.functions.text import WS_SPLIT
+
+
+def fingerprint_schema(cfg: PipelineConfig) -> pa.Schema:
+    return pa.schema(
+        [
+            ("record_id", pa.int64()),
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit", pa.string()),
+            ("lang", pa.string()),
+            ("basename", pa.string()),
+            ("content_sha256", pa.string()),
+            ("n_chars", pa.int64()),
+            ("n_tokens", pa.int64()),
+            # signatures are packed little-endian u64 bytes: binary survives
+            # Arrow acero joins (fixed_size_list does not) and parquet
+            # round-trips; decode with np.frombuffer(dtype=np.uint64).
+            ("minhash", pa.binary()),
+            ("token_minhash", pa.binary()),
+            ("simhash", pa.uint64()),
+        ]
+    )
+
+
+class Fingerprinter:
+    """Callable class → Ray actor pool. ``__init__`` once per actor."""
+
+    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        self.a, self.b = minhash_params(cfg.num_perm, cfg.seed)
+        self.ta, self.tb = minhash_params(cfg.token_num_perm, cfg.seed + 7)
+        self.schema = fingerprint_schema(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        content = batch["content"]
+        norm = normalize_content_arrow(
+            content, lowercase=cfg.lowercase, strip_comments=cfg.strip_comments
+        )
+        norm_py = norm.to_pylist()
+        raw_py = content.to_pylist()
+        repo = batch["repo"].to_pylist()
+        path = batch["path"].to_pylist()
+        commit = batch["commit"].to_pylist()
+
+        n = len(norm_py)
+        rid = np.empty(n, dtype=np.int64)
+        mh = np.empty((n, cfg.num_perm), dtype=np.uint64)
+        tmh = np.empty((n, cfg.token_num_perm), dtype=np.uint64)
+        sh = np.empty(n, dtype=np.uint64)
+        n_tok = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            rid[i] = stable_id64(repo[i] or "", path[i] or "", commit[i] or "")
+            t = norm_py[i] or ""
+            shingles = char_shingle_hashes(t, cfg.shingle_k)
+            toks = token_hashes(t)
+            mh[i] = minhash_signature(shingles, self.a, self.b)
+            tmh[i] = minhash_signature(toks, self.ta, self.tb)
+            sh[i] = simhash64(shingles)
+            n_tok[i] = len(WS_SPLIT.split(t)) if t else 0
+
+        n_chars = pc.cast(pc.utf8_length(content), pa.int64())
+        return pa.table(
+            {
+                "record_id": pa.array(rid),
+                "repo": batch["repo"],
+                "path": batch["path"],
+                "commit": batch["commit"],
+                "lang": batch["lang"],
+                "basename": basename_arrow(batch["path"]),
+                "content_sha256": pa.array(sha256_hex(raw_py), type=pa.string()),
+                "n_chars": n_chars,
+                "n_tokens": pa.array(n_tok),
+                "minhash": pa.array([mh[i].tobytes() for i in range(n)], type=pa.binary()),
+                "token_minhash": pa.array(
+                    [tmh[i].tobytes() for i in range(n)], type=pa.binary()
+                ),
+                "simhash": pa.array(sh),
+            }
+        )
+
+
+def fingerprint_stage(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *, concurrency=None):
+    """corpus Dataset → fingerprints Dataset (content dropped)."""
+    return ds.map_batches(
+        Fingerprinter,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.fingerprint_batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency if concurrency is not None else cfg.scorer_concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,90 @@
+"""Per-stage Parquet checkpoints with lineage sidecars (north_rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+The reference's only resumability is the accidental incremental JSONL
+write (``ner/build_real_dataset.py:186-232``). Here it is explicit:
+
+- each stage writes to ``{root}/{name}.tmp/`` then atomically renames to
+  ``{root}/{name}/`` — a crashed write never looks complete;
+- ``_lineage.json`` records per-file row counts + total + schema, so a
+  resume (or an auditor) can verify a stage without recomputing it;
+- ``Checkpointer.stage(name, fn)`` returns the checkpointed Dataset,
+  recomputing only if the stage directory is absent.
+
+At 100 TB the same layout holds: one directory per stage, many part
+files (one per block), manifest small.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import pyarrow.parquet as pq
+import ray.data
+
+
+class Checkpointer:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def is_done(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._dir(name), "_lineage.json"))
+
+    def stage(self, name: str, fn) -> ray.data.Dataset:
+        """Return the Dataset for ``name``, computing+persisting it only
+        if no completed checkpoint exists."""
+        final = self._dir(name)
+        if self.is_done(name):
+            return ray.data.read_parquet(final)
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(final):  # incomplete (no lineage) → redo
+            shutil.rmtree(final)
+        ds = fn()
+        t0 = time.time()
+        ds.write_parquet(tmp)
+        lineage = self._collect_lineage(tmp)
+        lineage["stage"] = name
+        lineage["write_seconds"] = round(time.time() - t0, 3)
+        with open(os.path.join(tmp, "_lineage.json"), "w") as f:
+            json.dump(lineage, f, indent=1)
+        os.rename(tmp, final)
+        return ray.data.read_parquet(final)
+
+    @staticmethod
+    def _collect_lineage(path: str) -> dict:
+        parts = {}
+        total = 0
+        schema = None
+        for fname in sorted(os.listdir(path)):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, fname))
+            parts[fname] = md.num_rows
+            total += md.num_rows
+            if schema is None:
+                schema = [
+                    f"{n}:{pq.read_schema(os.path.join(path, fname)).field(n).type}"
+                    for n in pq.read_schema(os.path.join(path, fname)).names
+                ]
+        return {"rows": total, "files": parts, "schema": schema or []}
+
+    def invalidate(self, name: str) -> None:
+        final = self._dir(name)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+
+    def lineage(self, name: str) -> dict | None:
+        p = os.path.join(self._dir(name), "_lineage.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
