@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data entity-resolution engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship blocking → scoring → clustering pipeline
+on the sf0.001 documents table (adapted to the corpus schema).
+``queries()`` exposes every implemented operator (SURVEY.md §2 +
+training-data extensions) as ``sf_dir -> result`` callables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the
+SQL-expressible ones.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported —
+nothing here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +18,30 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: documents-as-corpus →
+    entity clusters (record_id, cluster_id, content_sha256)."""
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.rayutil import pinned_join, project
+    from address_parser_ray.sources import documents_as_corpus
+
+    corpus = documents_as_corpus("/root/testdata/sf0.001")
+    result = dedup_pipeline(corpus)
+    # attach the invariant column so the driver sees a stable schema:
+    # (record_id, cluster_id, content_sha256)
+    sha = project(
+        result.fingerprints, {"record_id": "rid", "content_sha256": "content_sha256"}
+    )
+    joined = pinned_join(result.assignments, sha, on="record_id", right_on="rid")
+    return joined
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from address_parser_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from address_parser_ray.pipelines.oracle import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

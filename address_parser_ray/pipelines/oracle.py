@@ -1,0 +1,113 @@
+"""DuckDB oracle SQL for every SQL-expressible query in
+``pipelines.queries.QUERIES``. Tables ``region nation customer supplier
+part orders lineitem events documents embeddings`` are pre-registered
+views over the same parquet files.
+
+Column aliases MUST match the Ray-side column names exactly (the driver
+sorts columns by name before value-hashing). Money sums use
+``CAST(floor(x*100) AS BIGINT)`` — bit-identical to numpy's floor on the
+same IEEE doubles.
+
+Queries absent here (minhash_lsh_clusters, simhash_hamming_pairs,
+ngram_jaccard_stats, langid_pred, quality_scores, knn_bruteforce,
+media_features) are non-SQL-expressible (set-sketch / heuristic /
+actor-stateful semantics); the driver records a rows-only check for
+those.
+"""
+
+ORACLE_SQL = {
+    "exact_dedup_groups": """
+        SELECT sha256(text) AS content_sha256,
+               count(*)     AS n_dups,
+               min(doc_id)  AS rep_doc_id
+        FROM documents GROUP BY 1
+    """,
+    "lang_counts": """
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    """,
+    "doc_stats_by_lang": """
+        SELECT lang,
+               count(*)     AS n_docs,
+               sum(n_chars) AS sum_chars,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY lang
+    """,
+    "token_counts_by_lang": """
+        SELECT lang,
+               sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS sum_tokens
+        FROM documents GROUP BY lang
+    """,
+    "quality_flags": """
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                   AS punct_chars
+        FROM documents
+    """,
+    "top_docs": """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id LIMIT 20
+    """,
+    "distinct_langs": """
+        SELECT DISTINCT lang FROM documents ORDER BY lang
+    """,
+    "hash_split_counts": """
+        SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'test' END AS part,
+               count(*) AS n
+        FROM documents GROUP BY 1
+    """,
+    "filter_union_counts": """
+        SELECT source, count(*) AS n FROM (
+            SELECT source FROM documents WHERE lang = 'en' AND n_chars > 300
+            UNION ALL
+            SELECT source FROM documents WHERE lang = 'de'
+        ) GROUP BY source
+    """,
+    "orders_by_nation": """
+        SELECT n_name,
+               count(*) AS n_orders,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_customers": """
+        SELECT c_custkey, c_name, total_cents, n_orders FROM (
+            SELECT o_custkey,
+                   sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_cents,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        ) t JOIN customer ON t.o_custkey = c_custkey
+        ORDER BY total_cents DESC, c_custkey LIMIT 10
+    """,
+    "events_hourly": """
+        SELECT event_type,
+               date_trunc('hour', ts) AS hour,
+               count(*) AS n_events,
+               sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_cents
+        FROM events GROUP BY 1, 2
+    """,
+    "embedding_topk": """
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            (SELECT qv FROM q)) * 1e6) / 1e6
+                   AS cos_sim
+        FROM embeddings
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "media_sizes": """
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+}

@@ -1,0 +1,605 @@
+"""Query registry: one callable per implemented operator/pipeline
+(SURVEY.md §2), each taking ``sf_dir`` and returning a Dataset /
+pyarrow Table / pandas DataFrame.
+
+Paired with ``pipelines.oracle.ORACLE_SQL`` (DuckDB-runnable ANSI SQL on
+the same tables) for the driver's row-count + schema + value-hash
+comparison. Column names here MUST match the SQL aliases exactly.
+
+Determinism rules used throughout:
+- money/float sums compare as ``CAST(floor(x*100) AS BIGINT)`` cents —
+  floor of an IEEE double is identical in numpy and DuckDB (no rounding
+  tie-break ambiguity);
+- top-k queries sort on a unique tiebreaker column;
+- "first wins" is always "min(id) wins".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from address_parser_ray.config import DEFAULT_CONFIG, PipelineConfig
+from address_parser_ray.functions.hashing import sha256_hex
+from address_parser_ray.functions.text import (
+    detect_lang,
+    quality_features,
+    ws_token_count_series,
+)
+from address_parser_ray.rayutil import pinned_join, project
+
+_DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=columns or _DOC_COLS
+    )
+
+
+# ---------------------------------------------------------------------------
+# ER / dedup family (reference: D2 exact dedup, D7 near dedup, M6 shingles)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_groups(sf_dir: str):
+    """Exact-dedup group stats over documents (D2: first-wins signature
+    dedup, ``ner/build_standard_dataset.py:949-965``; "first" → min id)."""
+
+    def add_sha(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "content_sha256": pa.array(
+                    sha256_hex(t["text"].to_pylist()), type=pa.string()
+                ),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_sha, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.groupby("content_sha256").aggregate(
+        Count(alias_name="n_dups"), Min("doc_id", alias_name="rep_doc_id")
+    )
+
+
+def q_minhash_lsh_clusters(sf_dir: str):
+    """Full near-dup pipeline over documents-as-corpus → cluster size
+    histogram (cluster_size, n_clusters). Non-SQL-expressible."""
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.sources import documents_as_corpus
+
+    res = dedup_pipeline(documents_as_corpus(sf_dir))
+    sizes = res.assignments.groupby("cluster_id").aggregate(
+        Count(alias_name="cluster_size")
+    )
+    hist = sizes.groupby("cluster_size").aggregate(Count(alias_name="n_clusters"))
+    return hist.sort("cluster_size")
+
+
+def q_simhash_hamming_pairs(sf_dir: str):
+    """SimHash near-dup: 64-bit simhash per doc, candidate pairs =
+    same 16-bit band (4 bands → Hamming ≤ ~3 guaranteed recall),
+    verified by full Hamming distance ≤ 3. Non-SQL-expressible."""
+    from address_parser_ray.stages.fingerprint import Fingerprinter
+    from address_parser_ray.sources import documents_as_corpus
+
+    corpus = documents_as_corpus(sf_dir)
+    fp = corpus.map_batches(
+        Fingerprinter,
+        fn_constructor_kwargs={"cfg": DEFAULT_CONFIG},
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(2, 8),
+    )
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        sh = np.asarray(t["simhash"], dtype=np.uint64)
+        doc = np.asarray(t["record_id"], dtype=np.int64)
+        n = len(sh)
+        bands = np.empty((n, 4), dtype=np.int64)
+        for b in range(4):
+            chunk = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            bands[:, b] = (chunk.astype(np.int64) << 2) | b
+        return pa.table(
+            {
+                "band": pa.array(bands.reshape(-1)),
+                "record_id": pa.array(np.repeat(doc, 4)),
+                "simhash": pa.array(np.repeat(sh, 4)),
+            }
+        )
+
+    exploded = fp.map_batches(explode_bands, batch_format="pyarrow")
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["record_id"], dtype=np.int64)
+        sh = np.asarray(group["simhash"], dtype=np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, sh = ids[order], sh[order]
+        keep = np.concatenate([[True], ids[1:] != ids[:-1]])
+        ids, sh = ids[keep], sh[keep]
+        m = len(ids)
+        out_a, out_b, out_d = [], [], []
+        if m >= 2:
+            iu = np.triu_indices(m, k=1)
+            x = np.bitwise_xor(sh[iu[0]], sh[iu[1]])
+            dist = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+            mask = dist <= 3
+            out_a = ids[iu[0]][mask]
+            out_b = ids[iu[1]][mask]
+            out_d = dist[mask].astype(np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(np.asarray(out_a, dtype=np.int64)),
+                "id_b": pa.array(np.asarray(out_b, dtype=np.int64)),
+                "hamming": pa.array(np.asarray(out_d, dtype=np.int64)),
+            }
+        )
+
+    cand = exploded.groupby("band").map_groups(pairs, batch_format="pyarrow")
+    return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def q_ngram_jaccard_stats(sf_dir: str):
+    """Char-4-gram set stats per doc — the reference's shingling op
+    (``generate_ngrams`` fuzz/inexus_parser.py:2657-2660) surfaced as a
+    column: (doc_id, n_ngrams). Non-SQL-expressible (set semantics)."""
+    from address_parser_ray.functions.hashing import char_shingle_hashes
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = [int(char_shingle_hashes((x or ""), 4).size) for x in texts]
+        return pa.table({"doc_id": t["doc_id"], "n_ngrams": pa.array(n, type=pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data operators)
+# ---------------------------------------------------------------------------
+
+
+def q_lang_counts(sf_dir: str):
+    """G-family grouped count (reference run counters,
+    ``ner/build_real_dataset.py:176-244``)."""
+    return _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def q_doc_stats_by_lang(sf_dir: str):
+    """Per-lang size aggregates (int-exact)."""
+    return (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+    )
+
+
+def q_token_counts_by_lang(sf_dir: str):
+    """Whitespace token counting, summed per lang (token-counting op)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"lang": df["lang"], "n_tokens": ws_token_count_series(df["text"])}
+        )
+
+    return (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(fn, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n_tokens", alias_name="sum_tokens"))
+    )
+
+
+def q_quality_flags(sf_dir: str):
+    """Per-doc quality counters (ints only → SQL-exact): token count and
+    punctuation count."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": ws_token_count_series(df["text"]),
+                "punct_chars": df["text"].fillna("").str.count(r"[.,;:!?]").astype("int64"),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+def q_quality_scores(sf_dir: str):
+    """Blended quality score per doc (float → rows-only check)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = quality_features(df["text"])
+        out.insert(0, "doc_id", df["doc_id"].values)
+        out["quality_score"] = out["quality_score"].round(6)
+        return out[["doc_id", "n_tokens", "stopword_ratio", "quality_score"]]
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+def q_langid_pred(sf_dir: str):
+    """Heuristic language-ID (stopword/CJK n-gram heuristic). Warm state
+    (compiled regexes/stopword sets) lives at module import → actor reuse.
+    Non-SQL-expressible."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "pred_lang": df["text"].fillna("").map(detect_lang),
+                "lang": df["lang"],
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def q_top_docs(sf_dir: str):
+    """Top-k by size with unique tiebreaker (T1/T2 ranked-sort family)."""
+    return (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def q_distinct_langs(sf_dir: str):
+    """Distinct + sort (G7 label-set extraction, ``ner_train.py:93-98``)."""
+    langs = sorted(_docs(sf_dir, ["lang"]).unique("lang"))
+    return pa.table({"lang": pa.array(langs, type=pa.string())})
+
+
+def q_hash_split_counts(sf_dir: str):
+    """Deterministic key split (T6 Bernoulli split made parallel-safe:
+    hash-of-key, here doc_id % 10)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        part = pc.if_else(
+            pc.less(_mod(t["doc_id"], 10), 8),
+            pa.scalar("train"),
+            pa.scalar("test"),
+        )
+        return pa.table({"part": part})
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(fn, batch_format="pyarrow")
+        .groupby("part")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def _mod(arr, k: int):
+    return pc.subtract(arr, pc.multiply(pc.divide(arr, k), k))
+
+
+def q_filter_union_counts(sf_dir: str):
+    """Filter + union-all + grouped count (D1 dataset union,
+    ``ner/merge_datasets.py:32-38``)."""
+    en = _docs(sf_dir, ["source", "lang", "n_chars"]).filter(
+        expr="lang == 'en' and n_chars > 300"
+    )
+    de = _docs(sf_dir, ["source", "lang", "n_chars"]).filter(expr="lang == 'de'")
+    return en.union(de).groupby("source").aggregate(Count(alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# Relational (J1 snowflake joins, G aggregates, T top-k)
+# ---------------------------------------------------------------------------
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100.0).astype(np.int64)
+
+
+def q_orders_by_nation(sf_dir: str):
+    """customer⋈nation⋈orders rollup (J1 FK assembly,
+    ``ner/build_standard_dataset.py:650-698``)."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        cents = _cents(np.asarray(t["o_totalprice"], dtype=np.float64))
+        return pa.table({"o_custkey": t["o_custkey"], "cents": pa.array(cents)})
+
+    ocents = orders.map_batches(add_cents, batch_format="pyarrow")
+    j1 = pinned_join(ocents, cust, on="o_custkey", right_on="c_custkey")
+    j2 = pinned_join(j1, nation, on="c_nationkey", right_on="n_nationkey")
+    return j2.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents")
+    )
+
+
+def q_pricing_summary(sf_dir: str):
+    """Lineitem pricing rollup (the G1-style grouped aggregate)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "price_cents": pa.array(
+                    _cents(np.asarray(t["l_extendedprice"], dtype=np.float64))
+                ),
+            }
+        )
+
+    return (
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def q_top_customers(sf_dir: str):
+    """Join + rollup + ranked top-k (T1 most_common analogue)."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "cents": pa.array(_cents(np.asarray(t["o_totalprice"], dtype=np.float64))),
+            }
+        )
+
+    totals = (
+        orders.map_batches(add_cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="total_cents"), Count(alias_name="n_orders"))
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    joined = pinned_join(totals, cust, on="o_custkey", right_on="c_custkey")
+    out = joined.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(10)
+    return project(
+        out,
+        {
+            "o_custkey": "c_custkey",
+            "c_name": "c_name",
+            "total_cents": "total_cents",
+            "n_orders": "n_orders",
+        },
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the events log — Ray Data has no
+    event-time windows, so the window is the group key
+    (ray_guide "Streaming-shaped workloads"). Ordering assumption: none
+    needed for tumbling count/sum."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hour": df["ts"].dt.floor("h"),
+                "value_cents": np.floor(df["value"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(win, batch_format="pandas")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def _load_query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = pc.index(t["vec_id"], pa.scalar(vec_id, type=pa.int64())).as_py()
+    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
+
+
+def q_embedding_topk(sf_dir: str):
+    """Brute-force cosine top-k against one query vector: the query is
+    broadcast (closure-captured ndarray), each batch does one matmul —
+    the baseline ANN path."""
+    q = _load_query_vec(sf_dir, 0)
+    qn = q / np.linalg.norm(q)
+
+    def score(t: pa.Table) -> pa.Table:
+        emb = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64)
+        emb = emb.reshape(len(t), -1)
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (emb @ qn) / norms
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cos_sim": pa.array(np.floor(cos * 1e6) / 1e6),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(10)
+
+
+def q_knn_bruteforce(sf_dir: str):
+    """k-NN for the first 5 vectors (query matrix broadcast once, one
+    matmul per batch). Returns (query_vec_id, neighbor_vec_id, rank),
+    rank by (cos desc, vec_id) excluding self. Non-SQL (float ordering
+    kept internal; output is int-only → robust hashing)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vids = np.asarray(t["vec_id"], dtype=np.int64)
+    order = np.argsort(vids)[:5]
+    Q = np.stack([np.asarray(t["embedding"][i].as_py(), dtype=np.float64) for i in order])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = vids[order]
+    qref = ray.put((qids, Qn))
+
+    class KnnScorer:
+        def __init__(self):
+            self.qids, self.Qn = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            emb = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64)
+            emb = emb.reshape(len(t), -1)
+            norms = np.linalg.norm(emb, axis=1)
+            norms[norms == 0] = 1.0
+            emb = emb / norms[:, None]
+            cos = emb @ self.Qn.T  # (n, 5)
+            n = len(t)
+            vid = np.asarray(t["vec_id"], dtype=np.int64)
+            return pa.table(
+                {
+                    "query_vec_id": pa.array(np.repeat(self.qids, n)),
+                    "neighbor_vec_id": pa.array(np.tile(vid, len(self.qids))),
+                    "cos": pa.array(cos.T.reshape(-1)),
+                }
+            )
+
+    scored = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(KnnScorer, batch_format="pyarrow", concurrency=(1, 4))
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[group["neighbor_vec_id"] != group["query_vec_id"]]
+        g = g.sort_values(["cos", "neighbor_vec_id"], ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_vec_id", "neighbor_vec_id", "rank"]]
+
+    return scored.groupby("query_vec_id").map_groups(topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary payload plumbing; decode stubbed — no media libs here)
+# ---------------------------------------------------------------------------
+
+
+def q_media_sizes(sf_dir: str):
+    """Opaque-binary metadata pass: payload byte size per doc. The text
+    column stands in for an image/audio blob; the plumbing (binary column
+    → vectorized metadata) is the real thing."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        blob = pc.cast(t["text"], pa.binary())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": pc.cast(pc.binary_length(blob), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+class MediaFeatureExtractor:
+    """Actor-pool multimodal stage: decode is STUBBED (no image/audio libs
+    in this container) with a deterministic fake; the Ray-side shape —
+    actor state in __init__, binary batches in, typed features out — is
+    real. Swap ``_decode_stub`` for a real decoder on a cluster with
+    codecs installed."""
+
+    def __init__(self):
+        import hashlib
+
+        self._h = hashlib.blake2b
+
+    def _decode_stub(self, payload: bytes) -> tuple[int, int, str]:
+        # Deterministic fake of (width, height, codec). A real decoder
+        # would raise NotImplementedError here if codecs were required:
+        # raise NotImplementedError("image decode requires pillow")
+        d = self._h(payload, digest_size=8).digest()
+        return 16 + d[0] % 64, 16 + d[1] % 64, ["raw", "rle", "lz"][d[2] % 3]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = [(x or "").encode("utf-8") for x in t["text"].to_pylist()]
+        dims = [self._decode_stub(p) for p in payloads]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "width": pa.array([d[0] for d in dims], type=pa.int64()),
+                "height": pa.array([d[1] for d in dims], type=pa.int64()),
+                "codec": pa.array([d[2] for d in dims], type=pa.string()),
+            }
+        )
+
+
+def q_media_features(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MediaFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "exact_dedup_groups": q_exact_dedup_groups,
+    "minhash_lsh_clusters": q_minhash_lsh_clusters,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "ngram_jaccard_stats": q_ngram_jaccard_stats,
+    "lang_counts": q_lang_counts,
+    "doc_stats_by_lang": q_doc_stats_by_lang,
+    "token_counts_by_lang": q_token_counts_by_lang,
+    "quality_flags": q_quality_flags,
+    "quality_scores": q_quality_scores,
+    "langid_pred": q_langid_pred,
+    "top_docs": q_top_docs,
+    "distinct_langs": q_distinct_langs,
+    "hash_split_counts": q_hash_split_counts,
+    "filter_union_counts": q_filter_union_counts,
+    "orders_by_nation": q_orders_by_nation,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "events_hourly": q_events_hourly,
+    "embedding_topk": q_embedding_topk,
+    "knn_bruteforce": q_knn_bruteforce,
+    "media_sizes": q_media_sizes,
+    "media_features": q_media_features,
+}

@@ -1,17 +1,38 @@
 """Small Ray Data utilities shared by the stages.
 
-``pinned_join`` exists because of an execution-engine constraint observed
-on Ray 2.49: two hash-``join`` operators composed lazily in ONE streaming
-execution can deadlock (each join's partition-aggregator actor pool holds
-resources while waiting on the other). Materializing each join's output
-bounds every execution graph to a single join operator. At cluster scale
-the equivalent is checkpointing between wide ops — which the pipeline's
-Checkpointer does anyway.
+Why a hand-rolled join
+----------------------
+Ray 2.49's native ``Dataset.join`` operator showed three failure modes
+in this engine's shapes (all reproduced in tests/scratch):
+
+1. two lazy joins composed in ONE streaming execution deadlock (each
+   join's partition-aggregator actor pool holds resources waiting on the
+   other);
+2. a hash partition fed ONLY schema-less empty blocks fails inside
+   ``HashShuffleAggregator.finalize`` ("No match for key field ...");
+3. ``map_batches`` does not invoke the UDF on empty blocks and emits
+   NEW schema-less empties — so any projection upstream of a join can
+   poison it.
+
+``pinned_join`` therefore implements the classic partitioned reduce-side
+hash join out of primitives that ARE robust here: tag each side, union,
+``groupby(bucket)``, and run an in-process ``pyarrow.Table.join`` per
+bucket (vectorized acero, no Ray join operator). This is exactly the
+"portable pattern" the Ray guide recommends for explicit partitioned
+joins, and it scales the same way: one shuffle of each side by
+``hash(key) % num_partitions``.
+
+Keys must be integer-typed (all engine keys are int64 record ids /
+codes); hot keys hash to one bucket — same skew behavior as any hash
+join, so salt upstream where needed.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+
+from address_parser_ray.functions.hashing import splitmix64
 
 
 def project(ds, mapping: dict[str, str]):
@@ -29,6 +50,34 @@ def project(ds, mapping: dict[str, str]):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def ensure_schema(ds, schema: pa.Schema):
+    """Force non-empty blocks to ``schema`` (column order + types).
+    NOTE: empty blocks pass through untouched — Ray's map_batches never
+    invokes the UDF on them (see module docstring, failure mode 3)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    """ray.data.Schema → pyarrow.Schema (ray wraps the arrow schema)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(list(zip(s.names, s.types)))
+
+
+def _bucket_of(key_arr: pa.Array, num_partitions: int) -> pa.Array:
+    k = np.asarray(key_arr.cast(pa.int64())).astype(np.uint64)
+    b = (splitmix64(k) % np.uint64(num_partitions)).astype(np.int64)
+    return pa.array(b)
+
+
 def pinned_join(
     left,
     right,
@@ -40,19 +89,88 @@ def pinned_join(
     left_suffix: str | None = None,
     right_suffix: str | None = "_r",
 ):
-    """Inner hash join, immediately materialized (see module docstring).
+    """Partitioned reduce-side inner hash join (see module docstring).
 
-    Column semantics (verified on Ray 2.49): the output keeps the LEFT
-    key column name; the right key column is dropped; non-key name
-    collisions get the suffixes.
+    Column semantics match the native operator as verified earlier: the
+    output keeps the LEFT key column name; the right key is dropped;
+    non-key name collisions get ``right_suffix`` on the right column.
+    Keys must be integer columns. Output is lazy (composes freely).
     """
-    j = left.join(
-        right,
-        join_type=join_type,
-        num_partitions=num_partitions,
-        on=(on,),
-        right_on=(right_on,) if right_on else None,
-        left_suffix=left_suffix,
-        right_suffix=right_suffix,
+    if join_type != "inner":
+        raise NotImplementedError("only inner joins are used by this engine")
+    right_on = right_on or on
+    ls, rs = _arrow_schema(left), _arrow_schema(right)
+    lpay = [c for c in ls.names if c != on]
+    rpay = [c for c in rs.names if c != right_on]
+    # resolve right-side collisions with the suffix (left wins its names)
+    ren = {
+        c: c + (right_suffix or "_r") if (c in lpay or c == on) else c for c in rpay
+    }
+    out_schema = pa.schema(
+        [(on, ls.field(on).type)]
+        + [(c, ls.field(c).type) for c in lpay]
+        + [(ren[c], rs.field(c).type) for c in rpay]
     )
-    return j.materialize()
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "__bucket": _bucket_of(
+                t[on].combine_chunks() if isinstance(t[on], pa.ChunkedArray) else t[on],
+                num_partitions,
+            ),
+            "__key": t[on].cast(pa.int64()),
+            "__side": pa.array(np.zeros(n, dtype=np.int8)),
+        }
+        for c in lpay:
+            cols["l." + c] = t[c]
+        for c in rpay:
+            cols["r." + ren[c]] = pa.nulls(n, rs.field(c).type)
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "__bucket": _bucket_of(
+                t[right_on].combine_chunks()
+                if isinstance(t[right_on], pa.ChunkedArray)
+                else t[right_on],
+                num_partitions,
+            ),
+            "__key": t[right_on].cast(pa.int64()),
+            "__side": pa.array(np.ones(n, dtype=np.int8)),
+        }
+        for c in lpay:
+            cols["l." + c] = pa.nulls(n, ls.field(c).type)
+        for c in rpay:
+            cols["r." + ren[c]] = t[c]
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    key_type = ls.field(on).type
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["__side"])
+        lmask = side == 0
+        if not lmask.any() or lmask.all():
+            return out_schema.empty_table()
+        lt_rows = g.filter(pa.array(lmask))
+        rt_rows = g.filter(pa.array(~lmask))
+        lt = pa.table(
+            {"__key": lt_rows["__key"], **{c: lt_rows["l." + c] for c in lpay}}
+        )
+        rt = pa.table(
+            {"__key": rt_rows["__key"], **{ren[c]: rt_rows["r." + ren[c]] for c in rpay}}
+        )
+        j = lt.join(rt, keys=["__key"], join_type="inner")
+        cols = {on: j["__key"].cast(key_type)}
+        for c in lpay:
+            cols[c] = j[c]
+        for c in rpay:
+            cols[ren[c]] = j[ren[c]]
+        return pa.table(cols).cast(out_schema)
+
+    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -29,7 +29,9 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Min
 
-from address_parser_ray.rayutil import pinned_join, project
+from address_parser_ray.rayutil import ensure_schema, pinned_join, project
+
+_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
 
 def _symmetrize(edges):
@@ -89,11 +91,18 @@ def connected_components(
         )
 
         own = project(labels, {"node": "node", "label": "cand"})
+        # repartition: unions + shuffles multiply tiny blocks each round;
+        # without coalescing, per-block task overhead compounds
+        # exponentially across iterations.
         new_labels = (
-            own.union(nbr)
-            .union(jump)
-            .groupby("node")
-            .aggregate(Min("cand", alias_name="label"))
+            ensure_schema(
+                own.union(nbr)
+                .union(jump)
+                .groupby("node")
+                .aggregate(Min("cand", alias_name="label")),
+                _LABEL_SCHEMA,
+            )
+            .repartition(num_partitions)
             .materialize()
         )
 

@@ -1,0 +1,80 @@
+"""Checkpoint/lineage layer: resume skips completed stages; interrupted
+writes never look complete; invalidation forces recompute."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from address_parser_ray.state import Checkpointer
+
+
+def _toy_ds(ray_session, n=10, mark=None):
+    import ray.data
+
+    if mark is not None:
+        mark["calls"] = mark.get("calls", 0) + 1
+    return ray.data.from_arrow(
+        pa.table({"x": pa.array(list(range(n)), type=pa.int64())})
+    )
+
+
+def test_stage_computes_then_skips(ray_session, tmp_path):
+    ck = Checkpointer(str(tmp_path / "ck"))
+    mark = {}
+    ds1 = ck.stage("s1", lambda: _toy_ds(ray_session, mark=mark))
+    assert ds1.count() == 10
+    assert mark["calls"] == 1
+    ds2 = ck.stage("s1", lambda: _toy_ds(ray_session, mark=mark))
+    assert ds2.count() == 10
+    assert mark["calls"] == 1  # not recomputed
+    lin = ck.lineage("s1")
+    assert lin["rows"] == 10
+    assert lin["stage"] == "s1"
+    assert sum(lin["files"].values()) == 10
+
+
+def test_incomplete_stage_redone(ray_session, tmp_path):
+    """A stage dir without _lineage.json (crashed write) is recomputed."""
+    root = str(tmp_path / "ck")
+    ck = Checkpointer(root)
+    mark = {}
+    ck.stage("s", lambda: _toy_ds(ray_session, mark=mark))
+    os.remove(os.path.join(root, "s", "_lineage.json"))
+    ck.stage("s", lambda: _toy_ds(ray_session, mark=mark))
+    assert mark["calls"] == 2
+    assert ck.is_done("s")
+
+
+def test_invalidate(ray_session, tmp_path):
+    ck = Checkpointer(str(tmp_path / "ck"))
+    mark = {}
+    ck.stage("s", lambda: _toy_ds(ray_session, mark=mark))
+    ck.invalidate("s")
+    assert not ck.is_done("s")
+    ck.stage("s", lambda: _toy_ds(ray_session, mark=mark))
+    assert mark["calls"] == 2
+
+
+def test_pipeline_resume_identical(ray_session, fixture_corpus, tmp_path):
+    """Full-pipeline resume (the north_rule resumability check): second
+    run with the same checkpoint dir recomputes nothing and returns
+    identical assignments."""
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.sources import read_corpus
+
+    corpus_dir, _ = fixture_corpus
+    root = str(tmp_path / "ck")
+    r1 = dedup_pipeline(read_corpus(corpus_dir), checkpointer=Checkpointer(root))
+    a1 = r1.assignments.to_pandas().sort_values("record_id").reset_index(drop=True)
+    # simulate a later resume in a fresh checkpointer on the same dir
+    r2 = dedup_pipeline(read_corpus(corpus_dir), checkpointer=Checkpointer(root))
+    a2 = r2.assignments.to_pandas().sort_values("record_id").reset_index(drop=True)
+    assert a1.equals(a2)
+    # partial resume: drop the LAST stage only → earlier stages reused
+    ck = Checkpointer(root)
+    ck.invalidate("assignments")
+    r3 = dedup_pipeline(read_corpus(corpus_dir), checkpointer=ck)
+    a3 = r3.assignments.to_pandas().sort_values("record_id").reset_index(drop=True)
+    assert a1.equals(a3)

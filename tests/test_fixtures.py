@@ -1,0 +1,76 @@
+"""Fixture-generator invariants (the reference's self-validating
+generation, ``ner/build_standard_dataset.py:885-887``)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from address_parser_ray.fixtures.generator import (
+    NEGATIVE_MAX_JACCARD,
+    POSITIVE_MIN_JACCARD,
+    _norm_shingles,
+    generate_corpus,
+)
+from address_parser_ray.functions.similarity import exact_jaccard
+
+
+def test_generator_deterministic():
+    c1, l1 = generate_corpus(n_seeds=10, variants_per_seed=5)
+    c2, l2 = generate_corpus(n_seeds=10, variants_per_seed=5)
+    assert c1.equals(c2) and l1.equals(l2)
+
+
+def test_labels_align_with_corpus():
+    corpus, labels = generate_corpus(n_seeds=10, variants_per_seed=5)
+    assert corpus.num_rows == labels.num_rows
+    assert corpus["repo"].to_pylist() == labels["repo"].to_pylist()
+    assert corpus["path"].to_pylist() == labels["path"].to_pylist()
+    # (repo, path, commit) is unique — it's the record identity
+    keys = list(
+        zip(
+            corpus["repo"].to_pylist(),
+            corpus["path"].to_pylist(),
+            corpus["commit"].to_pylist(),
+        )
+    )
+    assert len(set(keys)) == len(keys)
+
+
+def test_positive_variants_inside_band():
+    corpus, labels = generate_corpus(n_seeds=12, variants_per_seed=6)
+    texts = corpus["content"].to_pylist()
+    cl = labels["cluster_id"].to_pylist()
+    spec = labels["variant_spec"].to_pylist()
+    canon = {cl[i]: texts[i] for i in range(len(texts)) if spec[i] == "canonical"}
+    for i, t in enumerate(texts):
+        if spec[i] in ("canonical", "near_miss"):
+            continue
+        j = exact_jaccard(_norm_shingles(t), _norm_shingles(canon[cl[i]]))
+        assert j >= POSITIVE_MIN_JACCARD, (spec[i], j)
+
+
+def test_near_miss_outside_band():
+    corpus, labels = generate_corpus(n_seeds=20, variants_per_seed=5)
+    texts = corpus["content"].to_pylist()
+    cl = labels["cluster_id"].to_pylist()
+    spec = labels["variant_spec"].to_pylist()
+    canon = {cl[i]: texts[i] for i in range(len(texts)) if spec[i] == "canonical"}
+    n_nm = 0
+    for i, t in enumerate(texts):
+        if spec[i] != "near_miss":
+            continue
+        n_nm += 1
+        donor = cl[i] - 20  # near-miss cluster id = n_seeds + donor seed
+        j = exact_jaccard(_norm_shingles(t), _norm_shingles(canon[donor]))
+        assert j <= NEGATIVE_MAX_JACCARD, j
+    assert n_nm > 0
+
+
+def test_write_corpus_idempotent(tmp_path, ray_session):
+    from address_parser_ray.fixtures import write_corpus
+
+    d = str(tmp_path / "fx")
+    c1, p1 = write_corpus(d, n_seeds=5, variants_per_seed=4)
+    t1 = pq.read_table(p1)
+    c2, p2 = write_corpus(d, n_seeds=5, variants_per_seed=4)  # second call: no-op
+    assert (c1, p1) == (c2, p2)
+    assert pq.read_table(p2).equals(t1)

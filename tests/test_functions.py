@@ -1,0 +1,128 @@
+"""Kernel-level unit tests: hashing, MinHash accuracy, similarity."""
+
+import numpy as np
+import pytest
+
+from address_parser_ray.functions.hashing import (
+    char_shingle_hashes,
+    char_shingle_hashes_positional,
+    hamming64,
+    lsh_band_keys,
+    minhash_params,
+    minhash_signature,
+    rng_for,
+    sha256_hex,
+    simhash64,
+    splitmix64,
+    stable_id64,
+    token_hashes,
+    winnow_fingerprints,
+)
+from address_parser_ray.functions.similarity import (
+    dice,
+    exact_jaccard,
+    jaro_winkler,
+    minhash_jaccard,
+    size_ratio,
+)
+
+
+def test_sha256_matches_hashlib():
+    import hashlib
+
+    assert sha256_hex(["abc"]) == [hashlib.sha256(b"abc").hexdigest()]
+    assert sha256_hex([None]) == [hashlib.sha256(b"").hexdigest()]
+
+
+def test_stable_id_deterministic():
+    assert stable_id64("a", "b", "c") == stable_id64("a", "b", "c")
+    assert stable_id64("a", "b", "c") != stable_id64("a", "bc", "")
+
+
+def test_shingles_deterministic_and_shifted():
+    a = char_shingle_hashes("the quick brown fox jumps", 4)
+    b = char_shingle_hashes("the quick brown fox jumps", 4)
+    assert np.array_equal(a, b)
+    assert char_shingle_hashes("", 4).size == 0
+    assert char_shingle_hashes("ab", 4).size == 1  # padded
+
+
+def test_minhash_estimates_jaccard():
+    """MinHash Jaccard estimate within ~0.1 of exact for 128 perms."""
+    rng = rng_for(1, "mh")
+    base = rng.integers(0, 2**63, 2000).astype(np.uint64)
+    other = base.copy()
+    other[:1000] = rng.integers(0, 2**63, 1000).astype(np.uint64)  # ~1/3 jaccard
+    a, b = minhash_params(128, 42)
+    s1 = minhash_signature(np.unique(base), a, b)
+    s2 = minhash_signature(np.unique(other), a, b)
+    est = minhash_jaccard(s1, s2)
+    exact = exact_jaccard(np.unique(base), np.unique(other))
+    assert abs(est - exact) < 0.12
+    # identical sets → identical signatures
+    assert np.array_equal(s1, minhash_signature(np.unique(base), a, b))
+
+
+def test_empty_minhash_sentinel():
+    a, b = minhash_params(16, 0)
+    s = minhash_signature(np.empty(0, dtype=np.uint64), a, b)
+    assert (s == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+
+
+def test_lsh_band_keys_shape_and_band_mixing():
+    a, b = minhash_params(128, 42)
+    sig = minhash_signature(np.arange(100, dtype=np.uint64), a, b)
+    keys = lsh_band_keys(sig, 32, 4)
+    assert keys.shape == (32,)
+    assert len(np.unique(keys)) == 32  # band index mixed in
+
+
+def test_simhash_similar_inputs_close():
+    h1 = char_shingle_hashes("def load_user(x): return x + 1", 4)
+    h2 = char_shingle_hashes("def load_user(y): return y + 1", 4)
+    h3 = char_shingle_hashes("completely different program text here", 4)
+    d_close = hamming64(np.array([simhash64(h1)], dtype=np.uint64), simhash64(h2))[0]
+    d_far = hamming64(np.array([simhash64(h1)], dtype=np.uint64), simhash64(h3))[0]
+    assert d_close < d_far
+
+
+def test_winnowing_subset_of_hashes():
+    h = char_shingle_hashes_positional("some text for winnowing windows", 4)
+    fp = winnow_fingerprints(h, 5)
+    assert fp.size > 0
+    assert np.isin(fp, h).all()
+    assert fp.size <= np.unique(h).size
+
+
+def test_jaro_winkler_basics():
+    assert jaro_winkler("abc", "abc") == 1.0
+    assert jaro_winkler("abc", "xyz") == 0.0
+    assert 0.7 < jaro_winkler("martha", "marhta") <= 1.0
+    assert jaro_winkler("", "abc") == 0.0
+
+
+def test_set_similarities():
+    a = np.array([1, 2, 3, 4], dtype=np.uint64)
+    b = np.array([3, 4, 5, 6], dtype=np.uint64)
+    assert exact_jaccard(a, b) == pytest.approx(2 / 6)
+    assert dice(a, b) == pytest.approx(0.5)
+    assert size_ratio(10, 20) == 0.5
+    assert size_ratio(0, 0) == 1.0
+
+
+def test_splitmix_vectorized_matches_scalar():
+    xs = np.arange(10, dtype=np.uint64)
+    vec = splitmix64(xs)
+    for i, x in enumerate(xs):
+        assert splitmix64(np.uint64(x)) == vec[i]
+
+
+def test_rng_for_key_independence():
+    assert rng_for(42, "a").integers(0, 1 << 30) == rng_for(42, "a").integers(0, 1 << 30)
+    assert rng_for(42, "a").integers(0, 1 << 30) != rng_for(42, "b").integers(0, 1 << 30)
+
+
+def test_token_hashes_unique_sorted():
+    t = token_hashes("a b a c a")
+    assert t.size == 3
+    assert np.array_equal(t, np.sort(t))

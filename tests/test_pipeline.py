@@ -1,0 +1,95 @@
+"""End-to-end: pairwise F1 vs ground truth (north_rule: ≥0.99 on labeled
+pairs at the same blocking key), sha invariant, determinism."""
+
+import itertools
+
+import pyarrow.parquet as pq
+import pytest
+
+from address_parser_ray.config import DEFAULT_CONFIG as CFG
+from address_parser_ray.functions.hashing import stable_id64
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(ray_session, fixture_corpus):
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.sources import read_corpus
+
+    corpus_dir, labels_path = fixture_corpus
+    res = dedup_pipeline(read_corpus(corpus_dir))
+    lab = pq.read_table(labels_path).to_pandas()
+    lab["record_id"] = [
+        stable_id64(r, p, c)
+        for r, p, c in zip(lab["repo"], lab["path"], lab["commit"])
+    ]
+    return res, lab
+
+
+def test_every_record_assigned_once(pipeline_result):
+    res, lab = pipeline_result
+    assign = res.assignments.to_pandas()
+    assert len(assign) == len(lab)
+    assert assign["record_id"].is_unique
+    assert set(assign["record_id"]) == set(lab["record_id"])
+
+
+def test_pairwise_f1_exhaustive(pipeline_result):
+    """Exhaustive pairwise F1 (stricter than same-block-only) ≥ 0.99."""
+    res, lab = pipeline_result
+    assign = res.assignments.to_pandas()
+    m = lab.merge(assign, on="record_id", suffixes=("_true", "_pred"))
+    true = m["cluster_id_true"].tolist()
+    pred = m["cluster_id_pred"].tolist()
+    tp = fp = fn = 0
+    for i, j in itertools.combinations(range(len(m)), 2):
+        t = true[i] == true[j]
+        p = pred[i] == pred[j]
+        tp += t and p
+        fp += (not t) and p
+        fn += t and (not p)
+    prec = tp / max(1, tp + fp)
+    rec = tp / max(1, tp + fn)
+    f1 = 2 * prec * rec / max(1e-9, prec + rec)
+    assert f1 >= 0.99, (prec, rec, f1)
+
+
+def test_pairwise_f1_same_block(pipeline_result):
+    """North-rule form: F1 over labeled candidate pairs within the same
+    blocking key (the scored pairs), judged by final cluster agreement."""
+    res, lab = pipeline_result
+    scored = res.scored_pairs.to_pandas()
+    assign = res.assignments.to_pandas().set_index("record_id")["cluster_id"]
+    truth = lab.set_index("record_id")["cluster_id"]
+    tp = fp = fn = 0
+    for a, b in scored[["id_a", "id_b"]].itertuples(index=False):
+        t = truth[a] == truth[b]
+        p = assign[a] == assign[b]
+        tp += t and p
+        fp += (not t) and p
+        fn += t and (not p)
+    prec = tp / max(1, tp + fp)
+    rec = tp / max(1, tp + fn)
+    f1 = 2 * prec * rec / max(1e-9, prec + rec)
+    assert f1 >= 0.99, (prec, rec, f1)
+
+
+def test_sha_invariant_through_stages(pipeline_result):
+    """content_sha256 carried by the fingerprint stage must equal the
+    generator-recorded sha for every record — and survive to the end."""
+    res, lab = pipeline_result
+    fp = res.fingerprints.to_pandas()
+    m = lab.merge(fp, on="record_id", suffixes=("_lab", "_fp"))
+    assert len(m) == len(lab)
+    assert (m["content_sha256_lab"] == m["content_sha256_fp"]).all()
+
+
+def test_pipeline_deterministic(ray_session, fixture_corpus):
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.sources import read_corpus
+
+    corpus_dir, _ = fixture_corpus
+    a1 = dedup_pipeline(read_corpus(corpus_dir)).assignments.to_pandas()
+    a2 = dedup_pipeline(read_corpus(corpus_dir)).assignments.to_pandas()
+    a1 = a1.sort_values("record_id").reset_index(drop=True)
+    a2 = a2.sort_values("record_id").reset_index(drop=True)
+    assert a1.equals(a2)

@@ -1,0 +1,103 @@
+"""Query registry vs DuckDB oracles at sf0.001 (fast subset — the driver
+re-runs the full matrix at sf0.01)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_df(res):
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return res
+
+
+SQL_CHECKED = [
+    "exact_dedup_groups",
+    "lang_counts",
+    "doc_stats_by_lang",
+    "token_counts_by_lang",
+    "quality_flags",
+    "top_docs",
+    "distinct_langs",
+    "hash_split_counts",
+    "filter_union_counts",
+    "orders_by_nation",
+    "pricing_summary",
+    "top_customers",
+    "events_hourly",
+    "embedding_topk",
+    "media_sizes",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(ray_session, con, name):
+    from address_parser_ray.pipelines.oracle import ORACLE_SQL
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    rdf = _canon(_to_df(QUERIES[name](SF)))
+    odf = _canon(con.sql(ORACLE_SQL[name]).df())
+    assert list(rdf.columns) == list(odf.columns), (rdf.columns, odf.columns)
+    assert len(rdf) == len(odf)
+    for c in rdf.columns:
+        if rdf[c].dtype != odf[c].dtype:
+            rdf[c] = rdf[c].astype(odf[c].dtype)
+    pd.testing.assert_frame_equal(rdf, odf, check_dtype=False)
+
+
+ROWS_ONLY = [
+    "ngram_jaccard_stats",
+    "langid_pred",
+    "quality_scores",
+    "knn_bruteforce",
+    "media_features",
+    "simhash_hamming_pairs",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run_and_deterministic(ray_session, name):
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    d1 = _canon(_to_df(QUERIES[name](SF)))
+    d2 = _canon(_to_df(QUERIES[name](SF)))
+    assert len(d1) > 0
+    pd.testing.assert_frame_equal(d1, d2)
+
+
+def test_entry_contract(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    res = E.entry()
+    df = _to_df(res)
+    assert len(df) >= 0
+    assert sorted(df.columns) == ["cluster_id", "content_sha256", "record_id"]
+    qs, os_ = E.queries(), E.oracle_sql()
+    assert set(os_).issubset(set(qs))

@@ -1,0 +1,166 @@
+"""Stage-level tests: fingerprint invariant, exact dedup, blocking
+recall, connected components vs a pure-python union-find oracle."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from address_parser_ray.config import DEFAULT_CONFIG as CFG
+
+
+def test_fingerprinter_sha_invariant():
+    """content_sha256 must equal hashlib.sha256 of the RAW content — the
+    per-row invariant of BASELINE.json input_hint."""
+    from address_parser_ray.stages.fingerprint import Fingerprinter
+
+    batch = pa.table(
+        {
+            "repo": ["r1", "r2"],
+            "path": ["src/a.py", "deep/dir/b.py"],
+            "commit": ["c1", "c2"],
+            "lang": ["python", "python"],
+            "content": ["def f():\n    # comment\n    return 1\n", ""],
+        }
+    )
+    out = Fingerprinter(CFG)(batch)
+    expected = [
+        hashlib.sha256(c.encode()).hexdigest() for c in batch["content"].to_pylist()
+    ]
+    assert out["content_sha256"].to_pylist() == expected
+    assert out["basename"].to_pylist() == ["a.py", "b.py"]
+    assert out["n_chars"].to_pylist() == [len(c) for c in batch["content"].to_pylist()]
+    # normalization strips comments → identical minhash for comment variant
+    batch2 = pa.table(
+        {
+            "repo": ["r3"],
+            "path": ["x.py"],
+            "commit": ["c3"],
+            "lang": ["python"],
+            "content": ["def f():\n    return 1\n"],
+        }
+    )
+    out2 = Fingerprinter(CFG)(batch2)
+    assert out["minhash"].to_pylist()[0] == out2["minhash"].to_pylist()[0]
+
+
+def test_exact_dedup_min_wins(ray_session):
+    import ray.data
+    from address_parser_ray.stages.exact_dedup import (
+        duplicate_edges,
+        exact_dedup_stage,
+        representatives,
+    )
+    from address_parser_ray.stages.fingerprint import fingerprint_stage
+
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": ["r"] * 4,
+                "path": [f"p{i}.py" for i in range(4)],
+                "commit": [f"c{i}" for i in range(4)],
+                "lang": ["python"] * 4,
+                "content": ["same", "same", "same", "other"],
+            }
+        )
+    )
+    dd = exact_dedup_stage(fingerprint_stage(corpus, CFG)).materialize()
+    df = dd.to_pandas()
+    grp = df[df["content_sha256"] == df["content_sha256"].mode()[0]]
+    assert (grp["rep_id"] == grp["record_id"].min()).all()
+    assert representatives(dd).count() == 2
+    edges = duplicate_edges(dd).to_pandas()
+    assert len(edges) == 2
+    assert set(edges["dst"]) == {grp["record_id"].min()}
+
+
+def test_blocking_finds_same_seed_pairs(ray_session, fixture_corpus):
+    """Every same-cluster record pair must co-occur in ≥1 blocking key
+    with its cluster (recall via LSH bands ∪ exact path key)."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from address_parser_ray.functions.hashing import stable_id64
+    from address_parser_ray.sources import read_corpus
+    from address_parser_ray.stages.blocking import blocking_stage
+    from address_parser_ray.stages.exact_dedup import (
+        exact_dedup_stage,
+        representatives,
+    )
+    from address_parser_ray.stages.fingerprint import fingerprint_stage
+
+    corpus_dir, labels_path = fixture_corpus
+    reps = representatives(
+        exact_dedup_stage(fingerprint_stage(read_corpus(corpus_dir), CFG))
+    ).materialize()
+    pairs = blocking_stage(reps, CFG).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+
+    lab = pq.read_table(labels_path).to_pandas()
+    lab["record_id"] = [
+        stable_id64(r, p, c)
+        for r, p, c in zip(lab["repo"], lab["path"], lab["commit"])
+    ]
+    rep_ids = set(reps.to_pandas()["record_id"])
+    lab = lab[lab["record_id"].isin(rep_ids)]
+    missing = 0
+    total = 0
+    for _, grp in lab.groupby("cluster_id"):
+        ids = sorted(grp["record_id"])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                total += 1
+                if (ids[i], ids[j]) not in got:
+                    missing += 1
+    assert total > 50
+    # blocking recall ≥ 0.95 on the fixture (exact path key catches
+    # same-seed variants; LSH catches the rest)
+    assert missing / total < 0.05, (missing, total)
+
+
+def _py_union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [find(i) for i in range(n_nodes)]
+
+
+@pytest.mark.parametrize("seed,n,m", [(0, 40, 30), (1, 60, 80), (2, 30, 5)])
+def test_connected_components_vs_oracle(ray_session, seed, n, m):
+    """Distributed CC must agree with a sequential union-find on random
+    graphs (including chains — pointer jumping path)."""
+    import ray.data
+    from address_parser_ray.stages.clustering import connected_components
+
+    rng = np.random.default_rng(seed)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2)) if a != b]
+    # add a long chain to exercise >1 round
+    chain = [(i, i + 1) for i in range(n - 10, n - 1)]
+    edges += chain
+    oracle = _py_union_find(n, edges)
+
+    nodes = ray.data.from_arrow(
+        pa.table({"record_id": pa.array(np.arange(n, dtype=np.int64))})
+    )
+    eds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], type=pa.int64()),
+                "dst": pa.array([e[1] for e in edges], type=pa.int64()),
+            }
+        )
+    )
+    out = connected_components(eds, nodes).to_pandas()
+    got = dict(zip(out["record_id"], out["cluster_id"]))
+    assert len(got) == n
+    for i in range(n):
+        assert got[i] == oracle[i], (i, got[i], oracle[i])
