@@ -64,17 +64,34 @@ class PipelineConfig:
     w_size: float = 0.10
     #: final match threshold on the blended score.
     match_threshold: float = 0.50
+    #: MinHash lanes actually shipped to the pair scorer (a prefix of the
+    #: full signature). Fewer lanes → noisier Jaccard estimate but half
+    #: the bytes through the pair-feature join; 64/32 keeps the estimate
+    #: std ≈ 0.06 at the gate, far inside the positive/negative margin.
+    score_char_lanes: int = 64
+    score_token_lanes: int = 32
 
     # ---- stage 3: clustering --------------------------------------------
     #: max label-propagation rounds before giving up (fixpoint is usually
     #: reached in <6 rounds thanks to pointer-jumping).
     max_cc_rounds: int = 20
+    #: match graphs at or below this edge count run transitive closure as
+    #: a driver-side union-find (16 B/edge → ≤32 MB on the driver); above
+    #: it the distributed label-propagation loop takes over.
+    driver_cc_max_edges: int = 2_000_000
+    #: when the COMPACT per-record feature table (~250 B/record) fits
+    #: under this byte budget, scoring broadcasts it (ray.put once, read
+    #: per actor) instead of running two join shuffles. ~2 GiB covers
+    #: ~8M unique records per node; above that the bucketed join path
+    #: takes over.
+    broadcast_feats_max_bytes: int = 2 << 30
 
     # ---- execution ------------------------------------------------------
     #: batch size for fingerprinting (wide `content` strings → moderate).
     fingerprint_batch_size: int = 512
-    #: actor-pool size bounds for the scoring stage.
-    scorer_concurrency: tuple = (2, 8)
+    #: actor-pool size bounds for stateful stages; None → autoscale
+    #: (1, total CPUs) via rayutil.default_concurrency.
+    scorer_concurrency: tuple | None = None
     scorer_batch_size: int = 2048
 
     # ---- hashing seeds (fixed: determinism across runs/processes) -------

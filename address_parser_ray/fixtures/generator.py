@@ -58,10 +58,13 @@ class SeedFile:
     header: list  # boilerplate header lines (shared across near-miss pairs)
 
 
-def _make_seed(seed_id: int, global_seed: int) -> SeedFile:
+def _make_seed(seed_id: int, global_seed: int, file_scale: int = 1) -> SeedFile:
+    """``file_scale`` multiplies the function count — real source files
+    average several KB; benches use file_scale>1 so per-file compute
+    (shingling/MinHash) dominates over fixed per-row costs."""
     rng = rng_for(global_seed, "seed", seed_id)
     lang = LANGS[rng.choice(len(LANGS), p=LANG_WEIGHTS)]
-    n_funcs = int(rng.integers(4, 10))
+    n_funcs = int(rng.integers(4, 10)) * file_scale
     funcs = []
     for f in range(n_funcs):
         fname = f"{rng.choice(_VERBS)}_{rng.choice(_NOUNS)}_{seed_id}_{f}"
@@ -214,6 +217,98 @@ def _norm_shingles(text: str, k: int = 12) -> np.ndarray:
     return char_shingle_hashes(t, k)
 
 
+_EXT = {"python": "py", "javascript": "js", "go": "go", "java": "java", "rust": "rs"}
+
+
+def rows_for_seed(
+    sid: int,
+    n_seeds: int,
+    variants_per_seed: int,
+    global_seed: int,
+    hot_basename_frac: float,
+    near_miss_frac: float,
+    file_scale: int = 1,
+) -> list[dict]:
+    """All corpus+label rows for one seed — self-contained and
+    order-independent (per-key RNG only), so generation parallelizes
+    across any number of workers with bit-identical output."""
+    out: list[dict] = []
+    spec_names = list(VARIANT_SPECS)
+
+    def add_row(seed: SeedFile, variant_idx: int, spec_name: str, content: str, cluster: int):
+        rng = rng_for(global_seed, "meta", seed.seed_id, variant_idx, spec_name)
+        repo = f"org{int(rng.integers(0, max(2, n_seeds // 5)))}/proj{int(rng.integers(0, 50))}"
+        hot = rng_for(global_seed, "hot", seed.seed_id).random() < hot_basename_frac
+        base = f"utils.{_EXT[seed.lang]}" if hot else f"mod_{seed.seed_id}.{_EXT[seed.lang]}"
+        path = f"src/pkg{int(rng.integers(0, 20))}/{base}"
+        commit = hashlib.sha1(
+            f"{global_seed}:{seed.seed_id}:{variant_idx}:{spec_name}".encode()
+        ).hexdigest()
+        out.append(
+            {
+                "repo": repo,
+                "path": path,
+                "commit": commit,
+                "lang": seed.lang,
+                "content": content,
+                "content_sha256": sha256_hex([content])[0],
+                "cluster_id": cluster,
+                "variant_spec": spec_name,
+            }
+        )
+
+    seed = _make_seed(sid, global_seed, file_scale)
+    canonical = _render(seed)
+    canon_sh = _norm_shingles(canonical)
+    add_row(seed, 0, "canonical", canonical, sid)
+    n_var = int(rng_for(global_seed, "nvar", sid).integers(2, variants_per_seed))
+    for v in range(1, n_var + 1):
+        spec_rng = rng_for(global_seed, "specpick", sid, v)
+        spec = spec_names[int(spec_rng.integers(0, len(spec_names)))]
+        # bounded attempts: keep the first render inside the intended
+        # band, else fall back to ws_jitter (always in-band) — the
+        # reference's keep-only-if-relabelable rule (:885-887).
+        content = None
+        for attempt in range(3):
+            cand = VARIANT_SPECS[spec](seed, rng_for(global_seed, "var", sid, v, spec, attempt))
+            if exact_jaccard(_norm_shingles(cand), canon_sh) >= POSITIVE_MIN_JACCARD:
+                content = cand
+                break
+        if content is None:
+            spec = "ws_jitter"
+            content = VARIANT_SPECS[spec](seed, rng_for(global_seed, "var", sid, v, spec, 99))
+        add_row(seed, v, spec, content, sid)
+    # negative control: shares ONLY the header with this seed.
+    if rng_for(global_seed, "nm", sid).random() < near_miss_frac:
+        other = _make_seed(n_seeds + sid, global_seed, file_scale)
+        other.lang = seed.lang
+        other.header = seed.header
+        nm = _render(other)
+        if exact_jaccard(_norm_shingles(nm), canon_sh) <= NEGATIVE_MAX_JACCARD:
+            add_row(other, 0, "near_miss", nm, n_seeds + sid)
+    return out
+
+
+_CORPUS_COLS = ("repo", "path", "commit", "lang", "content")
+_LABEL_COLS = ("repo", "path", "commit", "content_sha256", "cluster_id", "variant_spec")
+
+
+def _rows_to_tables(rows: list[dict]) -> tuple[pa.Table, pa.Table]:
+    corpus = pa.table(
+        {k: pa.array([r[k] for r in rows], type=pa.string()) for k in _CORPUS_COLS}
+    )
+    labels = pa.table(
+        {
+            k: pa.array(
+                [r[k] for r in rows],
+                type=pa.int64() if k == "cluster_id" else pa.string(),
+            )
+            for k in _LABEL_COLS
+        }
+    )
+    return corpus, labels
+
+
 def generate_corpus(
     n_seeds: int = 50,
     variants_per_seed: int = 8,
@@ -221,7 +316,7 @@ def generate_corpus(
     hot_basename_frac: float = 0.2,
     near_miss_frac: float = 0.2,
 ) -> tuple[pa.Table, pa.Table]:
-    """Build (corpus, labels) Arrow tables.
+    """Build (corpus, labels) Arrow tables sequentially (small scales).
 
     Every seed yields its canonical row + up to ``variants_per_seed - 1``
     perturbed rows (cluster = seed id). ``near_miss_frac`` of seeds also
@@ -230,76 +325,69 @@ def generate_corpus(
     of seeds share the basename ``utils.<ext>`` → a deliberately hot
     exact-blocking key that exercises salting.
     """
-    ext = {"python": "py", "javascript": "js", "go": "go", "java": "java", "rust": "rs"}
-    rows = {k: [] for k in ("repo", "path", "commit", "lang", "content")}
-    lab = {k: [] for k in ("repo", "path", "commit", "content_sha256", "cluster_id", "variant_spec")}
-
-    spec_names = list(VARIANT_SPECS)
-
-    def add_row(seed: SeedFile, variant_idx: int, spec_name: str, content: str, cluster: int):
-        rng = rng_for(global_seed, "meta", seed.seed_id, variant_idx, spec_name)
-        repo = f"org{int(rng.integers(0, max(2, n_seeds // 5)))}/proj{int(rng.integers(0, 50))}"
-        hot = rng_for(global_seed, "hot", seed.seed_id).random() < hot_basename_frac
-        base = f"utils.{ext[seed.lang]}" if hot else f"mod_{seed.seed_id}.{ext[seed.lang]}"
-        path = f"src/pkg{int(rng.integers(0, 20))}/{base}"
-        commit = hashlib.sha1(
-            f"{global_seed}:{seed.seed_id}:{variant_idx}:{spec_name}".encode()
-        ).hexdigest()
-        rows["repo"].append(repo)
-        rows["path"].append(path)
-        rows["commit"].append(commit)
-        rows["lang"].append(seed.lang)
-        rows["content"].append(content)
-        lab["repo"].append(repo)
-        lab["path"].append(path)
-        lab["commit"].append(commit)
-        lab["content_sha256"].append(sha256_hex([content])[0])
-        lab["cluster_id"].append(cluster)
-        lab["variant_spec"].append(spec_name)
-
+    rows: list[dict] = []
     for sid in range(n_seeds):
-        seed = _make_seed(sid, global_seed)
-        canonical = _render(seed)
-        canon_sh = _norm_shingles(canonical)
-        add_row(seed, 0, "canonical", canonical, sid)
-        n_var = int(rng_for(global_seed, "nvar", sid).integers(2, variants_per_seed))
-        for v in range(1, n_var + 1):
-            spec_rng = rng_for(global_seed, "specpick", sid, v)
-            spec = spec_names[int(spec_rng.integers(0, len(spec_names)))]
-            # bounded attempts: keep the first render inside the intended
-            # band, else fall back to ws_jitter (always in-band) — the
-            # reference's keep-only-if-relabelable rule (:885-887).
-            content = None
-            for attempt in range(3):
-                cand = VARIANT_SPECS[spec](seed, rng_for(global_seed, "var", sid, v, spec, attempt))
-                if exact_jaccard(_norm_shingles(cand), canon_sh) >= POSITIVE_MIN_JACCARD:
-                    content = cand
-                    break
-            if content is None:
-                spec = "ws_jitter"
-                content = VARIANT_SPECS[spec](seed, rng_for(global_seed, "var", sid, v, spec, 99))
-            add_row(seed, v, spec, content, sid)
-        # negative control: shares ONLY the header with this seed.
-        if rng_for(global_seed, "nm", sid).random() < near_miss_frac:
-            other = _make_seed(n_seeds + sid, global_seed)
-            other.lang = seed.lang
-            other.header = seed.header
-            nm = _render(other)
-            if exact_jaccard(_norm_shingles(nm), canon_sh) <= NEGATIVE_MAX_JACCARD:
-                add_row(other, 0, "near_miss", nm, n_seeds + sid)
+        rows.extend(
+            rows_for_seed(
+                sid, n_seeds, variants_per_seed, global_seed,
+                hot_basename_frac, near_miss_frac,
+            )
+        )
+    return _rows_to_tables(rows)
 
-    corpus = pa.table({k: pa.array(v, type=pa.string()) for k, v in rows.items()})
-    labels = pa.table(
-        {
-            "repo": pa.array(lab["repo"], type=pa.string()),
-            "path": pa.array(lab["path"], type=pa.string()),
-            "commit": pa.array(lab["commit"], type=pa.string()),
-            "content_sha256": pa.array(lab["content_sha256"], type=pa.string()),
-            "cluster_id": pa.array(lab["cluster_id"], type=pa.int64()),
-            "variant_spec": pa.array(lab["variant_spec"], type=pa.string()),
-        }
+
+def write_corpus_ray(
+    out_dir: str,
+    n_seeds: int,
+    variants_per_seed: int = 8,
+    global_seed: int = 42,
+    hot_basename_frac: float = 0.2,
+    near_miss_frac: float = 0.2,
+    file_scale: int = 1,
+) -> tuple[str, str]:
+    """Parallel corpus generation as a Ray Data pipeline — the M17
+    flat-map shape (``build_standard_dataset.py:952-978``) done right:
+    seeds fan out as rows, each task renders its seeds independently
+    (per-key RNG → order-independent), Parquet comes out sharded.
+    Idempotent via a _DONE marker."""
+    import os as _os
+
+    import ray.data
+
+    corpus_dir = _os.path.join(out_dir, "corpus")
+    labels_dir = _os.path.join(out_dir, "labels")
+    done = _os.path.join(out_dir, "_DONE")
+    if _os.path.exists(done):
+        return corpus_dir, labels_dir
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for sid in batch["id"].to_pylist():
+            rows.extend(
+                rows_for_seed(
+                    int(sid), n_seeds, variants_per_seed, global_seed,
+                    hot_basename_frac, near_miss_frac, file_scale,
+                )
+            )
+        corpus, labels = _rows_to_tables(rows)
+        return pa.table(
+            {
+                **{c: corpus[c] for c in _CORPUS_COLS},
+                **{c: labels[c] for c in _LABEL_COLS if c not in _CORPUS_COLS},
+            }
+        )
+
+    full = (
+        ray.data.range(n_seeds)
+        .repartition(max(4, n_seeds // 50))
+        .map_batches(gen, batch_format="pyarrow", batch_size=50)
+        .materialize()
     )
-    return corpus, labels
+    full.select_columns(list(_CORPUS_COLS)).write_parquet(corpus_dir)
+    full.select_columns(list(_LABEL_COLS)).write_parquet(labels_dir)
+    with open(done, "w") as f:
+        f.write("ok")
+    return corpus_dir, labels_dir
 
 
 def write_corpus(out_dir: str, n_seeds: int = 50, variants_per_seed: int = 8,

@@ -71,13 +71,63 @@ def stable_id64(*parts: str) -> int:
     return int.from_bytes(h.digest(), "big", signed=True)
 
 
+# modular inverse of _POLY_BASE mod 2^64 (odd → invertible); used by the
+# O(n) prefix-based rolling hash below.
+def _mod_inverse_u64(a: int) -> int:
+    # Newton iteration: x_{k+1} = x_k (2 - a x_k) doubles correct bits
+    x = a
+    for _ in range(6):
+        x = (x * (2 - a * x)) % (1 << 64)
+    return x
+
+
+_POLY_INV = np.uint64(_mod_inverse_u64(int(_POLY_BASE)))
+
+# process-level cached power arrays (grow on demand)
+_POW_CACHE: dict[str, np.ndarray] = {}
+
+
+def _powers(base: np.uint64, n: int, key: str) -> np.ndarray:
+    cur = _POW_CACHE.get(key)
+    if cur is None or cur.size < n:
+        size = max(n, 1 << 16)
+        old = np.seterr(over="ignore")
+        try:
+            out = np.empty(size, dtype=_U64)
+            out[0] = _U64(1)
+            np.cumprod(np.full(size - 1, base, dtype=_U64), out=out[1:])
+        finally:
+            np.seterr(**old)
+        _POW_CACHE[key] = out
+        cur = out
+    return cur
+
+
+def _rolling_window_hashes(arr: np.ndarray, k: int) -> np.ndarray:
+    """All k-window polynomial hashes of a uint64 byte array in O(n):
+    H(i) = q^{i+k-1} * (C[i+k-1] - C[i-1]) with C[m] = Σ_{j≤m} b[j] q^{-j}
+    (all mod 2^64; q odd → invertible). Identical values to the naive
+    Σ b[i+t]·q^{k-1-t} windowed dot, ~k× less memory traffic."""
+    n = arr.size
+    old = np.seterr(over="ignore")
+    try:
+        qpow = _powers(_POLY_BASE, n + 1, "q")
+        qinv = _powers(_POLY_INV, n + 1, "qinv")
+        c = arr * qinv[:n]
+        C = np.cumsum(c, dtype=_U64)
+        diff = C[k - 1 :].copy()
+        diff[1:] -= C[: n - k]
+        return diff * qpow[k - 1 : n]
+    finally:
+        np.seterr(**old)
+
+
 def char_shingle_hashes(text: str, k: int) -> np.ndarray:
     """Unique 64-bit hashes of all char k-grams of ``text`` (vectorized).
 
     Analogue of ``generate_ngrams`` (``fuzz/inexus_parser.py:2657-2660``)
-    but emitting hashes, not strings: a sliding-window dot product with a
-    power-of-base vector under uint64 wraparound, then a splitmix64
-    finalize. O(len*k) multiplies, all in numpy.
+    but emitting hashes, not strings: an O(n) prefix rolling hash under
+    uint64 wraparound, then a splitmix64 finalize.
     """
     data = text.encode("utf-8", "ignore")
     if len(data) < k:
@@ -85,39 +135,42 @@ def char_shingle_hashes(text: str, k: int) -> np.ndarray:
             return np.empty(0, dtype=_U64)
         data = data + b" " * (k - len(data))  # short text → one padded shingle
     arr = np.frombuffer(data, dtype=np.uint8).astype(_U64)
-    old = np.seterr(over="ignore")
-    try:
-        powers = np.empty(k, dtype=_U64)
-        powers[0] = _U64(1)
-        for i in range(1, k):
-            powers[i] = (powers[i - 1] * _POLY_BASE) & _MASK64
-        win = np.lib.stride_tricks.sliding_window_view(arr, k)
-        raw = (win * powers[::-1]).sum(axis=1, dtype=_U64)
-        return np.unique(splitmix64(raw))
-    finally:
-        np.seterr(**old)
+    return np.unique(splitmix64(_rolling_window_hashes(arr, k)))
 
 
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
 
 def token_hashes(text: str) -> np.ndarray:
-    """Unique 64-bit hashes of ``\\w+`` tokens (crc-free: blake2b-8 per
-    unique token; unique-first keeps the Python loop short)."""
-    toks = set(_TOKEN_RE.findall(text))
-    if not toks:
+    """Unique 64-bit hashes of whitespace-separated tokens, fully
+    vectorized: one polynomial segment-hash pass over the byte buffer
+    (prefix-sum trick — same machinery as the rolling shingle hash).
+    Intended for already-normalized text (single-space separated); a
+    hash-per-token Python loop costs ~1 µs × tokens × corpus."""
+    data = text.encode("utf-8", "ignore")
+    if not data:
         return np.empty(0, dtype=_U64)
-    out = np.fromiter(
-        (
-            int.from_bytes(
-                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
-            )
-            for t in toks
-        ),
-        dtype=_U64,
-        count=len(toks),
-    )
-    return np.unique(out)
+    arr = np.frombuffer(data, dtype=np.uint8).astype(_U64)
+    n = arr.size
+    old = np.seterr(over="ignore")
+    try:
+        is_sep = (arr == 32) | (arr == 10) | (arr == 9) | (arr == 13)
+        # segment starts/ends (token = maximal run of non-separator bytes)
+        tok = ~is_sep
+        starts = np.flatnonzero(tok & ~np.concatenate([[False], tok[:-1]]))
+        ends = np.flatnonzero(tok & ~np.concatenate([tok[1:], [False]])) + 1
+        if starts.size == 0:
+            return np.empty(0, dtype=_U64)
+        qpow = _powers(_POLY_BASE, n + 1, "q")
+        qinv = _powers(_POLY_INV, n + 1, "qinv")
+        C = np.cumsum(arr * qinv[:n], dtype=_U64)
+        seg = C[ends - 1] - np.where(starts > 0, C[starts - 1], _U64(0))
+        # normalize exponent so equal tokens hash equally wherever they
+        # appear, and mix in the length to separate prefixes
+        h = splitmix64(seg * qpow[starts] + (ends - starts).astype(_U64))
+        return np.unique(h)
+    finally:
+        np.seterr(**old)
 
 
 def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -145,6 +198,41 @@ def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.nd
         np.seterr(**old)
 
 
+def oph_minhash(hashes: np.ndarray, num_perm: int, seed: int = 0) -> np.ndarray:
+    """One-permutation hashing MinHash (Li et al., NIPS'12) with rotation
+    densification (Shrivastava & Li, ICML'14): shingle hashes are binned
+    by their top bits, lane p = min hash in bin p, empty lanes borrow the
+    next non-empty lane's value re-mixed by the borrow distance.
+
+    ONE pass over the shingle set vs the classic num_perm passes —
+    collision probability per lane still ≈ Jaccard, which is all the LSH
+    banding and the scorer's equality-mean estimate need. num_perm must
+    be a power of two. Empty input → all-ones sentinel.
+    """
+    if hashes.size == 0:
+        return np.full(num_perm, _MASK64, dtype=_U64)
+    shift = _U64(64 - int(num_perm).bit_length() + 1)
+    assert (1 << int(64 - int(shift))) == num_perm, "num_perm must be 2^k"
+    old = np.seterr(over="ignore")
+    try:
+        h = splitmix64(hashes + _U64(seed) * _U64(0x9E3779B97F4A7C15))
+        bins = (h >> shift).astype(np.int64)
+        sig = np.full(num_perm, _MASK64, dtype=_U64)
+        np.minimum.at(sig, bins, h)
+        empty = sig == _MASK64
+        if empty.any() and not empty.all():
+            filled = np.flatnonzero(~empty)
+            # nearest filled lane to the right (cyclic), re-mixed by the
+            # borrow distance so borrowed lanes stay pairwise independent
+            for p in np.flatnonzero(empty):
+                d = (filled - p) % num_perm
+                src = filled[np.argmin(d)]
+                sig[p] = splitmix64(sig[src] + _U64(int((src - p) % num_perm)))
+        return sig
+    finally:
+        np.seterr(**old)
+
+
 def lsh_band_keys(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
     """Fold each band of ``rows`` signature slots into one 64-bit key,
     mixing in the band index so keys from different bands never collide
@@ -161,14 +249,32 @@ def lsh_band_keys(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
         np.seterr(**old)
 
 
+def lsh_band_keys_batch(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """Vectorized band keys for a whole batch: (n, bands*rows) signatures
+    → (n, bands) keys. One numpy pass instead of a per-record loop."""
+    n = sigs.shape[0]
+    old = np.seterr(over="ignore")
+    try:
+        banded = sigs.reshape(n, bands, rows)
+        folded = np.zeros((n, bands), dtype=_U64)
+        for r in range(rows):
+            folded = splitmix64(folded * _POLY_BASE + banded[:, :, r])
+        return splitmix64(folded + (np.arange(bands, dtype=_U64) << _U64(56))[None, :])
+    finally:
+        np.seterr(**old)
+
+
 def simhash64(hashes: np.ndarray) -> int:
-    """64-bit SimHash over a set of feature hashes (unweighted)."""
+    """64-bit SimHash over a set of feature hashes (unweighted).
+    Implemented via unpackbits on the byte view — 8× less memory traffic
+    than the broadcast-shift formulation (bit ORDER is arbitrary but
+    deterministic, which is all SimHash needs)."""
     if hashes.size == 0:
         return 0
-    bits = (hashes[:, None] >> np.arange(64, dtype=_U64)[None, :]) & _U64(1)
+    bits = np.unpackbits(hashes.view(np.uint8)).reshape(hashes.size, 64)
     counts = bits.sum(axis=0, dtype=np.int64)
-    out = np.where(counts * 2 >= hashes.size, np.uint64(1), np.uint64(0))
-    return int((out << np.arange(64, dtype=_U64)).sum(dtype=_U64))
+    out = (counts * 2 >= hashes.size).astype(np.uint8)
+    return int.from_bytes(np.packbits(out).tobytes(), "big")
 
 
 def hamming64(a: np.ndarray, b: int | np.ndarray) -> np.ndarray:
@@ -212,18 +318,19 @@ def char_shingle_hashes_positional(text: str, k: int) -> np.ndarray:
         np.seterr(**old)
 
 
-def decode_sig_column(col, num_perm: int) -> np.ndarray:
-    """(n,) Arrow binary column of packed u64 signatures → (n, num_perm)
-    uint64 matrix (one frombuffer over the concatenated payload)."""
+def decode_sig_column(col, num_perm: int, dtype=None) -> np.ndarray:
+    """(n,) Arrow binary column of packed signatures → (n, num_perm)
+    matrix (one frombuffer over the concatenated payload)."""
     import pyarrow as pa
 
+    dtype = dtype or _U64
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
     if n == 0:
-        return np.empty((0, num_perm), dtype=_U64)
+        return np.empty((0, num_perm), dtype=dtype)
     buf = b"".join(col.to_pylist())
-    return np.frombuffer(buf, dtype=_U64).reshape(n, num_perm)
+    return np.frombuffer(buf, dtype=dtype).reshape(n, num_perm)
 
 
 def rng_for(seed: int, *key_parts) -> np.random.Generator:

@@ -26,10 +26,7 @@ import ray.data
 
 from address_parser_ray.config import DEFAULT_CONFIG, PipelineConfig
 from address_parser_ray.stages.blocking import attach_features, blocking_stage
-from address_parser_ray.stages.clustering import (
-    clusters_with_duplicates,
-    connected_components,
-)
+from address_parser_ray.stages.clustering import connected_components
 from address_parser_ray.stages.exact_dedup import (
     duplicate_edges,
     exact_dedup_stage,
@@ -50,7 +47,7 @@ def dedup_pipeline(
     corpus: ray.data.Dataset,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     *,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     checkpointer=None,
 ) -> DedupResult:
     """Run blocking → scoring → clustering end-to-end.
@@ -60,14 +57,29 @@ def dedup_pipeline(
     the last completed stage.
     """
 
+    from address_parser_ray.rayutil import default_num_partitions
+
+    num_partitions = default_num_partitions(num_partitions)
+
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _timing = _os.environ.get("APR_STAGE_TIMING") == "1"
+
     def ck(name, fn):
         # every stage output is consumed by >1 downstream branch (or in a
         # loop); without pinning, Ray's lazy DAG would re-execute the whole
         # upstream per consumer. Checkpointer pins to Parquet (durable,
         # resumable); otherwise pin in the object store.
+        t0 = _time.time()
         if checkpointer is None:
-            return fn().materialize()
-        return checkpointer.stage(name, fn)
+            out = fn().materialize()
+        else:
+            out = checkpointer.stage(name, fn)
+        if _timing:
+            print(f"[stage {name}: {_time.time() - t0:.1f}s]", file=_sys.stderr)
+        return out
 
     fingerprints = ck("fingerprints", lambda: fingerprint_stage(corpus, cfg))
     deduped = ck("exact_dedup", lambda: exact_dedup_stage(fingerprints))
@@ -77,7 +89,11 @@ def dedup_pipeline(
     dup_edges = duplicate_edges(deduped)
 
     pairs = ck("candidate_pairs", lambda: blocking_stage(reps, cfg))
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    from address_parser_ray.rayutil import partitions_for
+
+    join_partitions = partitions_for(n_pairs)
+    if n_pairs == 0:
         # degenerate corpora (e.g. all rows byte-identical) yield zero
         # candidate pairs — and an empty map_groups output can carry no
         # schema, which downstream joins cannot tolerate.
@@ -88,23 +104,39 @@ def dedup_pipeline(
             _empty_scores().select(["id_a", "id_b"]).rename_columns(["src", "dst"])
         )
     else:
-        scored = ck(
-            "scored_pairs",
-            lambda: scoring_stage(
-                attach_features(pairs, reps, cfg, num_partitions=num_partitions), cfg
-            ),
-        )
+        from address_parser_ray.stages.blocking import _reduce_feats
+        from address_parser_ray.stages.scoring import scoring_stage_broadcast
+
+        feats = reps.map_batches(
+            _reduce_feats(cfg), batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        if feats.size_bytes() <= cfg.broadcast_feats_max_bytes:
+            # small-side broadcast: ray.put the compact feature table once,
+            # score raw pairs with zero join shuffles.
+            scored = ck(
+                "scored_pairs", lambda: scoring_stage_broadcast(pairs, feats, cfg)
+            )
+        else:
+            scored = ck(
+                "scored_pairs",
+                lambda: scoring_stage(
+                    attach_features(pairs, reps, cfg, num_partitions=join_partitions),
+                    cfg,
+                ),
+            )
         edges = match_edges(scored)
 
     def _cluster():
-        assign_reps = connected_components(
-            edges,
-            reps,
+        # exact-duplicate edges (dup → its sha representative) go into the
+        # SAME transitive closure as the match edges, over ALL records —
+        # no separate "re-attach duplicates" join afterwards.
+        all_edges = edges.union(dup_edges)
+        return connected_components(
+            all_edges,
+            deduped,
             max_rounds=cfg.max_cc_rounds,
             num_partitions=num_partitions,
-        )
-        return clusters_with_duplicates(
-            assign_reps, dup_edges, num_partitions=num_partitions
+            driver_max_edges=cfg.driver_cc_max_edges,
         )
 
     assignments = ck("assignments", _cluster)

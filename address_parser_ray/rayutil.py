@@ -35,6 +35,50 @@ import pyarrow as pa
 from address_parser_ray.functions.hashing import splitmix64
 
 
+def default_concurrency(requested=None):
+    """Actor-pool size for stateful stages: a FIXED pool of #CPUs actors
+    unless the config pins something. Measured on Ray 2.49: the
+    autoscaling (1, max) pool ramps up so lazily that a 16 s fingerprint
+    stage ran effectively single-actor at 32 CPUs — a fixed pool spawns
+    upfront (cold start amortized by any warmup) and actually scales."""
+    if requested is not None:
+        return requested
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    # leave ~1/4 of the CPUs for the read/shuffle/write operators that
+    # share the execution — a pool reserving every CPU deadlocks the
+    # streaming executor (observed at num_cpus=4: shuffle tasks starve).
+    return max(2, cpus - max(1, cpus // 4))
+
+
+def default_num_partitions(requested=None) -> int:
+    """Shuffle/bucket fan-out: one bucket per CPU (min 8). At 8 CPUs a
+    fixed 32 starves nothing but a fixed 8 caps a 32-CPU run at 8-way
+    parallelism for the per-bucket stages."""
+    if requested is not None:
+        return requested
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, cpus)
+
+
+def partitions_for(n_rows: int, target_rows: int = 5000, requested=None) -> int:
+    """Bucket fan-out sized to the DATA, bounded by the CPU-scaled
+    default: per-bucket shuffle overhead dominates when buckets hold
+    only hundreds of rows, and a row-count cap throttles big machines."""
+    if requested is not None:
+        return requested
+    return min(default_num_partitions(), max(4, n_rows // target_rows + 1))
+
+
 def project(ds, mapping: dict[str, str]):
     """Project + rename in ONE vectorized Arrow op: ``{old: new}``.
 

@@ -31,27 +31,54 @@ import ray
 from address_parser_ray.config import DEFAULT_CONFIG, PipelineConfig
 from address_parser_ray.functions.hashing import (
     decode_sig_column,
-    lsh_band_keys,
+    lsh_band_keys_batch,
     splitmix64,
 )
-from address_parser_ray.rayutil import pinned_join
+from address_parser_ray.rayutil import (
+    default_concurrency,
+    default_num_partitions,
+    pinned_join,
+)
 
 _U64 = np.uint64
 
 
-class KeyEmitter:
-    """records → exploded (block_key, slot, record_id) rows.
+def emit_keys(batch: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Plain-function form (stateless tasks over warm workers)."""
+    return KeyEmitter(cfg)(batch)
 
-    slot 0 = exact (lang, basename) key; slots 1..bands = LSH bands.
-    ``hot_ref`` is an object-store ref to {block_key(int): n_salts} —
-    fetched once per actor, read per batch (broadcast, never re-shipped).
+
+def emit_keys_bucketed(
+    batch: pa.Table,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    hot_ref=None,
+    n_buckets: int = 8,
+) -> pa.Table:
+    """Single fused pass: emit keys, salt hot ones, add the shuffle
+    bucket — so the exploded relation is built exactly once and never
+    materialized whole."""
+    t = KeyEmitter(cfg)(batch)
+    if hot_ref is not None:
+        t = _salt_fn(hot_ref, cfg.max_block_records)(t)
+    k = np.asarray(t["block_key"]).astype(np.int64).view(_U64)
+    b = (splitmix64(k) % np.uint64(n_buckets)).astype(np.int64)
+    return t.append_column("bucket", pa.array(b))
+
+
+class KeyEmitter:
+    """records → exploded (block_key, record_id) rows.
+
+    slot 0 = exact (lang, basename) key; slots 1..bands = LSH bands —
+    both folded into one 64-bit key space (band index mixed in). Band
+    keys are computed batch-vectorized. Salting of hot keys happens in a
+    separate pass AFTER hot-key counting, directly on the exploded rows,
+    so keys are computed once, not twice.
     """
 
-    def __init__(self, cfg: PipelineConfig, hot_ref=None):
+    def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
-        self.hot = ray.get(hot_ref) if hot_ref is not None else {}
 
-    def _keys_matrix(self, batch: pa.Table) -> np.ndarray:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         n = batch.num_rows
         sigs = decode_sig_column(batch["minhash"], cfg.num_perm)
@@ -69,89 +96,145 @@ class KeyEmitter:
                 )
                 keys[i, 0] = int.from_bytes(h.digest(), "big")
             col = 1
-        for i in range(n):
-            keys[i, col:] = lsh_band_keys(sigs[i], cfg.lsh_bands, cfg.lsh_rows)
-        return keys
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        n = batch.num_rows
-        keys = self._keys_matrix(batch)
+        keys[:, col:] = lsh_band_keys_batch(sigs, cfg.lsh_bands, cfg.lsh_rows)
         rids = np.asarray(batch["record_id"]).astype(np.int64)
-        if self.hot:
-            # salt hot keys: key' = mix(key, hash(rid) % n_salts)
-            old = np.seterr(over="ignore")
-            try:
-                for i in range(n):
-                    for s in range(keys.shape[1]):
-                        n_salts = self.hot.get(int(keys[i, s]))
-                        if n_salts:
-                            salt = int(splitmix64(_U64(rids[i]))) % n_salts
-                            keys[i, s] = splitmix64(
-                                keys[i, s] * _U64(0x9E3779B97F4A7C15) + _U64(salt + 1)
-                            )
-            finally:
-                np.seterr(**old)
-        n_slots = keys.shape[1]
         return pa.table(
             {
                 "block_key": pa.array(keys.reshape(-1).view(np.int64)),
-                "slot": pa.array(np.tile(np.arange(n_slots, dtype=np.int32), n)),
                 "record_id": pa.array(np.repeat(rids, n_slots)),
             }
         )
 
 
-def _count_keys(batch: pa.Table) -> pa.Table:
-    """Partial pre-aggregation: per-batch key counts (combiner before the
-    global groupby — SURVEY/ray_guide 'pre-aggregate first')."""
-    counts = batch.group_by("block_key").aggregate([("block_key", "count")])
-    return counts.rename_columns(["block_key", "n"])
+def _salt_fn(hot_ref, max_block_records: int):
+    """Vectorized hot-key salting on exploded rows:
+    key' = mix(key, hash(record_id) % n_salts). Cross-salt pairs within a
+    hot key are deliberately dropped (the reference's candidate cap)."""
+
+    def salt(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        if not hot:
+            return t
+        keys = np.asarray(t["block_key"]).astype(np.int64).view(_U64).copy()
+        rids = np.asarray(t["record_id"]).astype(np.int64)
+        old = np.seterr(over="ignore")
+        try:
+            n_salts = np.array([hot.get(int(k), 0) for k in keys], dtype=np.int64)
+            mask = n_salts > 0
+            if mask.any():
+                salts = (
+                    splitmix64(rids[mask].view(_U64)) % n_salts[mask].astype(np.uint64)
+                ).astype(_U64)
+                keys[mask] = splitmix64(
+                    keys[mask] * _U64(0x9E3779B97F4A7C15) + salts + _U64(1)
+                )
+        finally:
+            np.seterr(**old)
+        return pa.table(
+            {
+                "block_key": pa.array(keys.view(np.int64)),
+                "record_id": t["record_id"],
+            }
+        )
+
+    return salt
+
+
+_HOT_SAMPLE_RATE = 16  # keep 1/16 of exploded rows for hot-key detection
 
 
 def find_hot_keys(exploded, cfg: PipelineConfig) -> dict[int, int]:
-    """Exact counts over 16-byte key rows (cheap shuffle), filtered to the
-    hot tail only before leaving the cluster — the driver only ever sees
-    keys with count > max_block_records."""
-    partial = exploded.select_columns(["block_key"]).map_batches(
-        _count_keys, batch_format="pyarrow", batch_size=1 << 20
-    )
+    """Approximate hot-key detection by deterministic hash sampling.
+
+    Exact counting of EVERY key is an all-to-all over O(corpus) distinct
+    keys — pointless when only the hot tail matters. A 1/16 hash sample
+    of (record_id) rows is counted instead; a key whose sampled count
+    exceeds cap/(2·rate) is declared hot with estimated true count
+    sampled·rate. Deterministic (hash-of-record sample, no RNG), so N-
+    and 4N-cpu runs salt identically. Over-salting a borderline key only
+    splits its candidate pairs — the same bounded-recall trade the
+    reference makes with its candidate caps (inexus_parser.py:114)."""
+    rate = _HOT_SAMPLE_RATE
+    thresh = max(1, cfg.max_block_records // (2 * rate))
+
+    def sample(t: pa.Table) -> pa.Table:
+        counts = (
+            pa.table({"block_key": t["block_key"]})
+            .group_by("block_key")
+            .aggregate([("block_key", "count")])
+        )
+        return counts.rename_columns(["block_key", "n"])
+
     from ray.data.aggregate import Sum
 
+    partial = exploded.map_batches(sample, batch_format="pyarrow")
     totals = partial.groupby("block_key").aggregate(Sum("n", alias_name="n"))
-    hot = totals.filter(expr=f"n > {cfg.max_block_records}")
+    hot = totals.filter(expr=f"n > {thresh}")
     out: dict[int, int] = {}
     for row in hot.iter_rows():
-        out[int(_U64(np.int64(row["block_key"])))] = int(
-            -(-row["n"] // cfg.max_block_records)
+        est = row["n"] * rate
+        out[int(_U64(np.int64(row["block_key"])))] = max(
+            2, int(-(-est // cfg.max_block_records))
         )
     return out
 
 
-def _make_pairs_fn(max_pairs: int):
+_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+
+def _make_pairs_bucket_fn(max_pairs: int):
+    """Per-BUCKET pair generation (a bucket holds many block keys).
+
+    ``groupby(block_key).map_groups`` costs one Python call per distinct
+    key — ~33 keys/record makes that millions of tiny calls. Instead keys
+    are hash-bucketed, and within a bucket the runs of each key are
+    processed with run-length encoding + one vectorized triu expansion
+    per distinct run LENGTH (≤ max_block_records distinct lengths, since
+    salting caps block size). Deterministic: rows sorted by (key, id),
+    pair order lexicographic, truncation at max_pairs per block.
+    """
+
     def make_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(np.asarray(group["record_id"]).astype(np.int64))
-        m = ids.size
-        if m < 2:
-            return pa.table(
-                {
-                    "id_a": pa.array([], type=pa.int64()),
-                    "id_b": pa.array([], type=pa.int64()),
-                }
-            )
-        # deterministic emission: sorted ids, lexicographic pair order,
-        # truncated at max_pairs (the reference's scored-candidate cap,
-        # inexus_parser.py:2878).
-        iu = np.triu_indices(m, k=1)
-        a = ids[iu[0]][:max_pairs]
-        b = ids[iu[1]][:max_pairs]
-        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+        keys = np.asarray(group["block_key"]).astype(np.int64)
+        ids = np.asarray(group["record_id"]).astype(np.int64)
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        if keys.size < 2:
+            return _PAIR_SCHEMA.empty_table()
+        change = np.flatnonzero(np.diff(keys)) + 1
+        starts = np.concatenate([[0], change])
+        lens = np.diff(np.concatenate([starts, [keys.size]]))
+        out_a, out_b = [], []
+        for m in np.unique(lens):
+            if m < 2:
+                continue
+            sel = starts[lens == m]
+            mat = ids[sel[:, None] + np.arange(m)[None, :]]
+            iu, ju = np.triu_indices(int(m), k=1)
+            if iu.size > max_pairs:
+                iu, ju = iu[:max_pairs], ju[:max_pairs]
+            out_a.append(mat[:, iu].ravel())
+            out_b.append(mat[:, ju].ravel())
+        if not out_a:
+            return _PAIR_SCHEMA.empty_table()
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        # within-bucket dedup (the same pair can arise from several keys
+        # in this bucket) — cross-bucket dedup happens downstream.
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"id_a": pa.array(uniq[:, 0]), "id_b": pa.array(uniq[:, 1])})
 
     return make_pairs
 
 
-def _dedup_pairs(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1)
+def _dedup_pairs_bucket(group: pa.Table) -> pa.Table:
+    """Vectorized cross-bucket pair dedup (bucketed by hash(id_a,id_b))."""
+    a = np.asarray(group["id_a"]).astype(np.int64)
+    b = np.asarray(group["id_b"]).astype(np.int64)
+    if a.size == 0:
+        return _PAIR_SCHEMA.empty_table()
+    uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+    return pa.table({"id_a": pa.array(uniq[:, 0]), "id_b": pa.array(uniq[:, 1])})
 
 
 def blocking_stage(
@@ -163,54 +246,109 @@ def blocking_stage(
 ):
     """representatives Dataset → unique candidate pairs (id_a < id_b).
 
-    Two-pass: (1) emit keys, count, find hot keys (small driver-side
-    dict); (2) re-emit with salting, group, emit pairs, dedup pairs
-    across slots. Pass ``hot_keys={}`` with ``precomputed_hot=True`` to
-    skip the counting pass (tests / known-cold corpora).
+    Hot keys are estimated from a 1/16 hash-sample of the RECORDS (a
+    cheap extra key-emission over the sample), then the full exploded
+    relation is built in ONE fused streaming pass (emit → salt → bucket)
+    straight into the pair-generation shuffle — it is never materialized
+    whole. Pass ``hot_keys={}`` with ``precomputed_hot=True`` to skip the
+    probe (tests / known-cold corpora).
     """
     light_cols = ["record_id", "minhash", "lang", "basename"]
     key_input = reps.select_columns(light_cols)
 
     if not precomputed_hot and hot_keys is None:
-        exploded_probe = key_input.map_batches(
-            KeyEmitter,
-            fn_constructor_kwargs={"cfg": cfg},
-            batch_format="pyarrow",
-            batch_size=1024,
-            zero_copy_batch=True,
-            concurrency=cfg.scorer_concurrency,
+        def sample_records(t: pa.Table) -> pa.Table:
+            rid = np.asarray(t["record_id"]).astype(np.int64).view(_U64)
+            mask = (splitmix64(rid + _U64(0xA5A5A5A5)) % _U64(_HOT_SAMPLE_RATE)) == 0
+            return t.filter(pa.array(mask))
+
+        probe = key_input.map_batches(
+            sample_records, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(
+            emit_keys, fn_kwargs={"cfg": cfg}, batch_format="pyarrow", batch_size=1024
         )
-        hot_keys = find_hot_keys(exploded_probe, cfg)
+        hot_keys = find_hot_keys(probe, cfg)
 
     hot_ref = ray.put(hot_keys or {})
+    n_buckets = default_num_partitions()
+
     exploded = key_input.map_batches(
-        KeyEmitter,
-        fn_constructor_kwargs={"cfg": cfg, "hot_ref": hot_ref},
+        emit_keys_bucketed,
+        fn_kwargs={"cfg": cfg, "hot_ref": hot_ref, "n_buckets": n_buckets},
         batch_format="pyarrow",
         batch_size=1024,
         zero_copy_batch=True,
-        concurrency=cfg.scorer_concurrency,
     )
-    pairs = exploded.groupby("block_key").map_groups(
-        _make_pairs_fn(cfg.max_pairs_per_block), batch_format="pyarrow"
+
+    pairs = exploded.groupby("bucket").map_groups(
+        _make_pairs_bucket_fn(cfg.max_pairs_per_block), batch_format="pyarrow"
     )
+
     # a pair found by several bands/keys survives once
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        _dedup_pairs, batch_format="pyarrow"
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["id_a"]).astype(np.int64).astype(np.uint64)
+        b = np.asarray(t["id_b"]).astype(np.int64).astype(np.uint64)
+        old = np.seterr(over="ignore")
+        try:
+            pb = (splitmix64(a * np.uint64(0x9E3779B97F4A7C15) + b) % np.uint64(n_buckets)).astype(np.int64)
+        finally:
+            np.seterr(**old)
+        return t.append_column("bucket", pa.array(pb))
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_dedup_pairs_bucket, batch_format="pyarrow")
     )
+
+
+def _reduce_feats(cfg: PipelineConfig):
+    """Compact per-record features for pair scoring: signatures narrowed
+    to 32-bit lanes (equality-comparison MinHash loses nothing material —
+    cross-lane collision adds ~2^-32 bias) and the sha to an 8-byte
+    prefix int. Halves the bytes shuffled per pair side."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        mh = decode_sig_column(t["minhash"], cfg.num_perm)[:, : cfg.score_char_lanes]
+        tmh = decode_sig_column(t["token_minhash"], cfg.token_num_perm)[
+            :, : cfg.score_token_lanes
+        ]
+        # 16-bit equality lanes: per-lane random collision (2^-16) adds
+        # +1.5e-5 to the Jaccard estimate — unmeasurable; payload halves.
+        mh16 = np.ascontiguousarray((mh & np.uint64(0xFFFF)).astype(np.uint16))
+        tmh16 = np.ascontiguousarray((tmh & np.uint64(0xFFFF)).astype(np.uint16))
+        sha = t["content_sha256"].to_pylist()
+        sha64 = np.array(
+            [int(s[:16], 16) - (1 << 63) if s else 0 for s in sha], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "record_id": t["record_id"],
+                "sha64": pa.array(sha64),
+                "path": t["path"],
+                "n_chars": t["n_chars"],
+                "mh_sk": pa.array([mh16[i].tobytes() for i in range(n)], type=pa.binary()),
+                "tmh_sk": pa.array(
+                    [tmh16[i].tobytes() for i in range(n)], type=pa.binary()
+                ),
+            }
+        )
+
+    return fn
 
 
 def attach_features(pairs, reps, cfg: PipelineConfig = DEFAULT_CONFIG,
-                    num_partitions: int = 8):
-    """Join each side's sketches onto the unique pairs (two hash joins on
-    the features table — cheaper than exploding 1 KB signatures ~33× per
-    record through the blocking shuffle)."""
-    feat_cols = [
-        "record_id", "content_sha256", "path", "n_chars", "n_tokens",
-        "minhash", "token_minhash", "simhash",
-    ]
+                    num_partitions: int | None = None):
+    """Join each side's compact sketches onto the unique pairs (two
+    bucketed hash joins on the reduced features table — cheaper than
+    exploding signatures ~33× per record through the blocking shuffle)."""
+    feat_cols = ["record_id", "sha64", "path", "n_chars", "mh_sk", "tmh_sk"]
+    num_partitions = default_num_partitions(num_partitions)
     payload = [c for c in feat_cols if c != "record_id"]
-    feats = reps.select_columns(feat_cols)
+    feats = reps.map_batches(
+        _reduce_feats(cfg), batch_format="pyarrow", zero_copy_batch=True
+    )
     joined = pinned_join(
         pairs, feats, on="id_a", right_on="record_id",
         num_partitions=num_partitions,

@@ -25,13 +25,22 @@ irrelevant (both directions are added here).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Min
+from ray.data.aggregate import Min, Sum
 
-from address_parser_ray.rayutil import ensure_schema, pinned_join, project
+from address_parser_ray.rayutil import (
+    default_num_partitions,
+    ensure_schema,
+    pinned_join,
+    project,
+)
 
 _LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+_AGG_SCHEMA = pa.schema(
+    [("node", pa.int64()), ("label", pa.int64()), ("old_label", pa.int64())]
+)
 
 
 def _symmetrize(edges):
@@ -39,19 +48,75 @@ def _symmetrize(edges):
     return edges.union(rev)
 
 
+def _driver_union_find(edges, nodes, num_partitions: int):
+    """Small-graph fast path: the match graph has O(duplicates) edges —
+    orders of magnitude smaller than the corpus — so below a threshold
+    the transitive closure is cheapest on the driver (the Ray guide's
+    "union-find on the driver only if the candidate set is provably
+    small"). Edges stream to the driver as (src, dst) int64 batches
+    (16 B/edge), the root map broadcasts back via ``ray.put``, and the
+    assignment itself stays a distributed ``map_batches`` over nodes."""
+    import ray
+
+    srcs, dsts = [], []
+    for batch in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        srcs.append(np.asarray(batch["src"]).astype(np.int64))
+        dsts.append(np.asarray(batch["dst"]).astype(np.int64))
+    src = np.concatenate(srcs) if srcs else np.empty(0, dtype=np.int64)
+    dst = np.concatenate(dsts) if dsts else np.empty(0, dtype=np.int64)
+
+    # vectorized min-label propagation with pointer jumping over DENSE
+    # indices (np.unique is ascending, so min index == min record_id —
+    # the deterministic "min wins" rule). O(E) numpy per round, O(log n)
+    # rounds — no per-edge Python loop.
+    uniq, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[: src.size], inv[src.size :]
+    lab = np.arange(uniq.size, dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, si, lab[di])
+        np.minimum.at(lab, di, lab[si])
+        lab = lab[lab]  # pointer jumping
+        if np.array_equal(lab, old):
+            break
+    roots = uniq[lab]  # per edge-touched node, its component's min id
+
+    bcast = ray.put((uniq, roots))
+
+    def assign(t: pa.Table) -> pa.Table:
+        u, r = ray.get(bcast)
+        ids = np.asarray(t["record_id"]).astype(np.int64)
+        out = ids.copy()
+        if u.size:
+            pos = np.searchsorted(u, ids)
+            pos = np.clip(pos, 0, u.size - 1)
+            hit = u[pos] == ids
+            out[hit] = r[pos[hit]]
+        return pa.table({"record_id": pa.array(ids), "cluster_id": pa.array(out)})
+
+    return nodes.select_columns(["record_id"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
 def connected_components(
     edges,
     nodes,
     *,
     max_rounds: int = 20,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
+    driver_max_edges: int = 2_000_000,
 ):
     """(edges Dataset (src,dst), nodes Dataset (record_id)) →
     assignments Dataset (record_id, cluster_id).
 
     Nodes absent from any edge become singleton clusters
-    (cluster_id = record_id).
-    """
+    (cluster_id = record_id). Below ``driver_max_edges`` the closure runs
+    as a driver-side union-find (see _driver_union_find — the match graph
+    is tiny relative to the corpus); above it, the distributed
+    label-propagation loop below takes over. Both paths are deterministic
+    (min record_id wins) and produce identical partitions."""
+    num_partitions = default_num_partitions(num_partitions)
     # labels: (node, label); edges never change across rounds — only the
     # small labels relation iterates. Materialize both once: the loop
     # re-reads them each round and lazy re-execution would re-run the
@@ -64,11 +129,35 @@ def connected_components(
         )
         .materialize()
     )
-    sym = _symmetrize(edges).materialize()
-    if sym.count() == 0:
+    edges = edges.materialize()
+    n_raw_edges = edges.count()
+    if n_raw_edges == 0:
         # no edges → everything is a singleton; joins on an empty (and
         # possibly schema-less) dataset are both pointless and brittle.
         return project(labels, {"node": "record_id", "label": "cluster_id"})
+    if n_raw_edges <= driver_max_edges:
+        return _driver_union_find(edges, nodes, num_partitions)
+
+    sym = _symmetrize(edges).materialize()
+    n_edges = sym.count()
+    # partitions sized to the data, bounded by the CPU count: per-bucket
+    # task overhead dominates when buckets hold only hundreds of rows.
+    num_partitions = min(num_partitions, max(4, n_edges // 20_000 + 1))
+
+    def with_own_marker(own_val):
+        """Candidate rows carry ``own``: the node's previous label on its
+        own row, 0 elsewhere. Each node has exactly ONE own row, so
+        Sum(own) recovers the old label inside the SAME aggregate that
+        computes the new one — the fixpoint check costs no extra join."""
+
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            n = t.num_rows
+            own = t["cand"] if own_val else pa.array(np.zeros(n, dtype=np.int64))
+            return t.append_column("own", own)
+
+        return fn
 
     for _round in range(max_rounds):
         # neighbor labels: edges ⋈ labels on dst → (src, neighbor_label)
@@ -78,54 +167,61 @@ def connected_components(
                 num_partitions=num_partitions,
             ),
             {"src": "node", "label": "cand"},
-        )
+        ).map_batches(with_own_marker(False), batch_format="pyarrow")
 
-        # pointer jumping: labels ⋈ labels on label → (node, label-of-label)
-        jump = project(
-            pinned_join(
-                labels, project(labels, {"node": "node2", "label": "label2"}),
-                on="label", right_on="node2",
-                num_partitions=num_partitions,
-            ),
-            {"node": "node", "label2": "cand"},
+        own = project(labels, {"node": "node", "label": "cand"}).map_batches(
+            with_own_marker(True), batch_format="pyarrow"
         )
+        cands = own.union(nbr)
 
-        own = project(labels, {"node": "node", "label": "cand"})
+        # pointer jumping: labels ⋈ labels on label → (node, label-of-label).
+        # Star-like match graphs (near-dup clusters) converge on neighbor
+        # propagation alone; the extra join only pays off on deep chains,
+        # so it joins in from round 1.
+        if _round >= 1:
+            jump = project(
+                pinned_join(
+                    labels, project(labels, {"node": "node2", "label": "label2"}),
+                    on="label", right_on="node2",
+                    num_partitions=num_partitions,
+                ),
+                {"node": "node", "label2": "cand"},
+            ).map_batches(with_own_marker(False), batch_format="pyarrow")
+            cands = cands.union(jump)
         # repartition: unions + shuffles multiply tiny blocks each round;
         # without coalescing, per-block task overhead compounds
         # exponentially across iterations.
-        new_labels = (
+        agg = (
             ensure_schema(
-                own.union(nbr)
-                .union(jump)
-                .groupby("node")
-                .aggregate(Min("cand", alias_name="label")),
-                _LABEL_SCHEMA,
+                cands.groupby("node").aggregate(
+                    Min("cand", alias_name="label"),
+                    Sum("own", alias_name="old_label"),
+                ),
+                _AGG_SCHEMA,
             )
             .repartition(num_partitions)
             .materialize()
         )
-
-        # fixpoint check: join old vs new, count changes
-        cmp = pinned_join(
-            project(labels, {"node": "node", "label": "old_label"}), new_labels,
-            on="node", num_partitions=num_partitions,
-        )
-        changed = cmp.filter(expr="old_label != label").count()
-        labels = new_labels
+        changed = agg.filter(expr="label != old_label").count()
+        # cheap lazy projection over the materialized agg — no extra pin
+        labels = project(agg, {"node": "node", "label": "label"})
         if changed == 0:
             break
 
     return project(labels, {"node": "record_id", "label": "cluster_id"})
 
 
-def clusters_with_duplicates(assignments, dup_edges, *, num_partitions: int = 8):
+def clusters_with_duplicates(assignments, dup_edges, *, num_partitions: int | None = None):
     """Extend representative-level assignments back over exact duplicates:
     each duplicate inherits its representative's cluster
     (dup_edges: (src=dup, dst=rep))."""
     dup_edges = dup_edges.materialize()
-    if dup_edges.count() == 0:
+    n_dups = dup_edges.count()
+    if n_dups == 0:
         return assignments
+    from address_parser_ray.rayutil import partitions_for
+
+    num_partitions = partitions_for(n_dups, requested=num_partitions)
     dup_assign = pinned_join(
         dup_edges, assignments, on="dst", right_on="record_id",
         num_partitions=num_partitions,

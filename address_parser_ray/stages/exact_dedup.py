@@ -15,21 +15,117 @@ One ``groupby(content_sha256)`` shuffle. Output keeps EVERY row and adds
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from address_parser_ray.rayutil import project
+from address_parser_ray.rayutil import default_num_partitions, project
 
 
-def _tag_rep(group: pa.Table) -> pa.Table:
-    rep = pc.min(group["record_id"]).as_py()
-    return group.append_column("rep_id", pa.array([rep] * group.num_rows, type=pa.int64()))
+def _tag_reps_bucket(group: pa.Table) -> pa.Table:
+    """Vectorized rep-tagging for one hash bucket of sha groups: sort by
+    (sha, record_id), min id of each run becomes the run's rep.
+    One Python call per BUCKET, not per sha (a per-group ``map_groups``
+    costs one call per distinct content hash — millions at scale)."""
+    idx = pc.sort_indices(
+        group, sort_keys=[("content_sha256", "ascending"), ("record_id", "ascending")]
+    )
+    g = group.take(idx)
+    if "bucket" in g.column_names:
+        g = g.drop(["bucket"])
+    sha = np.asarray(g["content_sha256"].cast(pa.large_string()).combine_chunks())
+    ids = np.asarray(g["record_id"]).astype(np.int64)
+    if len(sha) == 0:
+        return g.append_column("rep_id", pa.array([], type=pa.int64()))
+    new_run = np.concatenate([[True], sha[1:] != sha[:-1]])
+    run_id = np.cumsum(new_run) - 1
+    rep = ids[new_run][run_id]  # first (=min) id of each run
+    return g.append_column("rep_id", pa.array(rep))
 
 
-def exact_dedup_stage(fingerprints):
-    """fingerprints Dataset → same rows + ``rep_id`` column."""
-    return fingerprints.groupby("content_sha256").map_groups(
-        _tag_rep, batch_format="pyarrow"
+def _dup_pairs_bucket(group: pa.Table) -> pa.Table:
+    """Bucket of (record_id, content_sha256) rows → ONLY the duplicate
+    rows as (record_id, rep_id). Vectorized run-length over sorted sha."""
+    tagged = _tag_reps_bucket(group)
+    mask = pc.not_equal(tagged["record_id"], tagged["rep_id"])
+    out = tagged.filter(mask)
+    return pa.table({"record_id": out["record_id"], "rep_id": out["rep_id"]})
+
+
+def exact_dedup_stage(fingerprints, num_partitions: int | None = None,
+                      broadcast_max_dups: int = 5_000_000):
+    """fingerprints Dataset → same rows + ``rep_id`` column.
+
+    Two-phase to keep the wide signature columns OUT of the shuffle:
+    (1) a LIGHT (record_id, sha) projection is bucketed by sha prefix and
+    rep-tagged (rep = min(record_id) per sha — "first wins" made
+    deterministic, ``ner/build_standard_dataset.py:949-965``); only the
+    DUPLICATE rows come back.
+    (2) below ``broadcast_max_dups`` the dup→rep map broadcasts via
+    ``ray.put`` and rep_id is attached with a per-batch dict lookup (no
+    shuffle of the 1.5 KB/row fingerprint table at all); above it, the
+    full bucketed shuffle of the fingerprint table takes over."""
+    import ray
+
+    n_buckets = default_num_partitions(num_partitions)
+
+    def add_bucket_light(t: pa.Table) -> pa.Table:
+        sha = t["content_sha256"].to_pylist()
+        b = np.array(
+            [int(s[:8], 16) % n_buckets if s else 0 for s in sha], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "record_id": t["record_id"],
+                "content_sha256": t["content_sha256"],
+                "bucket": pa.array(b),
+            }
+        )
+
+    dup_pairs = (
+        fingerprints.select_columns(["record_id", "content_sha256"])
+        .map_batches(add_bucket_light, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_dup_pairs_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+    n_dups = dup_pairs.count()
+
+    if n_dups <= broadcast_max_dups:
+        dmap: dict[int, int] = {}
+        for b in dup_pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            dmap.update(
+                zip(
+                    np.asarray(b["record_id"]).tolist(),
+                    np.asarray(b["rep_id"]).tolist(),
+                )
+            )
+        dref = ray.put(dmap)
+
+        def attach_rep(t: pa.Table) -> pa.Table:
+            m = ray.get(dref)
+            ids = np.asarray(t["record_id"]).astype(np.int64)
+            rep = (
+                np.fromiter((m.get(i, i) for i in ids.tolist()), dtype=np.int64, count=len(ids))
+                if m
+                else ids
+            )
+            return t.append_column("rep_id", pa.array(rep))
+
+        return fingerprints.map_batches(attach_rep, batch_format="pyarrow")
+
+    # large-dup fallback: full bucketed shuffle of the fingerprint table
+    def add_bucket(t: pa.Table) -> pa.Table:
+        sha = t["content_sha256"].to_pylist()
+        b = np.array(
+            [int(s[:8], 16) % n_buckets if s else 0 for s in sha], dtype=np.int64
+        )
+        return t.append_column("bucket", pa.array(b))
+
+    return (
+        fingerprints.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_tag_reps_bucket, batch_format="pyarrow")
     )
 
 

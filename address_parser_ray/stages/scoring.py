@@ -32,65 +32,123 @@ import pyarrow as pa
 from address_parser_ray.config import DEFAULT_CONFIG, PipelineConfig
 from address_parser_ray.functions.hashing import decode_sig_column
 from address_parser_ray.functions.similarity import jaro_winkler
-from address_parser_ray.rayutil import project
+from address_parser_ray.rayutil import default_concurrency, project
+
+
+def _score_arrays(cfg, ids_a, ids_b, mh_a, mh_b, tmh_a, tmh_b,
+                  nc_a, nc_b, sha_a, sha_b, path_a, path_b) -> pa.Table:
+    """Shared scoring math for both scorer variants (joined columns vs
+    broadcast lookup)."""
+    n = len(ids_a)
+    jacc = (mh_a == mh_b).mean(axis=1)
+    tjacc = (tmh_a == tmh_b).mean(axis=1)
+    nc_a = nc_a.astype(np.float64)
+    nc_b = nc_b.astype(np.float64)
+    hi = np.maximum(nc_a, nc_b)
+    size_sim = np.where(hi > 0, np.minimum(nc_a, nc_b) / np.where(hi > 0, hi, 1), 1.0)
+    exact = sha_a == sha_b
+
+    gate = (jacc >= cfg.jaccard_gate) | exact
+    jw = np.zeros(n, dtype=np.float64)
+    for i in np.flatnonzero(gate):
+        jw[i] = jaro_winkler(path_a[i] or "", path_b[i] or "")
+
+    score = (
+        cfg.w_shingle * jacc
+        + cfg.w_token * tjacc
+        + cfg.w_path * jw
+        + cfg.w_size * size_sim
+    )
+    score = np.where(exact, 1.0, np.where(gate, score, 0.0))
+    is_match = score >= cfg.match_threshold
+    return pa.table(
+        {
+            "id_a": pa.array(np.asarray(ids_a, dtype=np.int64)),
+            "id_b": pa.array(np.asarray(ids_b, dtype=np.int64)),
+            "jacc_shingle": pa.array(jacc),
+            "jacc_token": pa.array(tjacc),
+            "jw_path": pa.array(jw),
+            "size_sim": pa.array(size_sim),
+            "score": pa.array(score),
+            "is_match": pa.array(is_match),
+        }
+    )
 
 
 class PairScorer:
+    """Scores pairs whose features were JOINED on (``attach_features``)."""
+
     def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG):
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        n = batch.num_rows
-        if n == 0:
+        if batch.num_rows == 0:
             return _empty_scores()
-        P = cfg.num_perm
-        TP = cfg.token_num_perm
-        mh_a = decode_sig_column(batch["minhash_a"], P)
-        mh_b = decode_sig_column(batch["minhash_b"], P)
-        tmh_a = decode_sig_column(batch["token_minhash_a"], TP)
-        tmh_b = decode_sig_column(batch["token_minhash_b"], TP)
-        jacc = (mh_a == mh_b).mean(axis=1)
-        tjacc = (tmh_a == tmh_b).mean(axis=1)
-        nc_a = np.asarray(batch["n_chars_a"], dtype=np.float64)
-        nc_b = np.asarray(batch["n_chars_b"], dtype=np.float64)
-        hi = np.maximum(nc_a, nc_b)
-        size_sim = np.where(hi > 0, np.minimum(nc_a, nc_b) / np.where(hi > 0, hi, 1), 1.0)
-
-        sha_a = batch["content_sha256_a"].to_pylist()
-        sha_b = batch["content_sha256_b"].to_pylist()
-        exact = np.fromiter(
-            (a == b for a, b in zip(sha_a, sha_b)), dtype=bool, count=n
+        P, TP = cfg.score_char_lanes, cfg.score_token_lanes
+        return _score_arrays(
+            cfg,
+            np.asarray(batch["id_a"]),
+            np.asarray(batch["id_b"]),
+            decode_sig_column(batch["mh_sk_a"], P, dtype=np.uint16),
+            decode_sig_column(batch["mh_sk_b"], P, dtype=np.uint16),
+            decode_sig_column(batch["tmh_sk_a"], TP, dtype=np.uint16),
+            decode_sig_column(batch["tmh_sk_b"], TP, dtype=np.uint16),
+            np.asarray(batch["n_chars_a"]),
+            np.asarray(batch["n_chars_b"]),
+            np.asarray(batch["sha64_a"]),
+            np.asarray(batch["sha64_b"]),
+            batch["path_a"].to_pylist(),
+            batch["path_b"].to_pylist(),
         )
 
-        gate = (jacc >= cfg.jaccard_gate) | exact
-        jw = np.zeros(n, dtype=np.float64)
-        if gate.any():
-            path_a = batch["path_a"].to_pylist()
-            path_b = batch["path_b"].to_pylist()
-            for i in np.flatnonzero(gate):
-                jw[i] = jaro_winkler(path_a[i] or "", path_b[i] or "")
 
-        score = (
-            cfg.w_shingle * jacc
-            + cfg.w_token * tjacc
-            + cfg.w_path * jw
-            + cfg.w_size * size_sim
-        )
-        score = np.where(exact, 1.0, np.where(gate, score, 0.0))
-        is_match = score >= cfg.match_threshold
+class BroadcastPairScorer:
+    """Scores raw (id_a, id_b) pairs against a BROADCAST compact features
+    table — the Ray-native "small side via ray.put, lookup inside
+    map_batches" pattern: zero join shuffles. The features land in each
+    actor ONCE in ``__init__`` (object-store shared per node); per batch
+    both sides are gathered by a vectorized searchsorted."""
 
-        return pa.table(
-            {
-                "id_a": batch["id_a"],
-                "id_b": batch["id_b"],
-                "jacc_shingle": pa.array(jacc),
-                "jacc_token": pa.array(tjacc),
-                "jw_path": pa.array(jw),
-                "size_sim": pa.array(size_sim),
-                "score": pa.array(score),
-                "is_match": pa.array(is_match),
-            }
+    def __init__(self, cfg: PipelineConfig, feats_ref):
+        import ray
+
+        self.cfg = cfg
+        t: pa.Table = ray.get(feats_ref)
+        ids = np.asarray(t["record_id"]).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        self.ids = ids[order]
+        P, TP = cfg.score_char_lanes, cfg.score_token_lanes
+        self.mh = decode_sig_column(t["mh_sk"], P, dtype=np.uint16)[order]
+        self.tmh = decode_sig_column(t["tmh_sk"], TP, dtype=np.uint16)[order]
+        self.sha = np.asarray(t["sha64"]).astype(np.int64)[order]
+        self.nc = np.asarray(t["n_chars"]).astype(np.int64)[order]
+        paths = t["path"].to_pylist()
+        self.path = [paths[i] for i in order]
+
+    def _gather(self, ids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.ids, ids)
+        idx = np.clip(idx, 0, len(self.ids) - 1)
+        if not (self.ids[idx] == ids).all():
+            missing = ids[self.ids[idx] != ids][:3]
+            raise KeyError(f"pair references unknown record ids: {missing}")
+        return idx
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_scores()
+        ids_a = np.asarray(batch["id_a"]).astype(np.int64)
+        ids_b = np.asarray(batch["id_b"]).astype(np.int64)
+        ia = self._gather(ids_a)
+        ib = self._gather(ids_b)
+        return _score_arrays(
+            self.cfg, ids_a, ids_b,
+            self.mh[ia], self.mh[ib],
+            self.tmh[ia], self.tmh[ib],
+            self.nc[ia], self.nc[ib],
+            self.sha[ia], self.sha[ib],
+            [self.path[i] for i in ia],
+            [self.path[i] for i in ib],
         )
 
 
@@ -110,13 +168,43 @@ def _empty_scores() -> pa.Table:
 
 
 def scoring_stage(pairs_with_features, cfg: PipelineConfig = DEFAULT_CONFIG):
+    # a bounded pool: scoring is light per pair, so a huge pool pays more
+    # in per-execution actor spawns than it gains in parallelism.
+    pool = cfg.scorer_concurrency
+    if pool is None:
+        full = default_concurrency(None)  # already leaves CPU headroom
+        pool = min(8, max(2, full // 3))
     return pairs_with_features.map_batches(
         PairScorer,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.scorer_batch_size,
         zero_copy_batch=True,
-        concurrency=cfg.scorer_concurrency,
+        concurrency=pool,
+        num_cpus=1,
+    )
+
+
+def scoring_stage_broadcast(pairs, feats, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Score raw pairs against broadcast features (small-side path; the
+    caller gates on ``feats.size_bytes() <= cfg.broadcast_feats_max_bytes``)."""
+    import ray
+
+    feats_table = pa.concat_tables(
+        [b for b in feats.iter_batches(batch_size=1 << 18, batch_format="pyarrow")]
+    )
+    feats_ref = ray.put(feats_table)
+    pool = cfg.scorer_concurrency
+    if pool is None:
+        full = default_concurrency(None)
+        pool = min(8, max(2, full // 3))
+    return pairs.map_batches(
+        BroadcastPairScorer,
+        fn_constructor_kwargs={"cfg": cfg, "feats_ref": feats_ref},
+        batch_format="pyarrow",
+        batch_size=cfg.scorer_batch_size,
+        zero_copy_batch=True,
+        concurrency=pool,
         num_cpus=1,
     )
 

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: the flagship blocking → scoring → clustering pipeline over a
+deterministic synthetic source-code corpus sized to the scale factor
+(BASELINE.json input_hint shape; synthesized because the driver testdata
+has no code corpus). Also times a representative query subset over
+``$GRAFT_SF_DIR`` and reports scored-pairs/sec.
+
+Prints ONE JSON line:
+  {"metric": "e2e_dedup_sec", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: runs the same bench in fresh processes at num_cpus=8 and
+num_cpus=32 on the SAME corpus (the sandbox proxy for the N vs 4N-node
+cluster rule) and reports throughput at both + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# corpus size scales with sf: sf0.1 → 2000 seeds (~12k files, ~25 MB)
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = _sf_of(SF_DIR)
+N_SEEDS = max(50, min(48000, int(480000 * SF)))
+# file_scale=3 → ~6-8 KB files (realistic source-file sizes); per-file
+# fingerprint compute then dominates fixed per-row shuffle costs.
+FILE_SCALE = 3
+CORPUS_CACHE = f"/tmp/apr_bench_corpus_s{N_SEEDS}_f{FILE_SCALE}"
+
+BENCH_QUERIES = [
+    "exact_dedup_groups",
+    "token_counts_by_lang",
+    "pricing_summary",
+    "orders_by_nation",
+    "events_hourly",
+    "embedding_topk",
+    "simhash_hamming_pairs",
+]
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from address_parser_ray.fixtures import write_corpus_ray
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.pipelines.queries import QUERIES
+    from address_parser_ray.sources import read_corpus
+
+    corpus_dir, _ = write_corpus_ray(
+        CORPUS_CACHE, n_seeds=N_SEEDS, file_scale=FILE_SCALE
+    )
+
+    # warm the page cache AND the Ray worker/actor pools with an untimed
+    # mini-run, so the timed run measures steady-state compute + shuffle,
+    # not process spawn + module imports (both cluster sizes pay the same
+    # cold start; leaving it in just smears the scaling signal).
+    corpus = read_corpus(corpus_dir)
+    n_rows = corpus.count()
+    dedup_pipeline(corpus.limit(512)).assignments.count()
+
+    t0 = time.time()
+    result = dedup_pipeline(corpus)
+    n_assigned = result.assignments.count()
+    e2e = time.time() - t0
+    n_scored = result.scored_pairs.count()
+
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        qt = time.time()
+        res = QUERIES[name](SF_DIR)
+        # consume
+        if hasattr(res, "count") and not isinstance(res, (int, float)):
+            try:
+                res.count()
+            except AttributeError:
+                pass
+        qtimes[name] = round(time.time() - qt, 3)
+
+    out = {
+        "metric": "e2e_dedup_sec",
+        "value": round(e2e, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF,
+        "num_cpus": NUM_CPUS,
+        "corpus_rows": int(n_rows),
+        "assigned_rows": int(n_assigned),
+        "scored_pairs": int(n_scored),
+        "scored_pairs_per_sec": round(n_scored / e2e, 1) if e2e > 0 else None,
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    """Same corpus, fresh ray.init at 8 then 32 CPUs; efficiency =
+    (t8/t32)/(32/8). Appends the result to BASELINE.md."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "pairs_per_sec_8": r_lo["scored_pairs_per_sec"],
+        "pairs_per_sec_32": r_hi["scored_pairs_per_sec"],
+        "sf": SF,
+        "corpus_rows": r_hi["corpus_rows"],
+    }
+    print(json.dumps(result))
+    # record in BASELINE.md (replace any previous measured block)
+    path = os.path.join(REPO, "BASELINE.md")
+    marker = "## Measured (bench.py --scaling)"
+    with open(path) as f:
+        text = f.read()
+    if marker in text:
+        text = text[: text.index(marker)].rstrip() + "\n"
+    text += (
+        f"\n{marker}\n\n"
+        f"| num_cpus | e2e dedup sec | scored-pairs/sec |\n|---|---|---|\n"
+        f"| 8 | {r_lo['value']} | {r_lo['scored_pairs_per_sec']} |\n"
+        f"| 32 | {r_hi['value']} | {r_hi['scored_pairs_per_sec']} |\n\n"
+        f"Scaling efficiency (8→32 cpus, same input, fresh sessions): "
+        f"**{round(eff, 3)}** (corpus_rows={r_hi['corpus_rows']}, sf={SF}).\n"
+    )
+    with open(path, "w") as f:
+        f.write(text)
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

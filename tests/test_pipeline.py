@@ -83,6 +83,43 @@ def test_sha_invariant_through_stages(pipeline_result):
     assert (m["content_sha256_lab"] == m["content_sha256_fp"]).all()
 
 
+def test_pipeline_distributed_cc_matches(pipeline_result, ray_session, fixture_corpus):
+    """Forcing the distributed CC path must reproduce the driver-path
+    clusters exactly."""
+    import dataclasses
+
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.sources import read_corpus
+
+    res, _ = pipeline_result
+    corpus_dir, _ = fixture_corpus
+    cfg2 = dataclasses.replace(CFG, driver_cc_max_edges=0)
+    res2 = dedup_pipeline(read_corpus(corpus_dir), cfg2)
+    a = res.assignments.to_pandas().sort_values("record_id").reset_index(drop=True)
+    b = res2.assignments.to_pandas().sort_values("record_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_scoring_paths_agree(pipeline_result, ray_session, fixture_corpus):
+    """Broadcast-features scoring and joined-features scoring must yield
+    identical matches and clusters."""
+    import dataclasses
+
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.sources import read_corpus
+
+    res, _ = pipeline_result  # default path (broadcast at this scale)
+    corpus_dir, _ = fixture_corpus
+    cfg2 = dataclasses.replace(CFG, broadcast_feats_max_bytes=0)  # force join path
+    res2 = dedup_pipeline(read_corpus(corpus_dir), cfg2)
+    a = res.assignments.to_pandas().sort_values("record_id").reset_index(drop=True)
+    b = res2.assignments.to_pandas().sort_values("record_id").reset_index(drop=True)
+    assert a.equals(b)
+    s1 = res.scored_pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    s2 = res2.scored_pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert s1[["id_a", "id_b", "is_match"]].equals(s2[["id_a", "id_b", "is_match"]])
+
+
 def test_pipeline_deterministic(ray_session, fixture_corpus):
     from address_parser_ray.pipelines.dedup import dedup_pipeline
     from address_parser_ray.sources import read_corpus

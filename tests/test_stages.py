@@ -134,10 +134,19 @@ def _py_union_find(n_nodes, edges):
     return [find(i) for i in range(n_nodes)]
 
 
-@pytest.mark.parametrize("seed,n,m", [(0, 40, 30), (1, 60, 80), (2, 30, 5)])
-def test_connected_components_vs_oracle(ray_session, seed, n, m):
-    """Distributed CC must agree with a sequential union-find on random
-    graphs (including chains — pointer jumping path)."""
+@pytest.mark.parametrize(
+    "seed,n,m,driver_max",
+    [
+        (0, 40, 30, 0),            # distributed label-propagation path
+        (1, 60, 80, 0),            # distributed, denser
+        (2, 30, 5, 10**6),         # driver union-find path
+        (3, 50, 60, 10**6),        # driver path, denser
+    ],
+)
+def test_connected_components_vs_oracle(ray_session, seed, n, m, driver_max):
+    """Both CC paths (driver union-find and distributed label
+    propagation) must agree with a sequential union-find oracle on random
+    graphs (including chains — the pointer-jumping case)."""
     import ray.data
     from address_parser_ray.stages.clustering import connected_components
 
@@ -159,8 +168,34 @@ def test_connected_components_vs_oracle(ray_session, seed, n, m):
             }
         )
     )
-    out = connected_components(eds, nodes).to_pandas()
+    out = connected_components(eds, nodes, driver_max_edges=driver_max).to_pandas()
     got = dict(zip(out["record_id"], out["cluster_id"]))
     assert len(got) == n
     for i in range(n):
         assert got[i] == oracle[i], (i, got[i], oracle[i])
+
+
+def test_cc_paths_agree(ray_session):
+    """Driver and distributed paths produce IDENTICAL assignments."""
+    import ray.data
+    from address_parser_ray.stages.clustering import connected_components
+
+    rng = np.random.default_rng(7)
+    n = 80
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(100, 2)) if a != b]
+    nodes = ray.data.from_arrow(
+        pa.table({"record_id": pa.array(np.arange(n, dtype=np.int64))})
+    )
+    eds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], type=pa.int64()),
+                "dst": pa.array([e[1] for e in edges], type=pa.int64()),
+            }
+        )
+    )
+    a = connected_components(eds, nodes, driver_max_edges=10**6).to_pandas()
+    b = connected_components(eds, nodes, driver_max_edges=0).to_pandas()
+    a = a.sort_values("record_id").reset_index(drop=True)
+    b = b.sort_values("record_id").reset_index(drop=True)
+    assert a.equals(b)
