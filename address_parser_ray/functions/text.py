@@ -74,6 +74,43 @@ def detect_lang(text: str) -> str:
     return best_lang if best_hits > 0 else "unknown"
 
 
+def label_tokens_bio(tokens: list[str], phrases: list[list[str]]) -> list[str]:
+    """BIO span labeling by sliding-window exact match — the reference's
+    ``tag_phrase``/``label_tokens`` (``ner/build_standard_dataset.py:
+    103-145``) generalized to arbitrary phrase lists. Longest phrase
+    wins at each position; non-overlapping, left-to-right."""
+    tags = ["O"] * len(tokens)
+    low = [t.lower() for t in tokens]
+    by_len = sorted(phrases, key=len, reverse=True)
+    i = 0
+    while i < len(tokens):
+        matched = False
+        for ph in by_len:
+            L = len(ph)
+            if L and low[i : i + L] == ph:
+                tags[i] = "B-PHR"
+                for j in range(i + 1, i + L):
+                    tags[j] = "I-PHR"
+                i += L
+                matched = True
+                break
+        if not matched:
+            i += 1
+    return tags
+
+
+def sessionize(ts_sorted: np.ndarray, gap_seconds: float) -> np.ndarray:
+    """Session ids (0..k-1) for an ASCENDING timestamp array: a new
+    session starts when the gap to the previous event exceeds
+    ``gap_seconds``. The caller owns the per-key sort (the ordering
+    assumption of every windowed op here — ray_guide 'Streaming-shaped
+    workloads')."""
+    if ts_sorted.size == 0:
+        return np.empty(0, dtype=np.int64)
+    gaps = np.diff(ts_sorted.astype("datetime64[us]").astype(np.int64)) / 1e6
+    return np.concatenate([[0], np.cumsum(gaps > gap_seconds)]).astype(np.int64)
+
+
 def quality_features(texts: pd.Series) -> pd.DataFrame:
     """Vectorized quality-scoring features per document:
     n_chars, n_tokens, punct_ratio, stopword_ratio (en), mean_token_len,

@@ -110,4 +110,57 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
     """,
+    "largest_doc_per_lang": """
+        SELECT lang, doc_id, n_chars FROM (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    "top3_docs_per_source": """
+        SELECT source, doc_id, n_chars FROM (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 3
+    """,
+    "customers_per_region": """
+        SELECT r_name, count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "purchase_last_click": """
+        SELECT p.event_id, p.user_id, max(c.ts) AS last_click_ts
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id, p.user_id
+    """,
+    "user_sessions": """
+        SELECT user_id,
+               count(*) AS n_events,
+               sum(new_session) AS n_sessions
+        FROM (
+            SELECT user_id,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 1800 SECOND
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ) GROUP BY user_id
+    """,
+    "event_value_extremes": """
+        SELECT event_type,
+               min(CAST(floor(value * 100) AS BIGINT)) AS min_cents,
+               max(CAST(floor(value * 100) AS BIGINT)) AS max_cents,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
 }

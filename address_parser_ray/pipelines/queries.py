@@ -576,6 +576,269 @@ def q_media_features(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Per-group picks / top-k (J5 pick-best, T1 most_common)
+# ---------------------------------------------------------------------------
+
+
+def q_largest_doc_per_lang(sf_dir: str):
+    """Per-group argmax with deterministic tiebreak (J5 fallback-to-first
+    made 'min id wins', ``fuzz/inexus_parser.py:1396-1443``)."""
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return g.head(1)[["lang", "doc_id", "n_chars"]]
+
+    return (
+        _docs(sf_dir, ["lang", "doc_id", "n_chars"])
+        .groupby("lang")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+def q_top3_docs_per_source(sf_dir: str):
+    """Per-group top-k (T1 ``counter.most_common``, inexus_parser.py:2680)."""
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
+        return g[["source", "doc_id", "n_chars"]]
+
+    return (
+        _docs(sf_dir, ["source", "doc_id", "n_chars"])
+        .groupby("source")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast dimension join (A2/J1: small side via ray.put, no shuffle)
+# ---------------------------------------------------------------------------
+
+
+def q_customers_per_region(sf_dir: str):
+    """customer⋈nation⋈region rollup with BOTH dims broadcast (the A2
+    pattern: reference-name maps held in memory, ``hcmut_assigment/
+    main.py:44-55`` — here an object-store ref read once per task)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    dims_ref = ray.put((n2r, r2name))
+
+    def lookup(t: pa.Table) -> pa.Table:
+        n2r_, r2name_ = ray.get(dims_ref)
+        nk = t["c_nationkey"].to_pylist()
+        return pa.table(
+            {"r_name": pa.array([r2name_[n2r_[k]] for k in nk], type=pa.string())}
+        )
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+        .map_batches(lookup, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-log custom operators: as-of join, sessionization (ray_guide
+# "Streaming-shaped workloads"; ordering assumption: sort per user group)
+# ---------------------------------------------------------------------------
+
+
+def q_purchase_last_click(sf_dir: str):
+    """As-of join: for each purchase, the most recent click at-or-before
+    it by the same user (backward, exact matches allowed). Implemented as
+    per-user ``merge_asof`` inside ``map_groups`` — partitioning
+    assumption: one group holds ALL of a user's events."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    ).filter(expr="event_type == 'purchase' or event_type == 'click'")
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        p = g[g["event_type"] == "purchase"]
+        c = g[g["event_type"] == "click"]
+        if p.empty or c.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "last_click_ts": pd.Series([], dtype="datetime64[us]")}
+            )
+        out = pd.merge_asof(
+            p[["ts", "event_id", "user_id"]],
+            c[["ts"]].assign(last_click_ts=c["ts"]),
+            on="ts", direction="backward", allow_exact_matches=True,
+        )
+        out = out.dropna(subset=["last_click_ts"])
+        return out[["event_id", "user_id", "last_click_ts"]]
+
+    return ev.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+def q_user_sessions(sf_dir: str):
+    """Sessionization: per-user session count with a 30-minute idle gap.
+    Ordering assumption: events sorted by ts within the user group."""
+    from address_parser_ray.functions.text import sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy())
+        sess = sessionize(ts, 1800.0)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(g)],
+                "n_sessions": [int(sess[-1]) + 1 if len(sess) else 0],
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(fn, batch_format="pandas")
+
+
+def q_event_value_extremes(sf_dir: str):
+    """Min/max/count per event type (G5 latency-stats analogue,
+    ``hcmut_assigment/scorer.py:110-116``), int-exact via floor-cents."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "cents": pa.array(_cents(np.asarray(t["value"], dtype=np.float64))),
+            }
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Min("cents", alias_name="min_cents"),
+            Max("cents", alias_name="max_cents"),
+            Count(alias_name="n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text labeling + synthetic generation + ER quality (M10, M17, G6)
+# ---------------------------------------------------------------------------
+
+_BIO_PHRASES = [["table", "scan"], ["hash", "join"], ["sort", "merge"], ["group", "by"]]
+
+
+def q_bio_label_counts(sf_dir: str):
+    """BIO span labeling (M10 ``label_tokens``) over documents: counts of
+    B-/I- tags per doc for a fixed phrase list. Non-SQL (sequential span
+    semantics)."""
+    from address_parser_ray.functions.text import label_tokens_bio
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        b, i_ = [], []
+        for text in df["text"].fillna(""):
+            tags = label_tokens_bio(text.split(), _BIO_PHRASES)
+            b.append(sum(1 for t in tags if t == "B-PHR"))
+            i_.append(sum(1 for t in tags if t == "I-PHR"))
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_b": pd.Series(b, dtype="int64"),
+             "n_i": pd.Series(i_, dtype="int64")}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+def q_synthetic_corpus_stats(sf_dir: str):
+    """The M17 variant flat-map generator as an operator: deterministic
+    seed×spec corpus, rolled up by variant spec. (sf_dir sets the scale
+    only; the corpus itself is synthesized — no external data.)"""
+    from address_parser_ray.fixtures import write_corpus_ray
+
+    out_dir = "/tmp/apr_qgen_corpus"
+    _, labels_dir = write_corpus_ray(out_dir, n_seeds=200, variants_per_seed=6)
+    return (
+        ray.data.read_parquet(labels_dir, columns=["variant_spec"])
+        .groupby("variant_spec")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_er_quality(sf_dir: str):
+    """End-to-end ER quality on the fixture corpus with known clusters
+    (G6 seqeval-F1 analogue): exhaustive + same-block pairwise metrics."""
+    from address_parser_ray.fixtures import write_corpus_ray
+    from address_parser_ray.functions.hashing import stable_id64
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.pipelines.evaluation import (
+        pairwise_f1,
+        same_block_pairwise_f1,
+    )
+    from address_parser_ray.sources import read_corpus
+
+    out_dir = "/tmp/apr_qgen_corpus"
+    corpus_dir, labels_dir = write_corpus_ray(out_dir, n_seeds=200, variants_per_seed=6)
+    res = dedup_pipeline(read_corpus(corpus_dir))
+    assign = res.assignments.to_pandas()
+    lab = ray.data.read_parquet(labels_dir).to_pandas()
+    lab["record_id"] = [
+        stable_id64(r, p, c) for r, p, c in zip(lab["repo"], lab["path"], lab["commit"])
+    ]
+    exhaustive = pairwise_f1(
+        lab[["record_id", "cluster_id"]], assign, truth_col="cluster_id"
+    )
+    sb = same_block_pairwise_f1(
+        res.scored_pairs.to_pandas(),
+        lab.set_index("record_id")["cluster_id"],
+        assign.set_index("record_id")["cluster_id"],
+    )
+    rows = [
+        {"metric": "exhaustive", **exhaustive.as_row()},
+        {"metric": "same_block", **sb.as_row()},
+    ]
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: LSH-bucketed ANN (scale path next to brute force)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_lsh_buckets(sf_dir: str):
+    """Random-hyperplane LSH over embeddings: 12-bit signatures → bucket
+    histogram (the scale path for similarity search — candidates come
+    from same-bucket collisions instead of a full matmul). Deterministic
+    hyperplanes from the fixed seed."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_schema(f"{sf_dir}/embeddings.parquet")
+    dim = 64  # embeddings are list<float>[64] in this testdata
+    from address_parser_ray.functions.hashing import rng_for
+
+    planes = rng_for(42, "ann_planes").standard_normal((dim, 12))
+    planes_ref = ray.put(planes)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        emb = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64)
+        emb = emb.reshape(len(t), -1)
+        bits = (emb @ pl) > 0
+        code = (bits * (1 << np.arange(12))).sum(axis=1).astype(np.int64)
+        return pa.table({"bucket": pa.array(code)})
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n_vectors"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -602,4 +865,14 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "media_sizes": q_media_sizes,
     "media_features": q_media_features,
+    "largest_doc_per_lang": q_largest_doc_per_lang,
+    "top3_docs_per_source": q_top3_docs_per_source,
+    "customers_per_region": q_customers_per_region,
+    "purchase_last_click": q_purchase_last_click,
+    "user_sessions": q_user_sessions,
+    "event_value_extremes": q_event_value_extremes,
+    "bio_label_counts": q_bio_label_counts,
+    "synthetic_corpus_stats": q_synthetic_corpus_stats,
+    "er_quality": q_er_quality,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
 }

@@ -51,6 +51,12 @@ SQL_CHECKED = [
     "events_hourly",
     "embedding_topk",
     "media_sizes",
+    "largest_doc_per_lang",
+    "top3_docs_per_source",
+    "customers_per_region",
+    "purchase_last_click",
+    "user_sessions",
+    "event_value_extremes",
 ]
 
 
@@ -76,7 +82,21 @@ ROWS_ONLY = [
     "knn_bruteforce",
     "media_features",
     "simhash_hamming_pairs",
+    "bio_label_counts",
+    "synthetic_corpus_stats",
+    "ann_lsh_buckets",
 ]
+
+
+def test_er_quality_meets_north_rule(ray_session):
+    """The end-to-end quality query itself must clear F1 ≥ 0.99 —
+    the north-rule gate, run as a user would run it."""
+    from address_parser_ray.pipelines.queries import q_er_quality
+
+    df = q_er_quality(SF)
+    by_metric = df.set_index("metric")["f1"]
+    assert by_metric["exhaustive"] >= 0.99, df.to_string()
+    assert by_metric["same_block"] >= 0.99, df.to_string()
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
