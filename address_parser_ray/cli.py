@@ -1,0 +1,86 @@
+"""CLI entrypoint — the ``ray job submit`` surface of the engine
+(north_rule: "run via ray job submit on a fixed-size multi-node Ray
+cluster"; reference analogue: the argparse CLIs on every tool,
+``ner/build_real_dataset.py:250-295``).
+
+    python -m address_parser_ray.cli dedup \
+        --input  /path/to/corpus_parquet \
+        --output /path/to/assignments    \
+        --checkpoint-dir /path/to/ckpt   \
+        [--match-threshold 0.5] [--lsh-bands 32] [--lsh-rows 4]
+
+A rerun with the same --checkpoint-dir resumes from the last completed
+stage. This is the ONLY module (besides bench.py and tests) that may own
+a Ray session; ``entry()``/``queries()`` never init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _build_cfg(args) -> "PipelineConfig":
+    from address_parser_ray.config import DEFAULT_CONFIG
+
+    overrides = {}
+    for field in ("match_threshold", "jaccard_gate", "lsh_bands", "lsh_rows",
+                  "max_block_records", "max_pairs_per_block", "shingle_k"):
+        val = getattr(args, field, None)
+        if val is not None:
+            overrides[field] = val
+    return dataclasses.replace(DEFAULT_CONFIG, **overrides)
+
+
+def cmd_dedup(args) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.sources import read_corpus
+    from address_parser_ray.state import Checkpointer
+
+    cfg = _build_cfg(args)
+    ck = Checkpointer(args.checkpoint_dir) if args.checkpoint_dir else None
+    result = dedup_pipeline(read_corpus(args.input), cfg, checkpointer=ck)
+    result.assignments.write_parquet(args.output)
+    n = result.assignments.count()
+    n_clusters = result.assignments.unique("cluster_id")
+    print(json.dumps({"rows": n, "clusters": len(n_clusters), "output": args.output}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="address_parser_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    d = sub.add_parser("dedup", help="corpus parquet → cluster assignments parquet")
+    d.add_argument("--input", required=True, help="corpus parquet file/dir")
+    d.add_argument("--output", required=True, help="assignments output dir")
+    d.add_argument("--checkpoint-dir", default=None, help="resume-able stage checkpoints")
+    d.add_argument("--match-threshold", type=float, default=None)
+    d.add_argument("--jaccard-gate", type=float, default=None)
+    d.add_argument("--lsh-bands", type=int, default=None)
+    d.add_argument("--lsh-rows", type=int, default=None)
+    d.add_argument("--max-block-records", type=int, default=None)
+    d.add_argument("--max-pairs-per-block", type=int, default=None)
+    d.add_argument("--shingle-k", type=int, default=None)
+    d.set_defaults(fn=cmd_dedup)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -838,6 +838,121 @@ def q_ann_lsh_buckets(sf_dir: str):
     )
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """n-gram-Jaccard near-dup: LSH candidates VERIFIED by exact char-4-
+    gram Jaccard (the reference's Dice-gate-then-verify shape, P1).
+    Content for verification comes from a broadcast doc map — fine while
+    the doc table fits the object store; at corpus scale the verify step
+    would re-join content by id range instead. Non-SQL (set semantics)."""
+    from address_parser_ray.functions.hashing import char_shingle_hashes
+    from address_parser_ray.functions.similarity import exact_jaccard
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.sources import documents_as_corpus
+
+    res = dedup_pipeline(documents_as_corpus(sf_dir))
+    import pyarrow.parquet as pq
+
+    import hashlib as _h
+
+    from address_parser_ray.functions.hashing import stable_id64
+
+    # rebuild the record_id ↔ text mapping exactly as documents_as_corpus does
+    srcs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+    texts = {
+        stable_id64(s, f"docs/doc_{d}.txt", _h.sha1(f"doc:{d}".encode()).hexdigest()): t
+        for d, s, t in zip(
+            srcs["doc_id"].to_pylist(), srcs["source"].to_pylist(), srcs["text"].to_pylist()
+        )
+    }
+    tref = ray.put(texts)
+
+    class ExactVerify:
+        def __init__(self):
+            self.texts = ray.get(tref)
+            self.cache: dict[int, np.ndarray] = {}
+
+        def _sh(self, rid: int) -> np.ndarray:
+            got = self.cache.get(rid)
+            if got is None:
+                got = char_shingle_hashes(self.texts.get(rid, "") or "", 4)
+                self.cache[rid] = got
+            return got
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = np.asarray(t["id_a"]).astype(np.int64)
+            b = np.asarray(t["id_b"]).astype(np.int64)
+            j = np.array(
+                [exact_jaccard(self._sh(int(x)), self._sh(int(y))) for x, y in zip(a, b)]
+            )
+            keep = j >= 0.5
+            return pa.table(
+                {
+                    "id_a": pa.array(a[keep]),
+                    "id_b": pa.array(b[keep]),
+                    "jaccard": pa.array(np.floor(j[keep] * 1e4) / 1e4),
+                }
+            )
+
+    pairs = res.scored_pairs.map_batches(
+        ExactVerify, batch_format="pyarrow", concurrency=(1, 4), batch_size=4096
+    )
+    return pairs
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup: LSH-bucket candidates (random
+    hyperplanes) verified by exact cosine ≥ 0.30 within each bucket (the testdata embeddings are near-orthogonal random vectors; real embedding near-dup would sit at ≥0.95) —
+    the 5th dedup flavor. Non-SQL."""
+    from address_parser_ray.functions.hashing import rng_for
+
+    dim = 64
+    planes = rng_for(42, "ann_planes").standard_normal((dim, 8))
+    planes_ref = ray.put(planes)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        emb = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64)
+        emb = emb.reshape(len(t), -1)
+        bits = (emb @ pl) > 0
+        code = (bits * (1 << np.arange(8))).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(code),
+                "vec_id": t["vec_id"],
+                "embedding": t["embedding"],
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "cos_sim": pd.Series([], dtype="float64")}
+            )
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        emb = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        emb = emb / norms[:, None]
+        cos = emb @ emb.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = cos[iu] >= 0.30
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[0]][keep],
+                "id_b": ids[iu[1]][keep],
+                "cos_sim": np.floor(cos[iu][keep] * 1e4) / 1e4,
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("bucket").map_groups(verify, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -875,4 +990,6 @@ QUERIES = {
     "synthetic_corpus_stats": q_synthetic_corpus_stats,
     "er_quality": q_er_quality,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
 }

@@ -82,6 +82,23 @@ class Checkpointer:
         if os.path.exists(final):
             shutil.rmtree(final)
 
+    def invariant_xor(self, name: str, column: str = "content_sha256") -> int | None:
+        """Order-insensitive XOR fingerprint of ``column`` across every
+        part file of a checkpointed stage — the per-partition sha-xor of
+        SURVEY §4: two stages carrying the same row set must agree, so an
+        auditor can verify the invariant without recomputing the stage."""
+        path = self._dir(name)
+        if not self.is_done(name):
+            return None
+        acc = 0
+        for fname in sorted(os.listdir(path)):
+            if not fname.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(path, fname), columns=[column])
+            for v in t[column].to_pylist():
+                acc ^= int((v or "0" * 16)[:16], 16)
+        return acc
+
     def lineage(self, name: str) -> dict | None:
         p = os.path.join(self._dir(name), "_lineage.json")
         if not os.path.exists(p):

@@ -57,6 +57,21 @@ def test_invalidate(ray_session, tmp_path):
     assert mark["calls"] == 2
 
 
+def test_invariant_xor_across_stages(ray_session, fixture_corpus, tmp_path):
+    """content_sha256 must survive every checkpointed stage unchanged:
+    the order-insensitive sha-xor of fingerprints and exact_dedup (same
+    row set) must agree."""
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.sources import read_corpus
+
+    corpus_dir, _ = fixture_corpus
+    ck = Checkpointer(str(tmp_path / "ck"))
+    dedup_pipeline(read_corpus(corpus_dir), checkpointer=ck)
+    x1 = ck.invariant_xor("fingerprints")
+    x2 = ck.invariant_xor("exact_dedup")
+    assert x1 is not None and x1 == x2
+
+
 def test_pipeline_resume_identical(ray_session, fixture_corpus, tmp_path):
     """Full-pipeline resume (the north_rule resumability check): second
     run with the same checkpoint dir recomputes nothing and returns

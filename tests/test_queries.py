@@ -85,6 +85,8 @@ ROWS_ONLY = [
     "bio_label_counts",
     "synthetic_corpus_stats",
     "ann_lsh_buckets",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup",
 ]
 
 
