@@ -65,6 +65,53 @@ def test_near_miss_outside_band():
     assert n_nm > 0
 
 
+def test_write_corpus_ray_matches_sequential(tmp_path, ray_session):
+    """Parallel (Ray) generation must produce the same row set as the
+    sequential generator — order-independence of per-key RNG."""
+    import ray.data
+
+    from address_parser_ray.fixtures import generate_corpus, write_corpus_ray
+
+    d = str(tmp_path / "fxr")
+    corpus_dir, labels_dir = write_corpus_ray(d, n_seeds=12, variants_per_seed=5)
+    par = (
+        ray.data.read_parquet(corpus_dir)
+        .to_pandas()
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+    seq_tbl, _ = generate_corpus(n_seeds=12, variants_per_seed=5)
+    seq = (
+        seq_tbl.to_pandas()
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+    assert par.equals(seq)
+
+
+def test_jsonl_roundtrip(tmp_path, ray_session):
+    """Format parity with the reference's JSONL I/O (S4/S7): the corpus
+    survives a write_json → read_json roundtrip."""
+    import ray.data
+
+    from address_parser_ray.fixtures import generate_corpus
+
+    corpus, _ = generate_corpus(n_seeds=5, variants_per_seed=4)
+    ds = ray.data.from_arrow(corpus)
+    out = str(tmp_path / "jsonl")
+    ds.write_json(out)
+    back = (
+        ray.data.read_json(out)
+        .to_pandas()
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+    orig = corpus.to_pandas().sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    assert back[["repo", "path", "commit", "lang", "content"]].equals(
+        orig[["repo", "path", "commit", "lang", "content"]]
+    )
+
+
 def test_write_corpus_idempotent(tmp_path, ray_session):
     from address_parser_ray.fixtures import write_corpus
 

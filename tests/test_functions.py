@@ -126,3 +126,67 @@ def test_token_hashes_unique_sorted():
     t = token_hashes("a b a c a")
     assert t.size == 3
     assert np.array_equal(t, np.sort(t))
+
+
+def test_token_hashes_position_independent():
+    """Equal tokens hash equally wherever they appear; different tokens
+    (incl. prefix pairs) differ."""
+    h1 = token_hashes("alpha beta")
+    h2 = token_hashes("beta alpha")
+    assert np.array_equal(h1, h2)
+    h3 = token_hashes("alph")  # prefix of alpha
+    assert not np.intersect1d(h1, h3).size
+
+
+def test_oph_minhash_properties():
+    from address_parser_ray.functions.hashing import oph_minhash
+
+    rng = rng_for(9, "oph")
+    a = np.unique(rng.integers(0, 2**63, 3000).astype(np.uint64))
+    # deterministic; identical sets → identical signatures
+    assert np.array_equal(oph_minhash(a, 128, 1), oph_minhash(a, 128, 1))
+    # different seeds → different signatures
+    assert not np.array_equal(oph_minhash(a, 128, 1), oph_minhash(a, 128, 2))
+    # empty → sentinel
+    assert (oph_minhash(np.empty(0, dtype=np.uint64), 64, 0)
+            == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+    # tiny sets leave empty bins → densification fills every lane
+    tiny = oph_minhash(a[:3], 64, 0)
+    assert (tiny != np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+
+
+def test_lsh_band_keys_batch_matches_single():
+    from address_parser_ray.functions.hashing import lsh_band_keys_batch
+
+    a, b = minhash_params(128, 42)
+    sigs = np.stack(
+        [
+            minhash_signature(np.arange(10 + i, dtype=np.uint64) * np.uint64(7), a, b)
+            for i in range(5)
+        ]
+    )
+    batch = lsh_band_keys_batch(sigs, 32, 4)
+    for i in range(5):
+        assert np.array_equal(batch[i], lsh_band_keys(sigs[i], 32, 4))
+
+
+def test_label_tokens_bio():
+    from address_parser_ray.functions.text import label_tokens_bio
+
+    tags = label_tokens_bio(
+        "the hash join beats table scan here".split(),
+        [["hash", "join"], ["table", "scan"]],
+    )
+    assert tags == ["O", "B-PHR", "I-PHR", "O", "B-PHR", "I-PHR", "O"]
+    assert label_tokens_bio([], [["x"]]) == []
+
+
+def test_sessionize():
+    from address_parser_ray.functions.text import sessionize
+
+    ts = np.array(
+        ["2026-01-01T00:00:00", "2026-01-01T00:10:00", "2026-01-01T02:00:00"],
+        dtype="datetime64[us]",
+    )
+    assert sessionize(ts, 1800.0).tolist() == [0, 0, 1]
+    assert sessionize(np.array([], dtype="datetime64[us]"), 1800.0).size == 0
