@@ -308,26 +308,32 @@ def _cents(x: np.ndarray) -> np.ndarray:
 
 def q_orders_by_nation(sf_dir: str):
     """customer⋈nation⋈orders rollup (J1 FK assembly,
-    ``ner/build_standard_dataset.py:650-698``)."""
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    nation = ray.data.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    )
+    ``ner/build_standard_dataset.py:650-698``). Both join sides are
+    DIMENSIONS (customer, nation) — broadcast via ``ray.put`` and looked
+    up per batch; only the orders fact table streams."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    c2n = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
+    n2name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    dims_ref = ray.put((c2n, n2name))
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        c2n_, n2name_ = ray.get(dims_ref)
+        cents = _cents(np.asarray(t["o_totalprice"], dtype=np.float64))
+        names = [n2name_[c2n_[k]] for k in t["o_custkey"].to_pylist()]
+        return pa.table(
+            {"n_name": pa.array(names, type=pa.string()), "cents": pa.array(cents)}
+        )
+
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
-
-    def add_cents(t: pa.Table) -> pa.Table:
-        cents = _cents(np.asarray(t["o_totalprice"], dtype=np.float64))
-        return pa.table({"o_custkey": t["o_custkey"], "cents": pa.array(cents)})
-
-    ocents = orders.map_batches(add_cents, batch_format="pyarrow")
-    j1 = pinned_join(ocents, cust, on="o_custkey", right_on="c_custkey")
-    j2 = pinned_join(j1, nation, on="c_nationkey", right_on="n_nationkey")
-    return j2.groupby("n_name").aggregate(
-        Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents")
+    return (
+        orders.map_batches(add_cents, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
     )
 
 
@@ -380,19 +386,27 @@ def q_top_customers(sf_dir: str):
         .groupby("o_custkey")
         .aggregate(Sum("cents", alias_name="total_cents"), Count(alias_name="n_orders"))
     )
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    )
-    joined = pinned_join(totals, cust, on="o_custkey", right_on="c_custkey")
-    out = joined.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(10)
-    return project(
-        out,
-        {
-            "o_custkey": "c_custkey",
-            "c_name": "c_name",
-            "total_cents": "total_cents",
-            "n_orders": "n_orders",
-        },
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    names_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist())))
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        keys = t["o_custkey"].to_pylist()
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "c_name": pa.array([names[k] for k in keys], type=pa.string()),
+                "total_cents": t["total_cents"],
+                "n_orders": t["n_orders"],
+            }
+        )
+
+    return (
+        totals.sort(["total_cents", "o_custkey"], descending=[True, False])
+        .limit(10)
+        .map_batches(attach_name, batch_format="pyarrow")
     )
 
 
