@@ -6,16 +6,22 @@ one process, one thread, one warm parser, millions of sequential
 ``parser.process`` calls). Shape:
 
     read_parquet(corpus)
-      → map_batches(Fingerprinter)         # stage 0: normalize + sketches
-      → groupby(content_sha256)            # exact dedup  (shuffle 1)
-      → KeyEmitter → groupby(block_key)    # blocking     (shuffle 2)
-      → groupby(id_a, id_b)                # pair dedup   (shuffle 3)
-      → join features → map_batches(PairScorer)   # actor-pool scoring
-      → iterated groupby/join              # connected components
+      → map_batches(fingerprint)             # stage 0: normalize + sketches
+      → light (id, sha) shuffle              # exact dedup (dup map broadcast
+                                             #   below a size gate)
+      → emit keys → salt → bucket shuffle    # blocking (hot keys sampled)
+      → bucket shuffle                       # cross-band pair dedup
+      → map_batches(PairScorer actor pool)   # scoring: compact features
+                                             #   broadcast below a byte gate,
+                                             #   bucketed joins above
+      → union-find                           # driver (vectorized) below an
+                                             #   edge gate, distributed
+                                             #   min-label propagation above
       → assignments (record_id, cluster_id)
 
 Every wide step carries only ids + fixed-width sketches; ``content``
-never crosses a shuffle.
+never crosses a shuffle. Each size gate has a test asserting both paths
+produce identical output.
 """
 
 from __future__ import annotations
