@@ -913,6 +913,64 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return pairs
 
 
+def q_residual_tokens(sf_dir: str):
+    """Residual extraction (M9 ``_extract_street_address``,
+    ``fuzz/inexus_parser.py:2509-2655``): for each matched near-dup pair,
+    the tokens of one side NOT covered by the other — a token anti-semi-
+    join against the matched counterpart. Returns per-pair residual
+    counts (ints). Non-SQL (pipeline-derived pair set)."""
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.sources import documents_as_corpus
+
+    res = dedup_pipeline(documents_as_corpus(sf_dir))
+
+    import hashlib as _h
+
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.functions.hashing import stable_id64
+
+    srcs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    texts = {
+        stable_id64(s, f"docs/doc_{d}.txt", _h.sha1(f"doc:{d}".encode()).hexdigest()): t
+        for d, s, t in zip(
+            srcs["doc_id"].to_pylist(),
+            srcs["source"].to_pylist(),
+            srcs["text"].to_pylist(),
+        )
+    }
+    tref = ray.put(texts)
+
+    class Residual:
+        def __init__(self):
+            self.texts = ray.get(tref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = np.asarray(t["is_match"])
+            a = np.asarray(t["id_a"]).astype(np.int64)[mask]
+            b = np.asarray(t["id_b"]).astype(np.int64)[mask]
+            ra, rb = [], []
+            for x, y in zip(a, b):
+                ta = set((self.texts.get(int(x), "") or "").split())
+                tb = set((self.texts.get(int(y), "") or "").split())
+                ra.append(len(ta - tb))
+                rb.append(len(tb - ta))
+            return pa.table(
+                {
+                    "id_a": pa.array(a),
+                    "id_b": pa.array(b),
+                    "residual_a": pa.array(np.asarray(ra, dtype=np.int64)),
+                    "residual_b": pa.array(np.asarray(rb, dtype=np.int64)),
+                }
+            )
+
+    return res.scored_pairs.map_batches(
+        Residual, batch_format="pyarrow", concurrency=(1, 4), batch_size=4096
+    )
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-dup: LSH-bucket candidates (random
     hyperplanes) verified by exact cosine ≥ 0.30 within each bucket (the testdata embeddings are near-orthogonal random vectors; real embedding near-dup would sit at ≥0.95) —
@@ -1006,4 +1064,5 @@ QUERIES = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_near_dup": q_embedding_near_dup,
+    "residual_tokens": q_residual_tokens,
 }

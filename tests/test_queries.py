@@ -87,6 +87,7 @@ ROWS_ONLY = [
     "ann_lsh_buckets",
     "ngram_jaccard_pairs",
     "embedding_near_dup",
+    "residual_tokens",
 ]
 
 
