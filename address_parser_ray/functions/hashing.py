@@ -44,9 +44,10 @@ def splitmix64(x: np.ndarray | int) -> np.ndarray | np.uint64:
 def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic (a, b) multiplier/offset arrays for the MinHash
     "permutations" h_i(x) = a_i*x + b_i (mod 2^64), a_i odd."""
-    idx = np.arange(num_perm, dtype=_U64)
-    a = splitmix64(idx + _U64(seed) * _U64(0x9E3779B97F4A7C15)) | _U64(1)
-    b = splitmix64(idx + _U64(seed + 1) * _U64(0xC2B2AE3D27D4EB4F))
+    with np.errstate(over="ignore"):
+        idx = np.arange(num_perm, dtype=_U64)
+        a = splitmix64(idx + _U64(seed) * _U64(0x9E3779B97F4A7C15)) | _U64(1)
+        b = splitmix64(idx + _U64(seed + 1) * _U64(0xC2B2AE3D27D4EB4F))
     return a, b
 
 

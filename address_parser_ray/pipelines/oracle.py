@@ -17,7 +17,7 @@ those.
 
 ORACLE_SQL = {
     "exact_dedup_groups": """
-        SELECT sha256(text) AS content_sha256,
+        SELECT sha256(COALESCE(text, '')) AS content_sha256,
                count(*)     AS n_dups,
                min(doc_id)  AS rep_doc_id
         FROM documents GROUP BY 1
@@ -28,19 +28,20 @@ ORACLE_SQL = {
     "doc_stats_by_lang": """
         SELECT lang,
                count(*)     AS n_docs,
-               sum(n_chars) AS sum_chars,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                max(n_chars) AS max_chars
         FROM documents GROUP BY lang
     """,
     "token_counts_by_lang": """
         SELECT lang,
-               sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS sum_tokens
+               CAST(sum(len(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+'))) AS BIGINT) AS sum_tokens
         FROM documents GROUP BY lang
     """,
     "quality_flags": """
         SELECT doc_id,
-               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-               length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+               len(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')) AS n_tokens,
+               length(COALESCE(text, ''))
+                   - length(regexp_replace(COALESCE(text, ''), '[.,;:!?]', '', 'g'))
                    AS punct_chars
         FROM documents
     """,
@@ -66,7 +67,7 @@ ORACLE_SQL = {
     "orders_by_nation": """
         SELECT n_name,
                count(*) AS n_orders,
-               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_cents
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
@@ -74,15 +75,15 @@ ORACLE_SQL = {
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               sum(l_quantity) AS sum_qty,
-               sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
                count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
     "top_customers": """
         SELECT c_custkey, c_name, total_cents, n_orders FROM (
             SELECT o_custkey,
-                   sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_cents,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
                    count(*) AS n_orders
             FROM orders GROUP BY o_custkey
         ) t JOIN customer ON t.o_custkey = c_custkey
@@ -90,9 +91,9 @@ ORACLE_SQL = {
     """,
     "events_hourly": """
         SELECT event_type,
-               date_trunc('hour', ts) AS hour,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS hour,
                count(*) AS n_events,
-               sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_cents
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         FROM events GROUP BY 1, 2
     """,
     "embedding_topk": """
@@ -146,7 +147,7 @@ ORACLE_SQL = {
     "user_sessions": """
         SELECT user_id,
                count(*) AS n_events,
-               sum(new_session) AS n_sessions
+               CAST(sum(new_session) AS BIGINT) AS n_sessions
         FROM (
             SELECT user_id,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)

@@ -361,7 +361,9 @@ def q_pricing_summary(sf_dir: str):
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
-                "l_quantity": t["l_quantity"],
+                # l_quantity is integral-valued double; sum as int64 so the
+                # aggregate dtype matches the oracle's CAST(sum(...) AS BIGINT).
+                "l_quantity": pc.cast(t["l_quantity"], pa.int64()),
                 "price_cents": pa.array(
                     _cents(np.asarray(t["l_extendedprice"], dtype=np.float64))
                 ),

@@ -22,8 +22,6 @@ actor in ``__init__`` (the reference builds its index once per process,
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -31,7 +29,6 @@ import pyarrow.compute as pc
 from address_parser_ray.config import DEFAULT_CONFIG, PipelineConfig
 from address_parser_ray.functions.hashing import (
     char_shingle_hashes,
-    minhash_params,
     oph_minhash,
     sha256_hex,
     simhash64,
@@ -65,32 +62,18 @@ def fingerprint_schema(cfg: PipelineConfig) -> pa.Schema:
     )
 
 
-@lru_cache(maxsize=8)
-def _cached_params(num_perm: int, token_num_perm: int, seed: int):
-    """Process-level warm state for the stateless-task variant of this
-    stage: computed once per worker process (lru_cache), reused across
-    batches — the same amortization an actor pool gives, without paying
-    a fresh pool spawn on every dataset execution (Ray Data creates a
-    new actor pool per executed stage)."""
-    a, b = minhash_params(num_perm, seed)
-    ta, tb = minhash_params(token_num_perm, seed + 7)
-    return a, b, ta, tb
-
-
 def fingerprint_batch(batch: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
-    """Plain-function form of the fingerprint stage (warm state via
-    ``_cached_params``)."""
+    """Plain-function form of the fingerprint stage."""
     return Fingerprinter(cfg)(batch)
 
 
 class Fingerprinter:
-    """Callable form; state fetched from the process-level cache."""
+    """Callable form. OPH MinHash needs no permutation tables — the only
+    warm state is the process-level shingle power cache inside
+    ``functions.hashing`` (lru-style, grows on demand)."""
 
     def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG):
         self.cfg = cfg
-        self.a, self.b, self.ta, self.tb = _cached_params(
-            cfg.num_perm, cfg.token_num_perm, cfg.seed
-        )
         self.schema = fingerprint_schema(cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
