@@ -94,12 +94,27 @@ def q_minhash_lsh_clusters(sf_dir: str):
     return hist.sort("cluster_size")
 
 
+_SIMHASH_PAIR_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())]
+)
+
+
 def q_simhash_hamming_pairs(sf_dir: str):
     """SimHash near-dup: 64-bit simhash per doc, candidate pairs =
     same 16-bit band (4 bands → Hamming ≤ ~3 guaranteed recall),
-    verified by full Hamming distance ≤ 3. Non-SQL-expressible."""
-    from address_parser_ray.stages.fingerprint import Fingerprinter
+    verified by full Hamming distance ≤ 3. Band groups are hash-bucketed
+    (one Python call per BUCKET, run-length vectorized per band inside)
+    and pair emission per band is capped at max_pairs_per_block in
+    deterministic sorted-id order — a degenerate band (all-boilerplate /
+    empty docs sharing one simhash) stays bounded instead of going
+    O(m²). Non-SQL-expressible."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
     from address_parser_ray.sources import documents_as_corpus
+    from address_parser_ray.stages.fingerprint import Fingerprinter
+
+    max_pairs = DEFAULT_CONFIG.max_pairs_per_block
+    nparts = default_num_partitions()
 
     corpus = documents_as_corpus(sf_dir)
     fp = corpus.map_batches(
@@ -118,9 +133,12 @@ def q_simhash_hamming_pairs(sf_dir: str):
         for b in range(4):
             chunk = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
             bands[:, b] = (chunk.astype(np.int64) << 2) | b
+        flat = bands.reshape(-1)
+        bucket = (splitmix64(flat.view(np.uint64)) % np.uint64(nparts)).astype(np.int64)
         return pa.table(
             {
-                "band": pa.array(bands.reshape(-1)),
+                "bucket": pa.array(bucket),
+                "band": pa.array(flat),
                 "record_id": pa.array(np.repeat(doc, 4)),
                 "simhash": pa.array(np.repeat(sh, 4)),
             }
@@ -128,32 +146,50 @@ def q_simhash_hamming_pairs(sf_dir: str):
 
     exploded = fp.map_batches(explode_bands, batch_format="pyarrow")
 
-    def pairs(group: pa.Table) -> pa.Table:
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        band = np.asarray(group["band"], dtype=np.int64)
         ids = np.asarray(group["record_id"], dtype=np.int64)
         sh = np.asarray(group["simhash"], dtype=np.uint64)
-        order = np.argsort(ids, kind="stable")
-        ids, sh = ids[order], sh[order]
-        keep = np.concatenate([[True], ids[1:] != ids[:-1]])
-        ids, sh = ids[keep], sh[keep]
-        m = len(ids)
+        order = np.lexsort((ids, band))
+        band, ids, sh = band[order], ids[order], sh[order]
+        keep = np.concatenate(
+            [[True], (band[1:] != band[:-1]) | (ids[1:] != ids[:-1])]
+        )
+        band, ids, sh = band[keep], ids[keep], sh[keep]
+        if band.size < 2:
+            return _SIMHASH_PAIR_SCHEMA.empty_table()
+        change = np.flatnonzero(np.diff(band)) + 1
+        starts = np.concatenate([[0], change])
+        lens = np.diff(np.concatenate([starts, [band.size]]))
         out_a, out_b, out_d = [], [], []
-        if m >= 2:
-            iu = np.triu_indices(m, k=1)
-            x = np.bitwise_xor(sh[iu[0]], sh[iu[1]])
+        # one vectorized triu expansion per distinct run LENGTH (the
+        # _make_pairs_bucket_fn trick) — not one call per band key
+        for m in np.unique(lens):
+            if m < 2:
+                continue
+            sel = starts[lens == m]
+            idm = ids[sel[:, None] + np.arange(m)[None, :]]
+            shm = sh[sel[:, None] + np.arange(m)[None, :]]
+            iu, ju = np.triu_indices(int(m), k=1)
+            if iu.size > max_pairs:
+                iu, ju = iu[:max_pairs], ju[:max_pairs]
+            x = np.bitwise_xor(shm[:, iu], shm[:, ju]).ravel()
             dist = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
             mask = dist <= 3
-            out_a = ids[iu[0]][mask]
-            out_b = ids[iu[1]][mask]
-            out_d = dist[mask].astype(np.int64)
+            out_a.append(idm[:, iu].ravel()[mask])
+            out_b.append(idm[:, ju].ravel()[mask])
+            out_d.append(dist[mask].astype(np.int64))
+        if not out_a:
+            return _SIMHASH_PAIR_SCHEMA.empty_table()
         return pa.table(
             {
-                "id_a": pa.array(np.asarray(out_a, dtype=np.int64)),
-                "id_b": pa.array(np.asarray(out_b, dtype=np.int64)),
-                "hamming": pa.array(np.asarray(out_d, dtype=np.int64)),
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+                "hamming": pa.array(np.concatenate(out_d)),
             }
         )
 
-    cand = exploded.groupby("band").map_groups(pairs, batch_format="pyarrow")
+    cand = exploded.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
     return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
@@ -866,116 +902,130 @@ def q_ann_lsh_buckets(sf_dir: str):
     )
 
 
-def q_ngram_jaccard_pairs(sf_dir: str):
-    """n-gram-Jaccard near-dup: LSH candidates VERIFIED by exact char-4-
-    gram Jaccard (the reference's Dice-gate-then-verify shape, P1).
-    Content for verification comes from a broadcast doc map — fine while
-    the doc table fits the object store; at corpus scale the verify step
-    would re-join content by id range instead. Non-SQL (set semantics)."""
-    from address_parser_ray.functions.hashing import char_shingle_hashes
-    from address_parser_ray.functions.similarity import exact_jaccard
-    res = _dedup_documents(sf_dir)
-    import pyarrow.parquet as pq
-
+def _corpus_texts(sf_dir: str):
+    """(record_id, text) keyed exactly as ``documents_as_corpus`` keys its
+    rows — computed in a streamed ``map_batches``, never materialized on
+    the driver."""
     import hashlib as _h
 
     from address_parser_ray.functions.hashing import stable_id64
 
-    # rebuild the record_id ↔ text mapping exactly as documents_as_corpus does
-    srcs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
-    texts = {
-        stable_id64(s, f"docs/doc_{d}.txt", _h.sha1(f"doc:{d}".encode()).hexdigest()): t
-        for d, s, t in zip(
-            srcs["doc_id"].to_pylist(), srcs["source"].to_pylist(), srcs["text"].to_pylist()
-        )
-    }
-    tref = ray.put(texts)
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        srcs = t["source"].to_pylist()
+        rid = [
+            stable_id64(s, f"docs/doc_{d}.txt", _h.sha1(f"doc:{d}".encode()).hexdigest())
+            for d, s in zip(ids, srcs)
+        ]
+        return pa.table({"record_id": pa.array(rid, type=pa.int64()), "text": t["text"]})
 
-    class ExactVerify:
-        def __init__(self):
-            self.texts = ray.get(tref)
-            self.cache: dict[int, np.ndarray] = {}
-
-        def _sh(self, rid: int) -> np.ndarray:
-            got = self.cache.get(rid)
-            if got is None:
-                got = char_shingle_hashes(self.texts.get(rid, "") or "", 4)
-                self.cache[rid] = got
-            return got
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = np.asarray(t["id_a"]).astype(np.int64)
-            b = np.asarray(t["id_b"]).astype(np.int64)
-            j = np.array(
-                [exact_jaccard(self._sh(int(x)), self._sh(int(y))) for x, y in zip(a, b)]
-            )
-            keep = j >= 0.5
-            return pa.table(
-                {
-                    "id_a": pa.array(a[keep]),
-                    "id_b": pa.array(b[keep]),
-                    "jaccard": pa.array(np.floor(j[keep] * 1e4) / 1e4),
-                }
-            )
-
-    pairs = res.scored_pairs.map_batches(
-        ExactVerify, batch_format="pyarrow", concurrency=(1, 4), batch_size=4096
+    return _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
     )
-    return pairs
+
+
+def _attach_pair_texts(pairs, sf_dir: str):
+    """Attach ``text_a``/``text_b`` to a ``(id_a, id_b)`` pair set via two
+    bucketed reduce-side joins — pair-side content is re-joined by id, not
+    broadcast, so nothing scales with corpus size on the driver. The pair
+    set shuffles twice (it is sketch-thin); the corpus text column
+    shuffles by id hash — the standard 100-TB verify-join shape."""
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    texts = _corpus_texts(sf_dir)
+    with_a = pinned_join(
+        pairs,
+        project(texts, {"record_id": "record_id", "text": "text_a"}),
+        on="id_a",
+        right_on="record_id",
+        num_partitions=nparts,
+    )
+    return pinned_join(
+        with_a,
+        project(texts, {"record_id": "record_id", "text": "text_b"}),
+        on="id_b",
+        right_on="record_id",
+        num_partitions=nparts,
+    )
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """n-gram-Jaccard near-dup: LSH candidates VERIFIED by exact char-4-
+    gram Jaccard (the reference's Dice-gate-then-verify shape, P1).
+    Content for verification is re-joined by record id (bucketed
+    reduce-side join) — the verify stage never holds more than its own
+    batches. Non-SQL (set semantics)."""
+    from address_parser_ray.functions.hashing import char_shingle_hashes
+    from address_parser_ray.functions.similarity import exact_jaccard
+
+    res = _dedup_documents(sf_dir)
+    pairs = project(res.scored_pairs, {"id_a": "id_a", "id_b": "id_b"})
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["id_a"]).astype(np.int64)
+        b = np.asarray(t["id_b"]).astype(np.int64)
+        ta = t["text_a"].to_pylist()
+        tb = t["text_b"].to_pylist()
+        j = np.array(
+            [
+                exact_jaccard(
+                    char_shingle_hashes(x or "", 4), char_shingle_hashes(y or "", 4)
+                )
+                for x, y in zip(ta, tb)
+            ]
+        )
+        keep = j >= 0.5
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep]),
+                "id_b": pa.array(b[keep]),
+                "jaccard": pa.array(np.floor(j[keep] * 1e4) / 1e4),
+            }
+        )
+
+    return _attach_pair_texts(pairs, sf_dir).map_batches(
+        verify, batch_format="pyarrow", batch_size=4096
+    )
 
 
 def q_residual_tokens(sf_dir: str):
     """Residual extraction (M9 ``_extract_street_address``,
     ``fuzz/inexus_parser.py:2509-2655``): for each matched near-dup pair,
     the tokens of one side NOT covered by the other — a token anti-semi-
-    join against the matched counterpart. Returns per-pair residual
-    counts (ints). Non-SQL (pipeline-derived pair set)."""
+    join against the matched counterpart. Content is re-joined by record
+    id (bucketed join), never broadcast. Returns per-pair residual counts
+    (ints). Non-SQL (pipeline-derived pair set)."""
     res = _dedup_documents(sf_dir)
 
-    import hashlib as _h
+    def matched(t: pa.Table) -> pa.Table:
+        keep = pa.array(np.asarray(t["is_match"]))
+        f = t.filter(keep)
+        return pa.table({"id_a": f["id_a"], "id_b": f["id_b"]})
 
-    import pyarrow.parquet as pq
+    pairs = res.scored_pairs.map_batches(matched, batch_format="pyarrow")
 
-    from address_parser_ray.functions.hashing import stable_id64
-
-    srcs = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
-    )
-    texts = {
-        stable_id64(s, f"docs/doc_{d}.txt", _h.sha1(f"doc:{d}".encode()).hexdigest()): t
-        for d, s, t in zip(
-            srcs["doc_id"].to_pylist(),
-            srcs["source"].to_pylist(),
-            srcs["text"].to_pylist(),
+    def residual(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["id_a"]).astype(np.int64)
+        b = np.asarray(t["id_b"]).astype(np.int64)
+        ra = np.empty(len(a), dtype=np.int64)
+        rb = np.empty(len(b), dtype=np.int64)
+        for i, (x, y) in enumerate(zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())):
+            ta = set((x or "").split())
+            tb = set((y or "").split())
+            ra[i] = len(ta - tb)
+            rb[i] = len(tb - ta)
+        return pa.table(
+            {
+                "id_a": pa.array(a),
+                "id_b": pa.array(b),
+                "residual_a": pa.array(ra),
+                "residual_b": pa.array(rb),
+            }
         )
-    }
-    tref = ray.put(texts)
 
-    class Residual:
-        def __init__(self):
-            self.texts = ray.get(tref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = np.asarray(t["is_match"])
-            a = np.asarray(t["id_a"]).astype(np.int64)[mask]
-            b = np.asarray(t["id_b"]).astype(np.int64)[mask]
-            ra, rb = [], []
-            for x, y in zip(a, b):
-                ta = set((self.texts.get(int(x), "") or "").split())
-                tb = set((self.texts.get(int(y), "") or "").split())
-                ra.append(len(ta - tb))
-                rb.append(len(tb - ta))
-            return pa.table(
-                {
-                    "id_a": pa.array(a),
-                    "id_b": pa.array(b),
-                    "residual_a": pa.array(np.asarray(ra, dtype=np.int64)),
-                    "residual_b": pa.array(np.asarray(rb, dtype=np.int64)),
-                }
-            )
-
-    return res.scored_pairs.map_batches(
-        Residual, batch_format="pyarrow", concurrency=(1, 4), batch_size=4096
+    return _attach_pair_texts(pairs, sf_dir).map_batches(
+        residual, batch_format="pyarrow", batch_size=4096
     )
 
 

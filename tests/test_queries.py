@@ -112,6 +112,30 @@ def test_rows_only_queries_run_and_deterministic(ray_session, name):
     pd.testing.assert_frame_equal(d1, d2)
 
 
+def test_simhash_degenerate_band_bounded(ray_session, tmp_path):
+    """A corpus where EVERY doc shares one simhash (identical text) must
+    stay bounded by the per-band pair cap instead of going O(m²)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.config import DEFAULT_CONFIG
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    n = 2000
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), type=pa.int64()),
+            "text": ["the same boilerplate text body for every document"] * n,
+            "lang": ["en"] * n,
+            "source": ["s"] * n,
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    df = QUERIES["simhash_hamming_pairs"](str(tmp_path)).to_pandas()
+    # 4 bands, each capped — far below the n*(n-1)/2 ≈ 2M uncapped pairs
+    assert 0 < len(df) <= 4 * DEFAULT_CONFIG.max_pairs_per_block
+
+
 def test_entry_contract(ray_session):
     import sys
 
