@@ -51,9 +51,17 @@ def cmd_dedup(args) -> int:
     from address_parser_ray.pipelines.dedup import dedup_pipeline
     from address_parser_ray.sources import read_corpus
     from address_parser_ray.state import Checkpointer
+    from address_parser_ray.state.checkpoint import context_key
 
     cfg = _build_cfg(args)
-    ck = Checkpointer(args.checkpoint_dir) if args.checkpoint_dir else None
+    # checkpoints are keyed by (config, input): a rerun with a changed
+    # --match-threshold or a different --input recomputes instead of
+    # silently resuming stale stage outputs
+    ck = (
+        Checkpointer(args.checkpoint_dir, context=context_key(cfg, args.input))
+        if args.checkpoint_dir
+        else None
+    )
     result = dedup_pipeline(read_corpus(args.input), cfg, checkpointer=ck)
     result.assignments.write_parquet(args.output)
     n = result.assignments.count()

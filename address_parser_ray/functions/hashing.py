@@ -330,7 +330,23 @@ def decode_sig_column(col, num_perm: int, dtype=None) -> np.ndarray:
     n = len(col)
     if n == 0:
         return np.empty((0, num_perm), dtype=dtype)
-    buf = b"".join(col.to_pylist())
+    # Fixed-width values are contiguous in the Arrow data buffer after
+    # combine_chunks — read it zero-copy instead of a b"".join() heap
+    # copy per batch/actor. Offsets can start past 0 (sliced arrays) and
+    # nulls/ragged payloads break the fixed-stride assumption — fall back
+    # to the copying path for those rare shapes.
+    width = num_perm * np.dtype(dtype).itemsize
+    if col.null_count == 0:
+        offsets = np.frombuffer(col.buffers()[1], dtype=np.int32, count=n + 1,
+                                offset=col.offset * 4)
+        if offsets[-1] - offsets[0] == n * width and np.all(
+            np.diff(offsets) == width
+        ):
+            return np.frombuffer(
+                col.buffers()[2], dtype=dtype, count=n * num_perm,
+                offset=int(offsets[0]),
+            ).reshape(n, num_perm)
+    buf = b"".join(v or b"\0" * width for v in col.to_pylist())
     return np.frombuffer(buf, dtype=dtype).reshape(n, num_perm)
 
 

@@ -363,14 +363,23 @@ def q_orders_by_nation(sf_dir: str):
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    c2n = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
-    n2name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    dims_ref = ray.put((c2n, n2name))
+    # customer → nation NAME, collapsed once on the driver: one sorted
+    # key array + one parallel nation-name-index array, broadcast to every
+    # task (searchsorted lookup — no per-row dict probes)
+    ckeys = np.asarray(cust["c_custkey"]).astype(np.int64)
+    cnat = np.asarray(cust["c_nationkey"]).astype(np.int64)
+    order = np.argsort(ckeys)
+    nkeys = np.asarray(nation["n_nationkey"]).astype(np.int64)
+    nnames = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    norder = np.argsort(nkeys)
+    name_idx = norder[np.searchsorted(nkeys[norder], cnat[order])]
+    dims_ref = ray.put((ckeys[order], nnames, name_idx))
 
     def add_cents(t: pa.Table) -> pa.Table:
-        c2n_, n2name_ = ray.get(dims_ref)
+        ck, names_u, nidx = ray.get(dims_ref)
         cents = _cents(np.asarray(t["o_totalprice"], dtype=np.float64))
-        names = [n2name_[c2n_[k]] for k in t["o_custkey"].to_pylist()]
+        pos = np.searchsorted(ck, np.asarray(t["o_custkey"]).astype(np.int64))
+        names = names_u[nidx[pos]]
         return pa.table(
             {"n_name": pa.array(names, type=pa.string()), "cents": pa.array(cents)}
         )
@@ -711,57 +720,98 @@ def q_customers_per_region(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _add_user_bucket(nparts: int):
+    """user_id → shuffle bucket (hash, not sort, and far fewer groups
+    than distinct users — ``map_groups`` costs one Python call per key)."""
+    from address_parser_ray.functions.hashing import splitmix64
+
+    def fn(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"]).astype(np.int64)
+        b = (splitmix64(uid.view(np.uint64)) % np.uint64(nparts)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    return fn
+
+
 def q_purchase_last_click(sf_dir: str):
     """As-of join: for each purchase, the most recent click at-or-before
-    it by the same user (backward, exact matches allowed). Implemented as
-    per-user ``merge_asof`` inside ``map_groups`` — partitioning
-    assumption: one group holds ALL of a user's events."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
-    ).filter(expr="event_type == 'purchase' or event_type == 'click'")
+    it by the same user (backward, exact matches allowed). Users are
+    hash-bucketed; within a bucket one vectorized pass (lexsort + per-user
+    cummax of click timestamps) answers every purchase — one Python call
+    per BUCKET, not per user. Partitioning assumption: one bucket holds
+    ALL of a user's events."""
+    from address_parser_ray.rayutil import default_num_partitions
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        p = g[g["event_type"] == "purchase"]
-        c = g[g["event_type"] == "click"]
-        if p.empty or c.empty:
-            return pd.DataFrame(
-                {"event_id": pd.Series([], dtype="int64"),
-                 "user_id": pd.Series([], dtype="int64"),
-                 "last_click_ts": pd.Series([], dtype="datetime64[us]")}
-            )
-        out = pd.merge_asof(
-            p[["ts", "event_id", "user_id"]],
-            c[["ts"]].assign(last_click_ts=c["ts"]),
-            on="ts", direction="backward", allow_exact_matches=True,
+    nparts = default_num_partitions()
+    ev = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
         )
-        out = out.dropna(subset=["last_click_ts"])
-        return out[["event_id", "user_id", "last_click_ts"]]
+        .filter(expr="event_type == 'purchase' or event_type == 'click'")
+        .map_batches(_add_user_bucket(nparts), batch_format="pyarrow")
+    )
 
-    return ev.groupby("user_id").map_groups(asof, batch_format="pandas")
+    TMIN = np.iinfo(np.int64).min
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy()
+        tsi = ts.view("i8")
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        is_click = (g["event_type"] == "click").to_numpy()
+        # clicks sort before purchases at equal (user, ts): exact-match
+        # clicks are eligible (allow_exact_matches=True semantics)
+        order = np.lexsort((eid, ~is_click, tsi, uid))
+        uid, ts, tsi, eid, is_click = (
+            uid[order], ts[order], tsi[order], eid[order], is_click[order]
+        )
+        click_ts = np.where(is_click, tsi, TMIN)
+        # per-user running max of click ts (C-level groupby cummax)
+        last = pd.Series(click_ts).groupby(uid).cummax().to_numpy()
+        keep = (~is_click) & (last > TMIN)
+        return pd.DataFrame(
+            {
+                "event_id": eid[keep],
+                "user_id": uid[keep],
+                "last_click_ts": last[keep].view(ts.dtype),
+            }
+        )
+
+    return ev.groupby("bucket").map_groups(asof_bucket, batch_format="pandas")
 
 
 def q_user_sessions(sf_dir: str):
     """Sessionization: per-user session count with a 30-minute idle gap.
-    Ordering assumption: events sorted by ts within the user group."""
-    from address_parser_ray.functions.text import sessionize
+    Users are hash-bucketed; one vectorized pass per bucket (lexsort +
+    boundary diff + ``np.add.reduceat``) — no per-user Python calls."""
+    from address_parser_ray.rayutil import default_num_partitions
 
+    nparts = default_num_partitions()
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
-    )
+    ).map_batches(_add_user_bucket(nparts), batch_format="pyarrow")
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy())
-        sess = sessionize(ts, 1800.0)
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        tsi = g["ts"].to_numpy().view("i8")  # µs since epoch
+        order = np.lexsort((tsi, uid))
+        uid, tsi = uid[order], tsi[order]
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap = np.concatenate(
+            [[True], (tsi[1:] - tsi[:-1]) > 1_800_000_000]
+        )  # 30 min in µs
+        new_sess = (first | gap).astype(np.int64)
+        starts = np.flatnonzero(first)
         return pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_events": [len(g)],
-                "n_sessions": [int(sess[-1]) + 1 if len(sess) else 0],
+                "user_id": uid[starts],
+                "n_events": np.diff(np.concatenate([starts, [uid.size]])),
+                "n_sessions": np.add.reduceat(new_sess, starts),
             }
         )
 
-    return ev.groupby("user_id").map_groups(fn, batch_format="pandas")
+    return ev.groupby("bucket").map_groups(sessions_bucket, batch_format="pandas")
 
 
 def q_event_value_extremes(sf_dir: str):

@@ -86,15 +86,28 @@ class KeyEmitter:
         keys = np.empty((n, n_slots), dtype=_U64)
         col = 0
         if cfg.exact_path_key:
-            lang = batch["lang"].to_pylist()
-            base = batch["basename"].to_pylist()
             import hashlib
 
-            for i in range(n):
-                h = hashlib.blake2b(
-                    f"xk\x1f{lang[i]}\x1f{base[i]}".encode("utf-8"), digest_size=8
-                )
-                keys[i, 0] = int.from_bytes(h.digest(), "big")
+            # hash only the DISTINCT (lang, basename) combos per batch —
+            # basenames repeat heavily (utils.py, mod_0.go, ...), so this
+            # drops the per-row Python blake2b loop to a per-unique one
+            combo = pc.binary_join_element_wise(
+                "xk", batch["lang"], batch["basename"], "\x1f"
+            )
+            arr = np.asarray(combo.to_pandas(), dtype=object)
+            uniq, inv = np.unique(arr, return_inverse=True)
+            hu = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(u.encode("utf-8"), digest_size=8).digest(),
+                        "big",
+                    )
+                    for u in uniq
+                ),
+                dtype=_U64,
+                count=len(uniq),
+            )
+            keys[:, 0] = hu[inv]
             col = 1
         keys[:, col:] = lsh_band_keys_batch(sigs, cfg.lsh_bands, cfg.lsh_rows)
         rids = np.asarray(batch["record_id"]).astype(np.int64)

@@ -207,6 +207,13 @@ def connected_components(
         labels = project(agg, {"node": "node", "label": "label"})
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge after {max_rounds} "
+            f"label-propagation rounds ({changed} labels still changing): "
+            "the match graph has pathological diameter — raise max_rounds "
+            "or inspect the candidate-pair stage for a runaway component"
+        )
 
     return project(labels, {"node": "record_id", "label": "cluster_id"})
 

@@ -22,6 +22,33 @@ import pyarrow.compute as pc
 from address_parser_ray.rayutil import default_num_partitions, project
 
 
+def _sha_bucket(col, n_buckets: int) -> np.ndarray:
+    """Vectorized shuffle bucket from the first 8 hex chars of each sha
+    (== int(s[:8], 16) % n_buckets). Reads the Arrow string data buffer
+    directly when every value is 64-char hex (the sha256_hex invariant);
+    falls back to the per-row parse for nulls/odd shapes."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if arr.null_count == 0:
+        offsets = np.frombuffer(
+            arr.buffers()[1], dtype=np.int32, count=n + 1, offset=arr.offset * 4
+        )
+        if ((offsets[1:] - offsets[:-1]) == 64).all():
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            ch = data[offsets[:-1, None] + np.arange(8)[None, :]]
+            nib = np.where(ch >= 97, ch - 87, ch - 48).astype(np.uint64)
+            val = np.zeros(n, dtype=np.uint64)
+            for k in range(8):
+                val = (val << np.uint64(4)) | nib[:, k]
+            return (val % np.uint64(n_buckets)).astype(np.int64)
+    sha = arr.to_pylist()
+    return np.array(
+        [int(s[:8], 16) % n_buckets if s else 0 for s in sha], dtype=np.int64
+    )
+
+
 def _tag_reps_bucket(group: pa.Table) -> pa.Table:
     """Vectorized rep-tagging for one hash bucket of sha groups: sort by
     (sha, record_id), min id of each run becomes the run's rep.
@@ -70,15 +97,11 @@ def exact_dedup_stage(fingerprints, num_partitions: int | None = None,
     n_buckets = default_num_partitions(num_partitions)
 
     def add_bucket_light(t: pa.Table) -> pa.Table:
-        sha = t["content_sha256"].to_pylist()
-        b = np.array(
-            [int(s[:8], 16) % n_buckets if s else 0 for s in sha], dtype=np.int64
-        )
         return pa.table(
             {
                 "record_id": t["record_id"],
                 "content_sha256": t["content_sha256"],
-                "bucket": pa.array(b),
+                "bucket": pa.array(_sha_bucket(t["content_sha256"], n_buckets)),
             }
         )
 
@@ -116,11 +139,9 @@ def exact_dedup_stage(fingerprints, num_partitions: int | None = None,
 
     # large-dup fallback: full bucketed shuffle of the fingerprint table
     def add_bucket(t: pa.Table) -> pa.Table:
-        sha = t["content_sha256"].to_pylist()
-        b = np.array(
-            [int(s[:8], 16) % n_buckets if s else 0 for s in sha], dtype=np.int64
+        return t.append_column(
+            "bucket", pa.array(_sha_bucket(t["content_sha256"], n_buckets))
         )
-        return t.append_column("bucket", pa.array(b))
 
     return (
         fingerprints.map_batches(add_bucket, batch_format="pyarrow")

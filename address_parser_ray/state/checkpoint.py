@@ -17,6 +17,7 @@ files (one per block), manifest small.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -26,20 +27,43 @@ import pyarrow.parquet as pq
 import ray.data
 
 
+def context_key(*parts) -> str:
+    """Stable hash of the run context (config dataclass/dict + input
+    path). A checkpoint computed under one context must not be resumed
+    under another — e.g. a rerun with a different --match-threshold or
+    --input would silently return stale stage outputs otherwise."""
+    canon = json.dumps(
+        [p.__dict__ if hasattr(p, "__dict__") else p for p in parts],
+        sort_keys=True, default=str,
+    )
+    return hashlib.sha256(canon.encode("utf-8")).hexdigest()[:16]
+
+
 class Checkpointer:
-    def __init__(self, root: str):
+    def __init__(self, root: str, context: str | None = None):
+        """``context``: a ``context_key(...)`` string binding checkpoints
+        to (config, input). None keeps the legacy existence-only resume
+        (checkpoints then carry and ignore the key)."""
         self.root = root
+        self.context = context
         os.makedirs(root, exist_ok=True)
 
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
 
     def is_done(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._dir(name), "_lineage.json"))
+        if not os.path.exists(os.path.join(self._dir(name), "_lineage.json")):
+            return False
+        if self.context is None:
+            return True
+        recorded = (self.lineage(name) or {}).get("context_key")
+        return recorded == self.context
 
     def stage(self, name: str, fn) -> ray.data.Dataset:
         """Return the Dataset for ``name``, computing+persisting it only
-        if no completed checkpoint exists."""
+        if no completed checkpoint exists FOR THIS CONTEXT — a stage
+        checkpointed under different config/input is recomputed, not
+        silently reused."""
         final = self._dir(name)
         if self.is_done(name):
             return ray.data.read_parquet(final)
@@ -53,6 +77,7 @@ class Checkpointer:
         ds.write_parquet(tmp)
         lineage = self._collect_lineage(tmp)
         lineage["stage"] = name
+        lineage["context_key"] = self.context
         lineage["write_seconds"] = round(time.time() - t0, 3)
         with open(os.path.join(tmp, "_lineage.json"), "w") as f:
             json.dump(lineage, f, indent=1)

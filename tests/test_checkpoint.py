@@ -35,6 +35,31 @@ def test_stage_computes_then_skips(ray_session, tmp_path):
     assert sum(lin["files"].values()) == 10
 
 
+def test_context_change_invalidates(ray_session, tmp_path):
+    """A checkpoint written under one (config, input) context must NOT be
+    resumed under another — changed config recomputes the stage."""
+    from address_parser_ray.state.checkpoint import context_key
+
+    root = str(tmp_path / "ck")
+    mark = {}
+    k1 = context_key({"match_threshold": 0.5}, "/in/a")
+    ck1 = Checkpointer(root, context=k1)
+    ck1.stage("s1", lambda: _toy_ds(ray_session, mark=mark))
+    assert mark["calls"] == 1
+    # same context → resumed
+    Checkpointer(root, context=k1).stage("s1", lambda: _toy_ds(ray_session, mark=mark))
+    assert mark["calls"] == 1
+    # different config → recomputed
+    k2 = context_key({"match_threshold": 0.9}, "/in/a")
+    assert k1 != k2
+    Checkpointer(root, context=k2).stage("s1", lambda: _toy_ds(ray_session, mark=mark))
+    assert mark["calls"] == 2
+    # dataclass configs hash deterministically
+    from address_parser_ray.config import DEFAULT_CONFIG
+
+    assert context_key(DEFAULT_CONFIG, "/x") == context_key(DEFAULT_CONFIG, "/x")
+
+
 def test_incomplete_stage_redone(ray_session, tmp_path):
     """A stage dir without _lineage.json (crashed write) is recomputed."""
     root = str(tmp_path / "ck")
