@@ -9,10 +9,9 @@ sorts columns by name before value-hashing). Money sums use
 same IEEE doubles.
 
 Queries absent here (minhash_lsh_clusters, simhash_hamming_pairs,
-ngram_jaccard_stats, langid_pred, quality_scores, knn_bruteforce,
-media_features) are non-SQL-expressible (set-sketch / heuristic /
-actor-stateful semantics); the driver records a rows-only check for
-those.
+langid_pred, media_features, er_quality, ...) are non-SQL-expressible
+(set-sketch / heuristic / actor-stateful semantics); the driver records
+a rows-only check for those.
 """
 
 ORACLE_SQL = {
@@ -156,6 +155,85 @@ ORACLE_SQL = {
                         THEN 1 ELSE 0 END AS new_session
             FROM events
         ) GROUP BY user_id
+    """,
+    # quality_features parity: ratios are exact IEEE int/int divisions;
+    # the blended score floors at 1e3 so libm-vs-numpy ln ulps can't flip
+    # the comparison. Clip lower bounds are no-ops (ratios are >= 0).
+    "quality_scores": """
+        WITH f AS (
+            SELECT doc_id,
+                   length(COALESCE(text, '')) AS n_chars,
+                   CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+'))
+                   END AS n_tokens,
+                   length(COALESCE(text, ''))
+                       - length(regexp_replace(COALESCE(text, ''), '[.,;:!?]', '', 'g'))
+                       AS punct,
+                   length(COALESCE(text, ''))
+                       - length(regexp_replace(COALESCE(text, ''), '[A-Za-z]', '', 'g'))
+                       AS alpha,
+                   len(list_filter(
+                       regexp_split_to_array(trim(COALESCE(text, '')), '\\s+'),
+                       x -> list_contains(
+                           ['the','and','of','to','a','in','is','that','for','it','with','was'],
+                           lower(x))
+                   )) AS stop_hits
+            FROM documents
+        ), r AS (
+            SELECT doc_id, n_tokens,
+                   CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio,
+                   CAST(punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+                   CAST(alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio
+            FROM f
+        )
+        SELECT doc_id, n_tokens, stopword_ratio,
+               CAST(floor((0.4 * least(greatest(ln(1 + n_tokens) / ln(501.0), 0), 1)
+                           + 0.3 * least(alpha_ratio / 0.7, 1)
+                           + 0.2 * least(stopword_ratio / 0.3, 1)
+                           + 0.1 * (1.0 - least(punct_ratio / 0.3, 1))) * 1000.0)
+                    AS BIGINT) AS quality_score_1e3
+        FROM r
+    """,
+    # knn output is int-only (ids + rank); float cosines stay internal on
+    # both sides. Rank ties break on neighbor_vec_id; competing cosines
+    # are spaced far wider than the ~1e-16 numpy-vs-duckdb ulp noise.
+    "knn_bruteforce": """
+        WITH q AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings ORDER BY vec_id LIMIT 5
+        ), scored AS (
+            SELECT q.qid AS query_vec_id,
+                   e.vec_id AS neighbor_vec_id,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id != q.qid
+        )
+        SELECT query_vec_id, neighbor_vec_id, rank FROM (
+            SELECT query_vec_id, neighbor_vec_id,
+                   row_number() OVER (PARTITION BY query_vec_id
+                                      ORDER BY cos DESC, neighbor_vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+    """,
+    # n_ngrams counts DISTINCT char-4-grams. The engine hashes UTF-8
+    # BYTE 4-grams (64-bit, collision-free at doc scale); the oracle
+    # counts character substrings — identical on ASCII corpora (the
+    # testdata is ASCII; documented byte-semantics divergence otherwise).
+    "ngram_jaccard_stats": """
+        WITH d AS (
+            SELECT doc_id, COALESCE(text, '') AS t FROM documents
+        ), long AS (
+            SELECT doc_id, count(DISTINCT substr(t, CAST(i AS INT), 4)) AS n_ngrams
+            FROM (
+                SELECT doc_id, t, unnest(range(1, length(t) - 2)) AS i
+                FROM d WHERE length(t) >= 4
+            )
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_ngrams FROM long
+        UNION ALL
+        SELECT doc_id, CASE WHEN length(t) = 0 THEN 0 ELSE 1 END AS n_ngrams
+        FROM d WHERE length(t) < 4
     """,
     "event_value_extremes": """
         SELECT event_type,

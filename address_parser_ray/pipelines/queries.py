@@ -266,13 +266,18 @@ def q_quality_flags(sf_dir: str):
 
 
 def q_quality_scores(sf_dir: str):
-    """Blended quality score per doc (float → rows-only check)."""
+    """Blended quality score per doc. ``stopword_ratio`` is an exact IEEE
+    int/int division (bit-reproducible in SQL); the blended score is
+    emitted floor-scaled to 1e3 so a last-ulp ``ln`` difference between
+    numpy and the oracle's libm cannot flip the hash."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         out = quality_features(df["text"])
         out.insert(0, "doc_id", df["doc_id"].values)
-        out["quality_score"] = out["quality_score"].round(6)
-        return out[["doc_id", "n_tokens", "stopword_ratio", "quality_score"]]
+        out["quality_score_1e3"] = np.floor(
+            out["quality_score"] * 1000.0
+        ).astype(np.int64)
+        return out[["doc_id", "n_tokens", "stopword_ratio", "quality_score_1e3"]]
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
 

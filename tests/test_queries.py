@@ -57,6 +57,9 @@ SQL_CHECKED = [
     "purchase_last_click",
     "user_sessions",
     "event_value_extremes",
+    "quality_scores",
+    "knn_bruteforce",
+    "ngram_jaccard_stats",
 ]
 
 
@@ -76,10 +79,7 @@ def test_query_matches_oracle(ray_session, con, name):
 
 
 ROWS_ONLY = [
-    "ngram_jaccard_stats",
     "langid_pred",
-    "quality_scores",
-    "knn_bruteforce",
     "media_features",
     "simhash_hamming_pairs",
     "bio_label_counts",
