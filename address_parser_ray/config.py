@@ -64,6 +64,31 @@ class PipelineConfig:
     w_size: float = 0.10
     #: final match threshold on the blended score.
     match_threshold: float = 0.50
+    #: demote non-exact pairs whose ``lang`` differs — the P4 analogue of
+    #: the reference's hierarchy-constrained resolution (a resolved
+    #: component must be consistent with the record's own evidence,
+    #: inexus_parser.py:264-403). Costs nothing: lang rides the compact
+    #: feature table.
+    enforce_lang_consistency: bool = True
+
+    # ---- stage 2b: content rescore (reference P2 rich scorer) -----------
+    #: re-read normalized content for UNCERTAIN pairs (below the match
+    #: threshold but above this exact-Jaccard floor) and re-score them on
+    #: content-level evidence — the analogue of the reference's
+    #: ratio/partial_ratio/WRatio blend computed after the Dice gate
+    #: (inexus_parser.py:2852-2941). Sketches miss heavy identifier
+    #: renames; char-4-grams of the content survive them.
+    content_rescore: bool = True
+    #: sketch-Jaccard floor for the rescore band (pairs below it are
+    #: hopeless; pairs at/above match_threshold are already matched).
+    rescore_gate: float = 0.12
+    #: blend weights for the content score:
+    #: w_content_shingle * exactJaccard(k=shingle_k)
+    #: + w_content_4gram * exactJaccard(k=4). Measured margins on the
+    #: labeled fixture: heavy-rename positives ≈ 0.57, near-miss
+    #: negatives ≤ 0.19 at these weights.
+    w_content_shingle: float = 0.35
+    w_content_4gram: float = 0.65
     #: MinHash lanes actually shipped to the pair scorer (a prefix of the
     #: full signature). Fewer lanes → noisier Jaccard estimate but half
     #: the bytes through the pair-feature join; 64/32 keeps the estimate

@@ -186,6 +186,16 @@ def _spec_truncate(seed, rng):
     return _render(seed, drop_tail=max(1, len(seed.funcs) // 4))
 
 
+def _spec_rename_heavy(seed, rng):
+    """ADVERSARIAL variant (not in the default pool): 80% of identifiers
+    renamed — wide-shingle MinHash similarity falls below the match
+    threshold (sketch score ≈ 0.42 < 0.50 measured), while char-4-grams
+    of the content stay ≈ 0.72. Exists to prove the content-rescore
+    stage (reference P2) recovers what sketches miss."""
+    return _render(seed, rename=f"_v{int(rng.integers(2, 9))}",
+                   rename_frac=0.8, rename_rng=rng)
+
+
 def _spec_combo(seed, rng):
     order = list(range(len(seed.funcs)))
     rng.shuffle(order)
@@ -205,6 +215,9 @@ VARIANT_SPECS = {
 
 POSITIVE_MIN_JACCARD = 0.35   # variant must land above (normalized shingles)
 NEGATIVE_MAX_JACCARD = 0.25   # near-miss must land below vs donor seed
+# adversarial variants sit BETWEEN the bands by design: below the sketch
+# match threshold, above the content-rescore floor
+ADVERSARIAL_MIN_JACCARD = 0.15
 
 
 def _norm_shingles(text: str, k: int = 12) -> np.ndarray:
@@ -228,6 +241,7 @@ def rows_for_seed(
     hot_basename_frac: float,
     near_miss_frac: float,
     file_scale: int = 1,
+    adversarial_frac: float = 0.0,
 ) -> list[dict]:
     """All corpus+label rows for one seed — self-contained and
     order-independent (per-key RNG only), so generation parallelizes
@@ -264,6 +278,13 @@ def rows_for_seed(
     n_var = int(rng_for(global_seed, "nvar", sid).integers(2, variants_per_seed))
     for v in range(1, n_var + 1):
         spec_rng = rng_for(global_seed, "specpick", sid, v)
+        if adversarial_frac > 0 and spec_rng.random() < adversarial_frac:
+            content = _spec_rename_heavy(
+                seed, rng_for(global_seed, "var", sid, v, "rename_heavy", 0)
+            )
+            if exact_jaccard(_norm_shingles(content), canon_sh) >= ADVERSARIAL_MIN_JACCARD:
+                add_row(seed, v, "rename_heavy", content, sid)
+                continue
         spec = spec_names[int(spec_rng.integers(0, len(spec_names)))]
         # bounded attempts: keep the first render inside the intended
         # band, else fall back to ws_jitter (always in-band) — the
@@ -315,6 +336,7 @@ def generate_corpus(
     global_seed: int = 42,
     hot_basename_frac: float = 0.2,
     near_miss_frac: float = 0.2,
+    adversarial_frac: float = 0.0,
 ) -> tuple[pa.Table, pa.Table]:
     """Build (corpus, labels) Arrow tables sequentially (small scales).
 
@@ -331,6 +353,7 @@ def generate_corpus(
             rows_for_seed(
                 sid, n_seeds, variants_per_seed, global_seed,
                 hot_basename_frac, near_miss_frac,
+                adversarial_frac=adversarial_frac,
             )
         )
     return _rows_to_tables(rows)
@@ -391,7 +414,8 @@ def write_corpus_ray(
 
 
 def write_corpus(out_dir: str, n_seeds: int = 50, variants_per_seed: int = 8,
-                 global_seed: int = 42, shards: int = 4) -> tuple[str, str]:
+                 global_seed: int = 42, shards: int = 4,
+                 adversarial_frac: float = 0.0) -> tuple[str, str]:
     """Write corpus + labels parquet under ``out_dir`` (sharded corpus so
     Ray reads parallelize). Idempotent: skips if a _DONE marker exists."""
     corpus_dir = os.path.join(out_dir, "corpus")
@@ -399,7 +423,10 @@ def write_corpus(out_dir: str, n_seeds: int = 50, variants_per_seed: int = 8,
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return corpus_dir, labels_path
-    corpus, labels = generate_corpus(n_seeds, variants_per_seed, global_seed)
+    corpus, labels = generate_corpus(
+        n_seeds, variants_per_seed, global_seed,
+        adversarial_frac=adversarial_frac,
+    )
     os.makedirs(corpus_dir, exist_ok=True)
     n = corpus.num_rows
     per = max(1, -(-n // shards))

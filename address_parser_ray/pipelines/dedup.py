@@ -130,6 +130,18 @@ def dedup_pipeline(
                     cfg,
                 ),
             )
+        if cfg.content_rescore:
+            # stage 2b (reference P2): re-score the uncertain band on
+            # content evidence re-joined by id; also re-applies the P4
+            # lang rule. See stages/rescore.py.
+            from address_parser_ray.stages.rescore import content_rescore_stage
+
+            scored = ck(
+                "rescored_pairs",
+                lambda: content_rescore_stage(
+                    scored, corpus, cfg, num_partitions=join_partitions
+                ),
+            )
         edges = match_edges(scored)
 
     def _cluster():

@@ -340,6 +340,7 @@ def _reduce_feats(cfg: PipelineConfig):
                 "record_id": t["record_id"],
                 "sha64": pa.array(sha64),
                 "path": t["path"],
+                "lang": t["lang"],
                 "n_chars": t["n_chars"],
                 "mh_sk": pa.array([mh16[i].tobytes() for i in range(n)], type=pa.binary()),
                 "tmh_sk": pa.array(
@@ -356,7 +357,7 @@ def attach_features(pairs, reps, cfg: PipelineConfig = DEFAULT_CONFIG,
     """Join each side's compact sketches onto the unique pairs (two
     bucketed hash joins on the reduced features table — cheaper than
     exploding signatures ~33× per record through the blocking shuffle)."""
-    feat_cols = ["record_id", "sha64", "path", "n_chars", "mh_sk", "tmh_sk"]
+    feat_cols = ["record_id", "sha64", "path", "lang", "n_chars", "mh_sk", "tmh_sk"]
     num_partitions = default_num_partitions(num_partitions)
     payload = [c for c in feat_cols if c != "record_id"]
     feats = reps.map_batches(

@@ -36,7 +36,8 @@ from address_parser_ray.rayutil import default_concurrency, project
 
 
 def _score_arrays(cfg, ids_a, ids_b, mh_a, mh_b, tmh_a, tmh_b,
-                  nc_a, nc_b, sha_a, sha_b, path_a, path_b) -> pa.Table:
+                  nc_a, nc_b, sha_a, sha_b, path_a, path_b,
+                  lang_a=None, lang_b=None) -> pa.Table:
     """Shared scoring math for both scorer variants (joined columns vs
     broadcast lookup)."""
     n = len(ids_a)
@@ -61,6 +62,15 @@ def _score_arrays(cfg, ids_a, ids_b, mh_a, mh_b, tmh_a, tmh_b,
     )
     score = np.where(exact, 1.0, np.where(gate, score, 0.0))
     is_match = score >= cfg.match_threshold
+    # P4 analogue (hierarchy-constrained resolution,
+    # inexus_parser.py:264-403): a non-exact match edge may not merge
+    # records with inconsistent lang evidence. Free: lang rides the
+    # compact feature table.
+    if cfg.enforce_lang_consistency and lang_a is not None:
+        lang_ok = (
+            np.asarray(lang_a, dtype=object) == np.asarray(lang_b, dtype=object)
+        )
+        is_match = is_match & (lang_ok | exact)
     return pa.table(
         {
             "id_a": pa.array(np.asarray(ids_a, dtype=np.int64)),
@@ -100,6 +110,8 @@ class PairScorer:
             np.asarray(batch["sha64_b"]),
             batch["path_a"].to_pylist(),
             batch["path_b"].to_pylist(),
+            batch["lang_a"].to_pylist(),
+            batch["lang_b"].to_pylist(),
         )
 
 
@@ -125,6 +137,8 @@ class BroadcastPairScorer:
         self.nc = np.asarray(t["n_chars"]).astype(np.int64)[order]
         paths = t["path"].to_pylist()
         self.path = [paths[i] for i in order]
+        langs = t["lang"].to_pylist()
+        self.lang = [langs[i] for i in order]
 
     def _gather(self, ids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.ids, ids)
@@ -149,6 +163,8 @@ class BroadcastPairScorer:
             self.sha[ia], self.sha[ib],
             [self.path[i] for i in ia],
             [self.path[i] for i in ib],
+            [self.lang[i] for i in ia],
+            [self.lang[i] for i in ib],
         )
 
 

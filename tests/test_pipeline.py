@@ -130,3 +130,63 @@ def test_pipeline_deterministic(ray_session, fixture_corpus):
     a1 = a1.sort_values("record_id").reset_index(drop=True)
     a2 = a2.sort_values("record_id").reset_index(drop=True)
     assert a1.equals(a2)
+
+
+def test_content_rescore_recovers_heavy_renames(ray_session, tmp_path):
+    """Reference-P2 criterion: an adversarial corpus (rename_frac=0.8)
+    false-negatives on sketches alone but is fully recovered by the
+    content-rescore stage, with precision intact."""
+    import dataclasses
+
+    import pandas as pd
+
+    from address_parser_ray.config import DEFAULT_CONFIG
+    from address_parser_ray.fixtures.generator import write_corpus
+    from address_parser_ray.functions.hashing import stable_id64
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.pipelines.evaluation import pairwise_f1
+    from address_parser_ray.sources import read_corpus
+
+    cd, lp = write_corpus(
+        str(tmp_path / "adv"), n_seeds=12, variants_per_seed=6, adversarial_frac=0.6
+    )
+    labels = pd.read_parquet(lp)
+    assert (labels.variant_spec == "rename_heavy").sum() >= 5
+    labels["record_id"] = [
+        stable_id64(r, p, c) for r, p, c in zip(labels.repo, labels.path, labels.commit)
+    ]
+
+    off = dataclasses.replace(DEFAULT_CONFIG, content_rescore=False)
+    m_off = pairwise_f1(
+        labels, dedup_pipeline(read_corpus(cd), off).assignments.to_pandas()
+    )
+    m_on = pairwise_f1(labels, dedup_pipeline(read_corpus(cd)).assignments.to_pandas())
+    assert m_off.recall < 0.9, m_off  # sketches alone false-negative
+    assert m_on.f1 >= 0.99, m_on      # content evidence recovers
+    assert m_on.precision >= 0.99, m_on
+
+
+def test_lang_consistency_demotes_cross_lang(ray_session):
+    """P4 analogue: a pair with near-identical content but different lang
+    must not produce a match edge (non-exact)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from address_parser_ray.config import DEFAULT_CONFIG
+    from address_parser_ray.stages.scoring import _score_arrays
+
+    n = 2
+    mh = np.ones((n, 64), dtype=np.uint16)
+    tmh = np.ones((n, 32), dtype=np.uint16)
+    out = _score_arrays(
+        DEFAULT_CONFIG,
+        np.array([1, 3]), np.array([2, 4]),
+        mh, mh.copy(), tmh, tmh.copy(),
+        np.array([100, 100]), np.array([100, 100]),
+        np.array([11, 22]), np.array([12, 23]),  # sha64 differ → not exact
+        ["a.py", "b.py"], ["a.py", "b.py"],
+        ["python", "python"], ["python", "go"],
+    )
+    m = out["is_match"].to_pylist()
+    assert m[0] is True   # same lang, identical sketches
+    assert m[1] is False  # cross-lang demoted despite identical sketches
