@@ -658,6 +658,16 @@ def q_media_features(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_model_langid(sf_dir: str):
+    """Warm-heavy-state model inference (reference A3,
+    ``ner/ner_train.py:181-189``): a ~6 MB hashing-trick linear
+    classifier loads once per actor and predicts language per doc,
+    batched. Non-SQL (model semantics); deterministic output."""
+    from address_parser_ray.stages.inference import model_inference_stage
+
+    return model_inference_stage(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_largest_doc_per_lang(sf_dir: str):
     """Per-group argmax with deterministic tiebreak (J5 fallback-to-first
     made 'min id wins', ``fuzz/inexus_parser.py:1396-1443``)."""
@@ -1165,6 +1175,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "media_sizes": q_media_sizes,
     "media_features": q_media_features,
+    "model_langid": q_model_langid,
     "largest_doc_per_lang": q_largest_doc_per_lang,
     "top3_docs_per_source": q_top3_docs_per_source,
     "customers_per_region": q_customers_per_region,

@@ -81,6 +81,7 @@ def test_query_matches_oracle(ray_session, con, name):
 ROWS_ONLY = [
     "langid_pred",
     "media_features",
+    "model_langid",
     "simhash_hamming_pairs",
     "bio_label_counts",
     "synthetic_corpus_stats",

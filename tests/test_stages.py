@@ -199,3 +199,49 @@ def test_cc_paths_agree(ray_session):
     a = a.sort_values("record_id").reset_index(drop=True)
     b = b.sort_values("record_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_model_inference_state_loads_once(ray_session):
+    """Reference-A3 shape: the ~6 MB weight matrix is built in __init__
+    (once per actor) and __call__ never rebuilds it; prediction is
+    vectorized over the batch and linguistically meaningful."""
+    import numpy as np
+    import pyarrow as pa
+
+    from address_parser_ray.stages.inference import (
+        CLASSES,
+        VOCAB,
+        HashingTrickClassifier,
+    )
+
+    clf = HashingTrickClassifier()
+    assert clf.W.shape == (VOCAB, len(CLASSES))
+    assert clf.W.nbytes >= 4 << 20  # genuinely heavy state
+    W0 = clf.W
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [
+                "the cat sat on the mat and it was the best of times",
+                "der hund ist nicht mit der katze und das ist gut",
+                "",  # empty doc mid-batch
+                "le chat est dans la maison et il est pour les chats",
+            ],
+        }
+    )
+    out1 = clf(batch)
+    out2 = clf(batch)
+    assert clf.W is W0 and clf.n_init == 1  # no rebuild across batches
+    assert out1.equals(out2)
+    pred = out1["pred_lang_model"].to_pylist()
+    assert pred[0] == "en" and pred[1] == "de" and pred[3] == "fr"
+    # trailing empty doc does not corrupt its neighbors (reduceat edge)
+    batch2 = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": ["the cat sat on the mat and it was the", ""],
+        }
+    )
+    out3 = clf(batch2)
+    assert out3["pred_lang_model"].to_pylist()[0] == "en"
+    assert out3["margin_1e4"].to_pylist()[1] <= 1  # empty → ~zero logits
