@@ -15,9 +15,15 @@ import unicodedata
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# Line comments for the langs in the corpus. Block comments are left
-# alone in v1 (regex over multiline /* */ is quadratic-prone; the
-# comment_add perturbation only injects line comments).
+# Comment noise for the langs in the corpus. pyarrow's regex engine is
+# RE2 — linear-time, so the non-greedy multiline block patterns cannot
+# backtrack quadratically. RE2 has no backreferences, hence one pattern
+# per docstring quote style. Stripping triple-quoted literals also drops
+# real string constants — the same aggressive-noise-removal trade the
+# reference's standardize_name makes (inexus_parser.py:2295-2463).
+_BLOCK_COMMENT_RE = r"(?s)/\*.*?\*/"          # C/JS/Go/Java/Rust
+_DOCSTRING_DQ_RE = r'(?s)""".*?"""'           # Python docstrings
+_DOCSTRING_SQ_RE = r"(?s)'''.*?'''"
 _LINE_COMMENT_RE = r"(#|//|--)[^\n]*"
 
 
@@ -27,10 +33,14 @@ def normalize_content_arrow(
     lowercase: bool = True,
     strip_comments: bool = True,
 ) -> pa.Array | pa.ChunkedArray:
-    """Normalize a string column: drop line comments, fold all whitespace
-    runs to single spaces, trim, optionally lowercase."""
+    """Normalize a string column: drop block + line comments and Python
+    docstrings, fold all whitespace runs to single spaces, trim,
+    optionally lowercase."""
     col = content
     if strip_comments:
+        col = pc.replace_substring_regex(col, pattern=_BLOCK_COMMENT_RE, replacement="")
+        col = pc.replace_substring_regex(col, pattern=_DOCSTRING_DQ_RE, replacement="")
+        col = pc.replace_substring_regex(col, pattern=_DOCSTRING_SQ_RE, replacement="")
         col = pc.replace_substring_regex(col, pattern=_LINE_COMMENT_RE, replacement="")
     col = pc.replace_substring_regex(col, pattern=r"\s+", replacement=" ")
     col = pc.utf8_trim_whitespace(col)

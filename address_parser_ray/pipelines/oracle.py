@@ -235,6 +235,15 @@ ORACLE_SQL = {
         SELECT doc_id, CASE WHEN length(t) = 0 THEN 0 ELSE 1 END AS n_ngrams
         FROM d WHERE length(t) < 4
     """,
+    # split sizes are exact: floor(0.9*n) / remainder (pinned Ray rule)
+    "shuffle_split_write": """
+        SELECT 'test' AS part,
+               count(*) - CAST(floor(count(*) * 0.9) AS BIGINT) AS n
+        FROM documents
+        UNION ALL
+        SELECT 'train' AS part, CAST(floor(count(*) * 0.9) AS BIGINT) AS n
+        FROM documents
+    """,
     "event_value_extremes": """
         SELECT event_type,
                min(CAST(floor(value * 100) AS BIGINT)) AS min_cents,

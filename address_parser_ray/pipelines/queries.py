@@ -658,6 +658,112 @@ def q_media_features(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+_WINNOW_PAIR_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64())]
+)
+
+
+def q_winnow_dup_pairs(sf_dir: str):
+    """Winnowing near-dup (Schleimer et al., SIGMOD'03 — the MOSS
+    scheme): per doc, min-hash per sliding window of positional shingles
+    → fingerprint set; docs sharing ≥ 5 fingerprints are candidate dups.
+    Fingerprints appearing in > 64 docs are dropped (boilerplate), hot
+    groups are capped — the 6th dedup flavor. Non-SQL (positional
+    winnowing semantics)."""
+    from address_parser_ray.functions.hashing import (
+        char_shingle_hashes_positional,
+        splitmix64,
+        winnow_fingerprints,
+    )
+    from address_parser_ray.functions.normalize import normalize_content_arrow
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    MIN_SHARED, MAX_GROUP = 5, 64
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        norm = normalize_content_arrow(t["text"]).to_pylist()
+        ids = t["doc_id"].to_pylist()
+        fp_parts, id_parts = [], []
+        for d, x in zip(ids, norm):
+            fps = winnow_fingerprints(char_shingle_hashes_positional(x or "", 8), 16)
+            fp_parts.append(fps)
+            id_parts.append(np.full(fps.size, d, dtype=np.int64))
+        fp = np.concatenate(fp_parts) if fp_parts else np.empty(0, np.uint64)
+        did = np.concatenate(id_parts) if id_parts else np.empty(0, np.int64)
+        bucket = (splitmix64(fp) % np.uint64(nparts)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "fp": pa.array(fp.view(np.int64)),
+                "doc_id": pa.array(did),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        fp = np.asarray(group["fp"], dtype=np.int64)
+        ids = np.asarray(group["doc_id"], dtype=np.int64)
+        order = np.lexsort((ids, fp))
+        fp, ids = fp[order], ids[order]
+        keep = np.concatenate([[True], (fp[1:] != fp[:-1]) | (ids[1:] != ids[:-1])])
+        fp, ids = fp[keep], ids[keep]
+        if fp.size < 2:
+            return _WINNOW_PAIR_SCHEMA.empty_table()
+        change = np.flatnonzero(np.diff(fp)) + 1
+        starts = np.concatenate([[0], change])
+        lens = np.diff(np.concatenate([starts, [fp.size]]))
+        out_a, out_b = [], []
+        for m in np.unique(lens):
+            if m < 2 or m > MAX_GROUP:  # singleton or boilerplate fp
+                continue
+            sel = starts[lens == m]
+            idm = ids[sel[:, None] + np.arange(m)[None, :]]
+            iu, ju = np.triu_indices(int(m), k=1)
+            out_a.append(idm[:, iu].ravel())
+            out_b.append(idm[:, ju].ravel())
+        if not out_a:
+            return _WINNOW_PAIR_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+            }
+        )
+
+    exploded = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint, batch_format="pyarrow", zero_copy_batch=True
+    )
+    shared = (
+        exploded.groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n_shared"))
+    )
+    return shared.filter(expr=f"n_shared >= {MIN_SHARED}")
+
+
+def q_shuffle_split_write(sf_dir: str):
+    """T5 (``ner/merge_datasets.py:85-99``): seeded random_shuffle →
+    split_proportionately([0.9]) → partitioned parquet write, counts
+    read back from the WRITTEN files. Oracle: floor-based split sizes."""
+    import os
+    import tempfile
+
+    from address_parser_ray.pipelines.split import (
+        shuffle_split_write,
+        split_counts_table,
+    )
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"apr_split_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    counts = shuffle_split_write(
+        _docs(sf_dir, ["doc_id", "text", "lang"]), out, proportions=[0.9]
+    )
+    return split_counts_table(counts)
+
+
 def q_model_langid(sf_dir: str):
     """Warm-heavy-state model inference (reference A3,
     ``ner/ner_train.py:181-189``): a ~6 MB hashing-trick linear
@@ -1176,6 +1282,8 @@ QUERIES = {
     "media_sizes": q_media_sizes,
     "media_features": q_media_features,
     "model_langid": q_model_langid,
+    "shuffle_split_write": q_shuffle_split_write,
+    "winnow_dup_pairs": q_winnow_dup_pairs,
     "largest_doc_per_lang": q_largest_doc_per_lang,
     "top3_docs_per_source": q_top3_docs_per_source,
     "customers_per_region": q_customers_per_region,

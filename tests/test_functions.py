@@ -190,3 +190,26 @@ def test_sessionize():
     )
     assert sessionize(ts, 1800.0).tolist() == [0, 0, 1]
     assert sessionize(np.array([], dtype="datetime64[us]"), 1800.0).size == 0
+
+
+def test_normalize_strips_block_comments_and_docstrings():
+    """M1 parity: variants differing only in /* */ blocks or Python
+    docstrings must normalize identically (reference standardize_name's
+    aggressive noise stripping, inexus_parser.py:2295-2463)."""
+    import pyarrow as pa
+
+    from address_parser_ray.functions.normalize import normalize_content_arrow
+
+    base = "def f(x):\n    return x + 1\n"
+    with_doc = 'def f(x):\n    """adds one\n    to x"""\n    return x + 1\n'
+    with_sq = "def f(x):\n    '''adds one'''\n    return x + 1\n"
+    c_base = "int f(int x) { return x + 1; }\n"
+    c_block = "/* adds one\n   to x */\nint f(int x) { return x + 1; }\n"
+    out = normalize_content_arrow(
+        pa.array([base, with_doc, with_sq, c_base, c_block])
+    ).to_pylist()
+    assert out[0] == out[1] == out[2]
+    assert out[3] == out[4]
+    # unterminated block comment is left alone (no catastrophic regex)
+    ok = normalize_content_arrow(pa.array(["a /* open forever"])).to_pylist()
+    assert "open" in ok[0]

@@ -60,6 +60,7 @@ SQL_CHECKED = [
     "quality_scores",
     "knn_bruteforce",
     "ngram_jaccard_stats",
+    "shuffle_split_write",
 ]
 
 
@@ -89,6 +90,7 @@ ROWS_ONLY = [
     "ngram_jaccard_pairs",
     "embedding_near_dup",
     "residual_tokens",
+    "winnow_dup_pairs",
 ]
 
 
