@@ -79,9 +79,19 @@ class PipelineConfig:
     #: (inexus_parser.py:2852-2941). Sketches miss heavy identifier
     #: renames; char-4-grams of the content survive them.
     content_rescore: bool = True
-    #: sketch-Jaccard floor for the rescore band (pairs below it are
-    #: hopeless; pairs at/above match_threshold are already matched).
-    rescore_gate: float = 0.12
+    #: the content blend is ESTIMATED for every gated pair from a second
+    #: OPH MinHash over char-4-grams (computed once per record in the
+    #: fingerprint pass — the Ray-native way to "re-read content" is to
+    #: precompute the content feature in the single content pass); the
+    #: exact content join below runs only where sketch noise could flip
+    #: the decision: |estimated score − match_threshold| < rescore_margin.
+    rescore_margin: float = 0.08
+    #: 4-gram shingle width of the fine (rename-robust) sketch.
+    fine_shingle_k: int = 4
+    #: band pair count at or below which the band's id set is pulled to
+    #: the driver and broadcast as a semi-join filter (16 B/pair → ≤32 MB
+    #: at the gate); above it, the full bucketed content join runs.
+    rescore_band_max_driver_pairs: int = 2_000_000
     #: blend weights for the content score:
     #: w_content_shingle * exactJaccard(k=shingle_k)
     #: + w_content_4gram * exactJaccard(k=4). Measured margins on the

@@ -402,8 +402,12 @@ def write_corpus_ray(
 
     full = (
         ray.data.range(n_seeds)
-        .repartition(max(4, n_seeds // 50))
-        .map_batches(gen, batch_format="pyarrow", batch_size=50)
+        # bounded fan-out: ~1000 corpus rows per output block. 50-row
+        # blocks made the downstream read schedule ~1000 tiny tasks,
+        # which caps strong-scaling at high cpu counts on driver
+        # scheduling throughput, not compute.
+        .repartition(max(4, min(256, n_seeds // 200)))
+        .map_batches(gen, batch_format="pyarrow", batch_size=200)
         .materialize()
     )
     full.select_columns(list(_CORPUS_COLS)).write_parquet(corpus_dir)

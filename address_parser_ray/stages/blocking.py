@@ -327,10 +327,14 @@ def _reduce_feats(cfg: PipelineConfig):
         tmh = decode_sig_column(t["token_minhash"], cfg.token_num_perm)[
             :, : cfg.score_token_lanes
         ]
+        fmh = decode_sig_column(t["fine_minhash"], cfg.num_perm)[
+            :, : cfg.score_char_lanes
+        ]
         # 16-bit equality lanes: per-lane random collision (2^-16) adds
         # +1.5e-5 to the Jaccard estimate — unmeasurable; payload halves.
         mh16 = np.ascontiguousarray((mh & np.uint64(0xFFFF)).astype(np.uint16))
         tmh16 = np.ascontiguousarray((tmh & np.uint64(0xFFFF)).astype(np.uint16))
+        fmh16 = np.ascontiguousarray((fmh & np.uint64(0xFFFF)).astype(np.uint16))
         sha = t["content_sha256"].to_pylist()
         sha64 = np.array(
             [int(s[:16], 16) - (1 << 63) if s else 0 for s in sha], dtype=np.int64
@@ -346,6 +350,9 @@ def _reduce_feats(cfg: PipelineConfig):
                 "tmh_sk": pa.array(
                     [tmh16[i].tobytes() for i in range(n)], type=pa.binary()
                 ),
+                "fmh_sk": pa.array(
+                    [fmh16[i].tobytes() for i in range(n)], type=pa.binary()
+                ),
             }
         )
 
@@ -357,7 +364,9 @@ def attach_features(pairs, reps, cfg: PipelineConfig = DEFAULT_CONFIG,
     """Join each side's compact sketches onto the unique pairs (two
     bucketed hash joins on the reduced features table — cheaper than
     exploding signatures ~33× per record through the blocking shuffle)."""
-    feat_cols = ["record_id", "sha64", "path", "lang", "n_chars", "mh_sk", "tmh_sk"]
+    feat_cols = [
+        "record_id", "sha64", "path", "lang", "n_chars", "mh_sk", "tmh_sk", "fmh_sk"
+    ]
     num_partitions = default_num_partitions(num_partitions)
     payload = [c for c in feat_cols if c != "record_id"]
     feats = reps.map_batches(

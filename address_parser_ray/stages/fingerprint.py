@@ -57,6 +57,7 @@ def fingerprint_schema(cfg: PipelineConfig) -> pa.Schema:
             # round-trips; decode with np.frombuffer(dtype=np.uint64).
             ("minhash", pa.binary()),
             ("token_minhash", pa.binary()),
+            ("fine_minhash", pa.binary()),
             ("simhash", pa.uint64()),
         ]
     )
@@ -92,6 +93,7 @@ class Fingerprinter:
         rid = np.empty(n, dtype=np.int64)
         mh = np.empty((n, cfg.num_perm), dtype=np.uint64)
         tmh = np.empty((n, cfg.token_num_perm), dtype=np.uint64)
+        fmh = np.empty((n, cfg.num_perm), dtype=np.uint64)
         sh = np.empty(n, dtype=np.uint64)
         n_tok = np.empty(n, dtype=np.int64)
         for i in range(n):
@@ -104,6 +106,12 @@ class Fingerprinter:
             # bound: an (S × 128) temp per doc).
             mh[i] = oph_minhash(shingles, cfg.num_perm, cfg.seed)
             tmh[i] = oph_minhash(toks, cfg.token_num_perm, cfg.seed + 7)
+            # fine (4-gram) sketch: rename-robust content evidence for
+            # the P2 content blend (estimated in the scorer, verified
+            # exactly only in the near-threshold band)
+            fmh[i] = oph_minhash(
+                char_shingle_hashes(t, cfg.fine_shingle_k), cfg.num_perm, cfg.seed + 13
+            )
             # SimHash over the min-2048 shingle sample (unique() sorts, so
             # the prefix IS the deterministic min-k sketch) — full-set
             # SimHash is pure memory bandwidth on large files.
@@ -125,6 +133,9 @@ class Fingerprinter:
                 "minhash": pa.array([mh[i].tobytes() for i in range(n)], type=pa.binary()),
                 "token_minhash": pa.array(
                     [tmh[i].tobytes() for i in range(n)], type=pa.binary()
+                ),
+                "fine_minhash": pa.array(
+                    [fmh[i].tobytes() for i in range(n)], type=pa.binary()
                 ),
                 "simhash": pa.array(sh),
             }

@@ -8,10 +8,14 @@ rich rapidfuzz blend (ratio/partial_ratio/WRatio + component boosts,
 ``fuzz/inexus_parser.py:2852-2941``) computed for every pair that
 survives the cheap Dice gate; this stage is the Ray-native equivalent:
 
-- band  = pairs below ``match_threshold`` whose sketch Jaccard is still
-  ≥ ``rescore_gate`` (hopeless pairs are skipped — the Dice-gate rule);
-- content is RE-JOINED by record id through the bucketed reduce-side
-  join (never broadcast: the 100-TB verify-join shape);
+- band  = pairs whose ESTIMATED score (stage 2 already blends a
+  4-gram-MinHash content estimate) lies within ``rescore_margin`` of the
+  match threshold — exactly where sketch noise can flip the decision;
+- content comes back by record id: the band's id set broadcasts as a
+  semi-join filter and the surviving text SLICE broadcasts when it fits
+  the byte budget (both size-gated); above either gate the full bucketed
+  reduce-side join runs — the 100-TB verify-join shape. The whole corpus
+  text is never driver-materialized;
 - content score = w_content_shingle · exactJaccard(k = shingle_k)
   + w_content_4gram · exactJaccard(k = 4): 4-grams survive identifier
   suffix renames (the old identifier's substrings remain), wide shingles
@@ -37,21 +41,39 @@ from address_parser_ray.functions.normalize import normalize_content_arrow
 from address_parser_ray.functions.similarity import exact_jaccard
 from address_parser_ray.rayutil import default_num_partitions, pinned_join, project
 
-def corpus_norm_texts(corpus, cfg: PipelineConfig = DEFAULT_CONFIG):
-    """corpus → (record_id, norm_text): the SAME normalization the
+def corpus_norm_texts(corpus, cfg: PipelineConfig = DEFAULT_CONFIG, keep_ref=None):
+    """corpus → (record_id, lang, norm_text): the SAME normalization the
     fingerprint stage applies, so content evidence is computed over the
-    text the sketches were built from."""
+    text the sketches were built from.
+
+    ``keep_ref``: optional ``ray.put`` of a sorted int64 id array — the
+    broadcast side of a semi-join. Rows are filtered BY ID FIRST and only
+    survivors are normalized, so a narrow rescore band never pays
+    normalization or shuffle for the other 99% of the corpus."""
+    import ray
 
     def fn(t: pa.Table) -> pa.Table:
+        rid = np.fromiter(
+            (
+                stable_id64(r or "", p or "", c or "")
+                for r, p, c in zip(
+                    t["repo"].to_pylist(),
+                    t["path"].to_pylist(),
+                    t["commit"].to_pylist(),
+                )
+            ),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        if keep_ref is not None:
+            keep = ray.get(keep_ref)
+            pos = np.clip(np.searchsorted(keep, rid), 0, max(0, len(keep) - 1))
+            mask = keep[pos] == rid if len(keep) else np.zeros(len(rid), bool)
+            t = t.filter(pa.array(mask))
+            rid = rid[mask]
         norm = normalize_content_arrow(
             t["content"], lowercase=cfg.lowercase, strip_comments=cfg.strip_comments
         )
-        rid = [
-            stable_id64(r or "", p or "", c or "")
-            for r, p, c in zip(
-                t["repo"].to_pylist(), t["path"].to_pylist(), t["commit"].to_pylist()
-            )
-        ]
         return pa.table(
             {
                 "record_id": pa.array(rid, type=pa.int64()),
@@ -93,14 +115,23 @@ class ContentRescorer:
         cache: dict[int, tuple] = {}
         sa = self._sets(batch["text_a"].to_pylist(), ids_a, cache)
         sb = self._sets(batch["text_b"].to_pylist(), ids_b, cache)
-        content = np.empty(n, dtype=np.float64)
+        j_wide = np.empty(n, dtype=np.float64)
+        j_fine = np.empty(n, dtype=np.float64)
         for i in range(n):
             (a_k, a_4), (b_k, b_4) = sa[i], sb[i]
-            content[i] = cfg.w_content_shingle * exact_jaccard(
-                a_k, b_k
-            ) + cfg.w_content_4gram * exact_jaccard(a_4, b_4)
-        sketch = np.asarray(batch["score"], dtype=np.float64)
-        final = np.maximum(sketch, content)
+            j_wide[i] = exact_jaccard(a_k, b_k)
+            j_fine[i] = exact_jaccard(a_4, b_4)
+        # replace every ESTIMATED Jaccard with its exact value and
+        # re-evaluate both blends — exact evidence supersedes sketch
+        # noise in either direction (promote or demote)
+        blend = (
+            cfg.w_shingle * j_wide
+            + cfg.w_token * np.asarray(batch["jacc_token"], dtype=np.float64)
+            + cfg.w_path * np.asarray(batch["jw_path"], dtype=np.float64)
+            + cfg.w_size * np.asarray(batch["size_sim"], dtype=np.float64)
+        )
+        content = cfg.w_content_shingle * j_wide + cfg.w_content_4gram * j_fine
+        final = np.maximum(blend, content)
         is_match = final >= cfg.match_threshold
         if cfg.enforce_lang_consistency:
             # re-apply the P4 lang rule: content evidence must not
@@ -129,6 +160,35 @@ def content_rescore_batch(batch: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG)
     return ContentRescorer(cfg)(batch)
 
 
+def _broadcast_rescore_fn(cfg: PipelineConfig, tref):
+    """Rescore band pairs against a BROADCAST (ids, langs, texts) triple:
+    searchsorted lookup per side, then the same exact-blend math as the
+    join path (via ContentRescorer on a synthesized joined batch)."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rid, langs, txts = ray.get(tref)
+        a = np.asarray(batch["id_a"]).astype(np.int64)
+        b = np.asarray(batch["id_b"]).astype(np.int64)
+        ia = np.searchsorted(rid, a)
+        ib = np.searchsorted(rid, b)
+        if not ((rid[np.clip(ia, 0, len(rid) - 1)] == a).all()
+                and (rid[np.clip(ib, 0, len(rid) - 1)] == b).all()):
+            raise KeyError("band pair references id missing from text slice")
+        joined = batch.append_column(
+            "lang_a", pa.array([langs[i] for i in ia], type=pa.string())
+        ).append_column(
+            "text_a", pa.array([txts[i] for i in ia], type=pa.string())
+        ).append_column(
+            "lang_b", pa.array([langs[i] for i in ib], type=pa.string())
+        ).append_column(
+            "text_b", pa.array([txts[i] for i in ib], type=pa.string())
+        )
+        return ContentRescorer(cfg)(joined)
+
+    return fn
+
+
 def content_rescore_stage(
     scored,
     corpus,
@@ -144,13 +204,86 @@ def content_rescore_stage(
     demoted in stage 2; lang travels with the content join and the rule
     is re-applied after blending, so content evidence can never resurrect
     a cross-lang edge."""
+    import ray
+
     nparts = default_num_partitions(num_partitions)
-    band_expr = f"is_match == False and jacc_shingle >= {cfg.rescore_gate}"
-    band = scored.filter(expr=band_expr)
-    rest = scored.filter(
-        expr=f"is_match == True or jacc_shingle < {cfg.rescore_gate}"
-    )
-    texts = corpus_norm_texts(corpus, cfg)
+    lo = cfg.match_threshold - cfg.rescore_margin
+    hi = cfg.match_threshold + cfg.rescore_margin
+    # only pairs whose ESTIMATED score sits within sketch noise of the
+    # threshold need exact verification; score == 1.0 (sha-exact) never
+    # does. The fine-sketch estimate in stage 2 already promoted the
+    # clear content matches, so this band is narrow (measured ≲2% of
+    # pairs on the bench corpus).
+    band = scored.filter(expr=f"score >= {lo} and score < {hi}").materialize()
+    rest = scored.filter(expr=f"score < {lo} or score >= {hi}")
+    n_band = band.count()
+    if n_band == 0:
+        return scored
+
+    keep_ref = None
+    if n_band <= cfg.rescore_band_max_driver_pairs:
+        # semi-join reduction: the band's id set broadcasts (two int64
+        # columns of a SMALL pair table), the corpus is filtered by id
+        # BEFORE normalization/shuffle. Above the gate, the full
+        # bucketed join takes over (same result, no driver pull).
+        ids = np.unique(
+            np.concatenate(
+                [
+                    np.concatenate(
+                        [np.asarray(b["id_a"]), np.asarray(b["id_b"])]
+                    ).astype(np.int64)
+                    for b in band.iter_batches(
+                        batch_size=1 << 20, batch_format="pyarrow"
+                    )
+                ]
+            )
+        )
+        keep_ref = ray.put(ids)
+
+    if keep_ref is not None:
+        # the band's text slice fits the broadcast budget in virtually
+        # every real run (band ≲2% of pairs) — broadcast it once via
+        # ray.put and score without any join shuffle (two sort-shuffles
+        # of wide text payloads measured 30 s on a 22k-pair band vs <1 s
+        # for the broadcast lookup).
+        texts_ds = corpus_norm_texts(corpus, cfg, keep_ref=keep_ref).materialize()
+        if texts_ds.size_bytes() <= cfg.broadcast_feats_max_bytes:
+            batches = [
+                b
+                for b in texts_ds.iter_batches(
+                    batch_size=1 << 18, batch_format="pyarrow"
+                )
+            ]
+            if not batches:
+                raise ValueError(
+                    "rescore band references record ids absent from the "
+                    "corpus — the corpus dataset likely re-executed "
+                    "non-deterministically (e.g. a lazy .limit()/sample "
+                    "upstream). Materialize the corpus before "
+                    "dedup_pipeline()."
+                )
+            tbl = pa.concat_tables(batches)
+            rid = np.asarray(tbl["record_id"]).astype(np.int64)
+            order = np.argsort(rid)
+            langs = tbl["lang"].to_pylist()
+            txts = tbl["norm_text"].to_pylist()
+            tref = ray.put(
+                (
+                    rid[order],
+                    [langs[i] for i in order],
+                    [txts[i] for i in order],
+                )
+            )
+            rescored = band.map_batches(
+                _broadcast_rescore_fn(cfg, tref),
+                batch_format="pyarrow",
+                batch_size=256,
+                zero_copy_batch=True,
+            )
+            return rest.union(rescored)
+        texts = texts_ds
+    else:
+        texts = corpus_norm_texts(corpus, cfg, keep_ref=keep_ref)
     j = pinned_join(
         band,
         project(

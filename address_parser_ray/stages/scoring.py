@@ -37,7 +37,7 @@ from address_parser_ray.rayutil import default_concurrency, project
 
 def _score_arrays(cfg, ids_a, ids_b, mh_a, mh_b, tmh_a, tmh_b,
                   nc_a, nc_b, sha_a, sha_b, path_a, path_b,
-                  lang_a=None, lang_b=None) -> pa.Table:
+                  lang_a=None, lang_b=None, fmh_a=None, fmh_b=None) -> pa.Table:
     """Shared scoring math for both scorer variants (joined columns vs
     broadcast lookup)."""
     n = len(ids_a)
@@ -49,17 +49,36 @@ def _score_arrays(cfg, ids_a, ids_b, mh_a, mh_b, tmh_a, tmh_b,
     size_sim = np.where(hi > 0, np.minimum(nc_a, nc_b) / np.where(hi > 0, hi, 1), 1.0)
     exact = sha_a == sha_b
 
+    # fine (4-gram) Jaccard estimate: rename-robust content evidence
+    # (reference P2 content blend, estimated from the per-record sketch)
+    fj = None
+    if cfg.content_rescore and fmh_a is not None:
+        fj = (fmh_a == fmh_b).mean(axis=1)
+
     gate = (jacc >= cfg.jaccard_gate) | exact
+    if fj is not None:
+        # a heavy rename can push the wide-shingle estimate under the
+        # gate while 4-gram similarity stays high — let it through
+        gate = gate | (fj >= cfg.jaccard_gate)
+
+    base = cfg.w_shingle * jacc + cfg.w_token * tjacc + cfg.w_size * size_sim
+    # path Jaro-Winkler is the one per-pair PYTHON kernel — compute it
+    # only where its ≤ w_path contribution can move the pair into the
+    # decision window [threshold − margin, threshold + margin); outside
+    # that window the match decision (and band membership) is already
+    # settled without it. Deterministic: need is a pure function of base.
+    margin = cfg.rescore_margin if cfg.content_rescore else 0.0
+    lo = cfg.match_threshold - margin
+    hi = cfg.match_threshold + margin
+    need_jw = gate & ~exact & (base + cfg.w_path >= lo) & (base < hi)
     jw = np.zeros(n, dtype=np.float64)
-    for i in np.flatnonzero(gate):
+    for i in np.flatnonzero(need_jw):
         jw[i] = jaro_winkler(path_a[i] or "", path_b[i] or "")
 
-    score = (
-        cfg.w_shingle * jacc
-        + cfg.w_token * tjacc
-        + cfg.w_path * jw
-        + cfg.w_size * size_sim
-    )
+    score = base + cfg.w_path * jw
+    if fj is not None:
+        content_est = cfg.w_content_shingle * jacc + cfg.w_content_4gram * fj
+        score = np.maximum(score, content_est)
     score = np.where(exact, 1.0, np.where(gate, score, 0.0))
     is_match = score >= cfg.match_threshold
     # P4 analogue (hierarchy-constrained resolution,
@@ -112,6 +131,8 @@ class PairScorer:
             batch["path_b"].to_pylist(),
             batch["lang_a"].to_pylist(),
             batch["lang_b"].to_pylist(),
+            decode_sig_column(batch["fmh_sk_a"], P, dtype=np.uint16),
+            decode_sig_column(batch["fmh_sk_b"], P, dtype=np.uint16),
         )
 
 
@@ -128,25 +149,27 @@ class BroadcastPairScorer:
         self.cfg = cfg
         t: pa.Table = ray.get(feats_ref)
         ids = np.asarray(t["record_id"]).astype(np.int64)
-        order = np.argsort(ids, kind="stable")
-        self.ids = ids[order]
+        # columns stay in table order (zero-copy views of the shared
+        # object-store buffers — reordering would copy ~90 MB per actor);
+        # lookups go through one sorted-permutation indirection instead.
+        self.sort_idx = np.argsort(ids, kind="stable")
+        self.ids_sorted = ids[self.sort_idx]
         P, TP = cfg.score_char_lanes, cfg.score_token_lanes
-        self.mh = decode_sig_column(t["mh_sk"], P, dtype=np.uint16)[order]
-        self.tmh = decode_sig_column(t["tmh_sk"], TP, dtype=np.uint16)[order]
-        self.sha = np.asarray(t["sha64"]).astype(np.int64)[order]
-        self.nc = np.asarray(t["n_chars"]).astype(np.int64)[order]
-        paths = t["path"].to_pylist()
-        self.path = [paths[i] for i in order]
-        langs = t["lang"].to_pylist()
-        self.lang = [langs[i] for i in order]
+        self.mh = decode_sig_column(t["mh_sk"], P, dtype=np.uint16)
+        self.tmh = decode_sig_column(t["tmh_sk"], TP, dtype=np.uint16)
+        self.sha = np.asarray(t["sha64"]).astype(np.int64)
+        self.nc = np.asarray(t["n_chars"]).astype(np.int64)
+        self.path = t["path"].to_pylist()
+        self.lang = t["lang"].to_pylist()
+        self.fmh = decode_sig_column(t["fmh_sk"], P, dtype=np.uint16)
 
     def _gather(self, ids: np.ndarray) -> np.ndarray:
-        idx = np.searchsorted(self.ids, ids)
-        idx = np.clip(idx, 0, len(self.ids) - 1)
-        if not (self.ids[idx] == ids).all():
-            missing = ids[self.ids[idx] != ids][:3]
+        pos = np.searchsorted(self.ids_sorted, ids)
+        pos = np.clip(pos, 0, len(self.ids_sorted) - 1)
+        if not (self.ids_sorted[pos] == ids).all():
+            missing = ids[self.ids_sorted[pos] != ids][:3]
             raise KeyError(f"pair references unknown record ids: {missing}")
-        return idx
+        return self.sort_idx[pos]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -165,6 +188,8 @@ class BroadcastPairScorer:
             [self.path[i] for i in ib],
             [self.lang[i] for i in ia],
             [self.lang[i] for i in ib],
+            self.fmh[ia],
+            self.fmh[ib],
         )
 
 
@@ -188,8 +213,10 @@ def scoring_stage(pairs_with_features, cfg: PipelineConfig = DEFAULT_CONFIG):
     # in per-execution actor spawns than it gains in parallelism.
     pool = cfg.scorer_concurrency
     if pool is None:
-        full = default_concurrency(None)  # already leaves CPU headroom
-        pool = min(8, max(2, full // 3))
+        # scale the pool WITH the machine (a fixed cap of 8 actors made
+        # the stage scale 1.3x from 8->32 cpus); keep headroom for the
+        # upstream read/shuffle operators sharing the execution.
+        pool = max(2, default_concurrency(None) // 2)
     return pairs_with_features.map_batches(
         PairScorer,
         fn_constructor_kwargs={"cfg": cfg},
@@ -212,8 +239,7 @@ def scoring_stage_broadcast(pairs, feats, cfg: PipelineConfig = DEFAULT_CONFIG):
     feats_ref = ray.put(feats_table)
     pool = cfg.scorer_concurrency
     if pool is None:
-        full = default_concurrency(None)
-        pool = min(8, max(2, full // 3))
+        pool = max(2, default_concurrency(None) // 2)
     return pairs.map_batches(
         BroadcastPairScorer,
         fn_constructor_kwargs={"cfg": cfg, "feats_ref": feats_ref},
