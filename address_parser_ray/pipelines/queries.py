@@ -613,35 +613,37 @@ def q_media_sizes(sf_dir: str):
 
 
 class MediaFeatureExtractor:
-    """Actor-pool multimodal stage: decode is STUBBED (no image/audio libs
-    in this container) with a deterministic fake; the Ray-side shape —
-    actor state in __init__, binary batches in, typed features out — is
-    real. Swap ``_decode_stub`` for a real decoder on a cluster with
-    codecs installed."""
+    """Actor-pool multimodal stage with a REAL decoder: payloads are
+    binary PGM images (synthesized deterministically from the doc bytes —
+    the testdata has no media column — but every byte of the decode path
+    is real: header parse → raster view → vectorized features). Formats
+    that need codec libraries (JPEG/PNG) raise NotImplementedError with
+    the codec name; see ``functions/media.py``."""
 
     def __init__(self):
-        import hashlib
+        from address_parser_ray.functions.media import (
+            decode_image,
+            raster_features,
+            synth_pgm_from_bytes,
+        )
 
-        self._h = hashlib.blake2b
-
-    def _decode_stub(self, payload: bytes) -> tuple[int, int, str]:
-        # Deterministic fake of (width, height, codec). A real decoder
-        # would raise NotImplementedError here if codecs were required:
-        # raise NotImplementedError("image decode requires pillow")
-        d = self._h(payload, digest_size=8).digest()
-        return 16 + d[0] % 64, 16 + d[1] % 64, ["raw", "rle", "lz"][d[2] % 3]
+        self._decode = decode_image
+        self._features = raster_features
+        self._synth = synth_pgm_from_bytes
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        payloads = [(x or "").encode("utf-8") for x in t["text"].to_pylist()]
-        dims = [self._decode_stub(p) for p in payloads]
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "width": pa.array([d[0] for d in dims], type=pa.int64()),
-                "height": pa.array([d[1] for d in dims], type=pa.int64()),
-                "codec": pa.array([d[2] for d in dims], type=pa.string()),
-            }
-        )
+        payloads = [
+            self._synth((x or "").encode("utf-8")) for x in t["text"].to_pylist()
+        ]
+        rows = []
+        for p in payloads:
+            w, h, raster = self._decode(p)
+            rows.append({"width": w, "height": h, **self._features(raster)})
+        cols = {"doc_id": t["doc_id"]}
+        for k in ("width", "height", "mean_gray_1e4", "std_gray_1e4",
+                  "nonzero_px", "edge_energy_1e4"):
+            cols[k] = pa.array([r[k] for r in rows], type=pa.int64())
+        return pa.table(cols)
 
 
 def q_media_features(sf_dir: str):

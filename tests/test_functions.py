@@ -213,3 +213,34 @@ def test_normalize_strips_block_comments_and_docstrings():
     # unterminated block comment is left alone (no catastrophic regex)
     ok = normalize_content_arrow(pa.array(["a /* open forever"])).to_pylist()
     assert "open" in ok[0]
+
+
+def test_media_pgm_roundtrip_and_codec_errors():
+    """Real multimodal decode: PGM encode/decode round-trips exactly;
+    codec-requiring formats fail loudly with the codec name."""
+    import numpy as np
+    import pytest
+
+    from address_parser_ray.functions.media import (
+        decode_image,
+        encode_pgm,
+        raster_features,
+        synth_pgm_from_bytes,
+    )
+
+    raster = (np.arange(12, dtype=np.uint8) * 7).reshape(3, 4)
+    w, h, back = decode_image(encode_pgm(raster))
+    assert (w, h) == (4, 3)
+    assert (back == raster).all()
+
+    payload = synth_pgm_from_bytes(b"hello media world", width=8)
+    w, h, r = decode_image(payload)
+    assert w == 8 and h == 3 and r[0, 0] == ord("h")
+    feats = raster_features(r)
+    assert feats["nonzero_px"] == 17
+    assert feats["mean_gray_1e4"] > 0
+
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        decode_image(b"\xff\xd8\xff\xe0rest")
+    with pytest.raises(NotImplementedError, match="png"):
+        decode_image(b"\x89PNG\r\n")
