@@ -71,6 +71,76 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def _ray_up():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_generate(args) -> int:
+    """Synthetic labeled-corpus generation (the reference's
+    build_standard_dataset entry point, parallelized)."""
+    ray = _ray_up()
+    from address_parser_ray.fixtures.generator import write_corpus_ray
+
+    corpus_dir, labels_dir = write_corpus_ray(
+        args.out,
+        n_seeds=args.n_seeds,
+        variants_per_seed=args.variants_per_seed,
+        global_seed=args.seed,
+        file_scale=args.file_scale,
+    )
+    import ray.data as rd
+
+    n = rd.read_parquet(corpus_dir).count()
+    print(json.dumps({"corpus": corpus_dir, "labels": labels_dir, "rows": n}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_split(args) -> int:
+    """Seeded shuffle → proportional split → partitioned write (the
+    reference's merge_datasets entry point)."""
+    ray = _ray_up()
+    import ray.data as rd
+
+    from address_parser_ray.pipelines.split import shuffle_split_write
+
+    ds = rd.read_parquet(args.input)
+    props = [float(x) for x in args.proportions.split(",")]
+    names = args.names.split(",")
+    counts = shuffle_split_write(ds, args.out, props, names, seed=args.seed)
+    print(json.dumps({"splits": counts, "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_infer(args) -> int:
+    """Batched model inference over a documents table (the reference's
+    ner_train prediction surface): warm hashing-trick classifier."""
+    ray = _ray_up()
+    import ray.data as rd
+
+    from address_parser_ray.stages.inference import model_inference_stage
+
+    ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    out = model_inference_stage(ds, num_gpus=args.num_gpus)
+    out.write_parquet(args.output)
+    print(json.dumps({"rows": out.count(), "output": args.output}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="address_parser_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -86,6 +156,28 @@ def main(argv=None) -> int:
     d.add_argument("--max-pairs-per-block", type=int, default=None)
     d.add_argument("--shingle-k", type=int, default=None)
     d.set_defaults(fn=cmd_dedup)
+
+    g = sub.add_parser("generate", help="synthetic labeled corpus → parquet")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-seeds", type=int, default=1000)
+    g.add_argument("--variants-per-seed", type=int, default=8)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--file-scale", type=int, default=1)
+    g.set_defaults(fn=cmd_generate)
+
+    sp = sub.add_parser("split", help="seeded shuffle → proportional split → parquet")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--proportions", default="0.9", help="comma list, last split is remainder")
+    sp.add_argument("--names", default="train,test")
+    sp.add_argument("--seed", type=int, default=42)
+    sp.set_defaults(fn=cmd_split)
+
+    inf = sub.add_parser("infer", help="documents parquet → model language predictions")
+    inf.add_argument("--input", required=True)
+    inf.add_argument("--output", required=True)
+    inf.add_argument("--num-gpus", type=float, default=0)
+    inf.set_defaults(fn=cmd_infer)
     args = p.parse_args(argv)
     return args.fn(args)
 
