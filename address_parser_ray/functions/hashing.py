@@ -123,6 +123,19 @@ def _rolling_window_hashes(arr: np.ndarray, k: int) -> np.ndarray:
         np.seterr(**old)
 
 
+def char_shingle_hashes_u64(arr: np.ndarray, k: int, unique: bool = True) -> np.ndarray:
+    """Core of ``char_shingle_hashes`` over an already-converted uint64
+    byte array (share ONE encode + dtype conversion across several k).
+    ``unique=False`` skips the sort — OPH MinHash is duplicate-
+    insensitive (min per bucket), so its inputs never need it."""
+    if arr.size < k:
+        if arr.size == 0:
+            return np.empty(0, dtype=_U64)
+        arr = np.concatenate([arr, np.full(k - arr.size, 32, dtype=_U64)])
+    h = splitmix64(_rolling_window_hashes(arr, k))
+    return np.unique(h) if unique else h
+
+
 def char_shingle_hashes(text: str, k: int) -> np.ndarray:
     """Unique 64-bit hashes of all char k-grams of ``text`` (vectorized).
 
@@ -131,15 +144,38 @@ def char_shingle_hashes(text: str, k: int) -> np.ndarray:
     uint64 wraparound, then a splitmix64 finalize.
     """
     data = text.encode("utf-8", "ignore")
-    if len(data) < k:
-        if not data:
-            return np.empty(0, dtype=_U64)
-        data = data + b" " * (k - len(data))  # short text → one padded shingle
     arr = np.frombuffer(data, dtype=np.uint8).astype(_U64)
-    return np.unique(splitmix64(_rolling_window_hashes(arr, k)))
+    return char_shingle_hashes_u64(arr, k, unique=True)
 
 
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def token_hashes_u64(arr: np.ndarray, unique: bool = True) -> tuple[np.ndarray, int]:
+    """(token hashes, token count) over an already-converted uint64 byte
+    array. ASCII-whitespace token runs; ``unique=False`` for OPH inputs."""
+    n = arr.size
+    if n == 0:
+        return np.empty(0, dtype=_U64), 0
+    old = np.seterr(over="ignore")
+    try:
+        is_sep = (arr == 32) | (arr == 10) | (arr == 9) | (arr == 13)
+        # segment starts/ends (token = maximal run of non-separator bytes)
+        tok = ~is_sep
+        starts = np.flatnonzero(tok & ~np.concatenate([[False], tok[:-1]]))
+        ends = np.flatnonzero(tok & ~np.concatenate([tok[1:], [False]])) + 1
+        if starts.size == 0:
+            return np.empty(0, dtype=_U64), 0
+        qpow = _powers(_POLY_BASE, n + 1, "q")
+        qinv = _powers(_POLY_INV, n + 1, "qinv")
+        C = np.cumsum(arr * qinv[:n], dtype=_U64)
+        seg = C[ends - 1] - np.where(starts > 0, C[starts - 1], _U64(0))
+        # normalize exponent so equal tokens hash equally wherever they
+        # appear, and mix in the length to separate prefixes
+        h = splitmix64(seg * qpow[starts] + (ends - starts).astype(_U64))
+        return (np.unique(h) if unique else h), int(starts.size)
+    finally:
+        np.seterr(**old)
 
 
 def token_hashes(text: str) -> np.ndarray:
@@ -149,29 +185,9 @@ def token_hashes(text: str) -> np.ndarray:
     Intended for already-normalized text (single-space separated); a
     hash-per-token Python loop costs ~1 µs × tokens × corpus."""
     data = text.encode("utf-8", "ignore")
-    if not data:
-        return np.empty(0, dtype=_U64)
     arr = np.frombuffer(data, dtype=np.uint8).astype(_U64)
-    n = arr.size
-    old = np.seterr(over="ignore")
-    try:
-        is_sep = (arr == 32) | (arr == 10) | (arr == 9) | (arr == 13)
-        # segment starts/ends (token = maximal run of non-separator bytes)
-        tok = ~is_sep
-        starts = np.flatnonzero(tok & ~np.concatenate([[False], tok[:-1]]))
-        ends = np.flatnonzero(tok & ~np.concatenate([tok[1:], [False]])) + 1
-        if starts.size == 0:
-            return np.empty(0, dtype=_U64)
-        qpow = _powers(_POLY_BASE, n + 1, "q")
-        qinv = _powers(_POLY_INV, n + 1, "qinv")
-        C = np.cumsum(arr * qinv[:n], dtype=_U64)
-        seg = C[ends - 1] - np.where(starts > 0, C[starts - 1], _U64(0))
-        # normalize exponent so equal tokens hash equally wherever they
-        # appear, and mix in the length to separate prefixes
-        h = splitmix64(seg * qpow[starts] + (ends - starts).astype(_U64))
-        return np.unique(h)
-    finally:
-        np.seterr(**old)
+    h, _ = token_hashes_u64(arr, unique=True)
+    return h
 
 
 def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -317,6 +333,28 @@ def char_shingle_hashes_positional(text: str, k: int) -> np.ndarray:
         return splitmix64((win * powers[::-1]).sum(axis=1, dtype=_U64))
     finally:
         np.seterr(**old)
+
+
+def string_column_byte_views(col) -> list[np.ndarray]:
+    """Zero-copy uint8 views of each string's UTF-8 bytes in an Arrow
+    string column (offsets + shared data buffer) — avoids the
+    str-decode/re-encode round trip per row. Nulls view as empty."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return []
+    offs = np.frombuffer(
+        arr.buffers()[1], dtype=np.int32, count=n + 1, offset=arr.offset * 4
+    )
+    dbuf = arr.buffers()[2]
+    data = (
+        np.frombuffer(dbuf, dtype=np.uint8)
+        if dbuf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return [data[offs[i]: offs[i + 1]] for i in range(n)]
 
 
 def decode_sig_column(col, num_perm: int, dtype=None) -> np.ndarray:

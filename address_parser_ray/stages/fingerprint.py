@@ -28,16 +28,15 @@ import pyarrow.compute as pc
 
 from address_parser_ray.config import DEFAULT_CONFIG, PipelineConfig
 from address_parser_ray.functions.hashing import (
-    char_shingle_hashes,
+    char_shingle_hashes_u64,
     oph_minhash,
-    sha256_hex,
     simhash64,
     stable_id64,
-    token_hashes,
+    string_column_byte_views,
+    token_hashes_u64,
 )
 from address_parser_ray.functions.normalize import basename_arrow, normalize_content_arrow
 from address_parser_ray.rayutil import default_concurrency
-from address_parser_ray.functions.text import WS_SPLIT
 
 
 def fingerprint_schema(cfg: PipelineConfig) -> pa.Schema:
@@ -78,29 +77,45 @@ class Fingerprinter:
         self.schema = fingerprint_schema(cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
         cfg = self.cfg
         content = batch["content"]
         norm = normalize_content_arrow(
             content, lowercase=cfg.lowercase, strip_comments=cfg.strip_comments
         )
-        norm_py = norm.to_pylist()
-        raw_py = content.to_pylist()
+        # zero-copy byte views straight off the Arrow buffers: no
+        # str-decode / re-encode round trip per row. NOTE: normalized
+        # text is ASCII-whitespace-collapsed, so token runs == regex
+        # \s+ splits; n_tokens counts byte runs.
+        norm_views = string_column_byte_views(norm)
+        raw_views = string_column_byte_views(
+            content.combine_chunks()
+            if isinstance(content, pa.ChunkedArray)
+            else content
+        )
         repo = batch["repo"].to_pylist()
         path = batch["path"].to_pylist()
         commit = batch["commit"].to_pylist()
 
-        n = len(norm_py)
+        n = len(norm_views)
         rid = np.empty(n, dtype=np.int64)
         mh = np.empty((n, cfg.num_perm), dtype=np.uint64)
         tmh = np.empty((n, cfg.token_num_perm), dtype=np.uint64)
         fmh = np.empty((n, cfg.num_perm), dtype=np.uint64)
         sh = np.empty(n, dtype=np.uint64)
         n_tok = np.empty(n, dtype=np.int64)
+        shas = []
         for i in range(n):
             rid[i] = stable_id64(repo[i] or "", path[i] or "", commit[i] or "")
-            t = norm_py[i] or ""
-            shingles = char_shingle_hashes(t, cfg.shingle_k)
-            toks = token_hashes(t)
+            shas.append(hashlib.sha256(raw_views[i]).hexdigest())
+            arr = norm_views[i].astype(np.uint64)  # ONE conversion per row
+            # wide shingles keep unique() — the sorted prefix IS the
+            # deterministic min-k sample SimHash draws from
+            shingles = char_shingle_hashes_u64(arr, cfg.shingle_k, unique=True)
+            # OPH is duplicate-insensitive: skip the sort for its inputs
+            fine = char_shingle_hashes_u64(arr, cfg.fine_shingle_k, unique=False)
+            toks, n_tok[i] = token_hashes_u64(arr, unique=False)
             # one-permutation hashing: one pass over the shingle set
             # instead of num_perm (classic MinHash is memory-bandwidth
             # bound: an (S × 128) temp per doc).
@@ -109,14 +124,11 @@ class Fingerprinter:
             # fine (4-gram) sketch: rename-robust content evidence for
             # the P2 content blend (estimated in the scorer, verified
             # exactly only in the near-threshold band)
-            fmh[i] = oph_minhash(
-                char_shingle_hashes(t, cfg.fine_shingle_k), cfg.num_perm, cfg.seed + 13
-            )
+            fmh[i] = oph_minhash(fine, cfg.num_perm, cfg.seed + 13)
             # SimHash over the min-2048 shingle sample (unique() sorts, so
             # the prefix IS the deterministic min-k sketch) — full-set
             # SimHash is pure memory bandwidth on large files.
             sh[i] = simhash64(shingles[:2048])
-            n_tok[i] = len(WS_SPLIT.split(t)) if t else 0
 
         n_chars = pc.cast(pc.utf8_length(content), pa.int64())
         return pa.table(
@@ -127,7 +139,7 @@ class Fingerprinter:
                 "commit": batch["commit"],
                 "lang": batch["lang"],
                 "basename": basename_arrow(batch["path"]),
-                "content_sha256": pa.array(sha256_hex(raw_py), type=pa.string()),
+                "content_sha256": pa.array(shas, type=pa.string()),
                 "n_chars": n_chars,
                 "n_tokens": pa.array(n_tok),
                 "minhash": pa.array([mh[i].tobytes() for i in range(n)], type=pa.binary()),
