@@ -221,14 +221,27 @@ def q_lang_counts(sf_dir: str):
 
 
 def q_doc_stats_by_lang(sf_dir: str):
-    """Per-lang size aggregates (int-exact)."""
+    """Per-lang size aggregates (int-exact), pre-combined per batch
+    (count/sum/max are associative) so the shuffle carries ~5 rows per
+    batch instead of every document."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", sort=False, as_index=False).agg(
+            part_n=("n_chars", "size"),
+            part_sum=("n_chars", "sum"),
+            part_max=("n_chars", "max"),
+        )
+        g["part_n"] = g["part_n"].astype(np.int64)
+        return g
+
     return (
         _docs(sf_dir, ["lang", "n_chars"])
+        .map_batches(partial, batch_format="pandas")
         .groupby("lang")
         .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_chars", alias_name="sum_chars"),
-            Max("n_chars", alias_name="max_chars"),
+            Sum("part_n", alias_name="n_docs"),
+            Sum("part_sum", alias_name="sum_chars"),
+            Max("part_max", alias_name="max_chars"),
         )
     )
 
@@ -236,16 +249,19 @@ def q_doc_stats_by_lang(sf_dir: str):
 def q_token_counts_by_lang(sf_dir: str):
     """Whitespace token counting, summed per lang (token-counting op)."""
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
             {"lang": df["lang"], "n_tokens": ws_token_count_series(df["text"])}
+        )
+        return df.groupby("lang", sort=False, as_index=False).agg(
+            part_sum=("n_tokens", "sum")
         )
 
     return (
         _docs(sf_dir, ["lang", "text"])
-        .map_batches(fn, batch_format="pandas")
+        .map_batches(partial, batch_format="pandas")
         .groupby("lang")
-        .aggregate(Sum("n_tokens", alias_name="sum_tokens"))
+        .aggregate(Sum("part_sum", alias_name="sum_tokens"))
     )
 
 
@@ -477,25 +493,35 @@ def q_top_customers(sf_dir: str):
 def q_events_hourly(sf_dir: str):
     """Tumbling-window aggregate over the events log — Ray Data has no
     event-time windows, so the window is the group key
-    (ray_guide "Streaming-shaped workloads"). Ordering assumption: none
-    needed for tumbling count/sum."""
+    (ray_guide "Streaming-shaped workloads"). Aggregation is PARTIAL
+    inside ``map_batches`` (arrow group_by per batch: count+sum are
+    associative) — ~2k partial rows per batch enter the shuffle instead
+    of every event row. Ordering assumption: none."""
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
     )
 
-    def win(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
             {
                 "event_type": df["event_type"],
                 "hour": df["ts"].dt.floor("h"),
                 "value_cents": np.floor(df["value"].to_numpy() * 100.0).astype(np.int64),
             }
         )
+        g = df.groupby(["event_type", "hour"], sort=False, as_index=False).agg(
+            part_n=("value_cents", "size"), part_sum=("value_cents", "sum")
+        )
+        g["part_n"] = g["part_n"].astype(np.int64)
+        return g
 
     return (
-        ev.map_batches(win, batch_format="pandas")
+        ev.map_batches(partial, batch_format="pandas")
         .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+        .aggregate(
+            Sum("part_n", alias_name="n_events"),
+            Sum("part_sum", alias_name="sum_value_cents"),
+        )
     )
 
 
