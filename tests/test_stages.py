@@ -245,3 +245,29 @@ def test_model_inference_state_loads_once(ray_session):
     out3 = clf(batch2)
     assert out3["pred_lang_model"].to_pylist()[0] == "en"
     assert out3["margin_1e4"].to_pylist()[1] <= 1  # empty → ~zero logits
+
+
+def test_hot_key_probe_paths_agree(ray_session, fixture_corpus):
+    """The driver-merge and distributed-groupby hot-key probe paths must
+    produce identical hot dictionaries (gate equivalence discipline)."""
+    from unittest import mock
+
+    import address_parser_ray.stages.blocking as B
+    from address_parser_ray.config import DEFAULT_CONFIG
+    from address_parser_ray.sources import read_corpus
+    from address_parser_ray.stages.exact_dedup import exact_dedup_stage, representatives
+    from address_parser_ray.stages.fingerprint import fingerprint_stage
+
+    corpus_dir, _ = fixture_corpus
+    reps = representatives(
+        exact_dedup_stage(fingerprint_stage(read_corpus(corpus_dir)))
+    ).materialize()
+    key_input = reps.select_columns(["record_id", "minhash", "lang", "basename"])
+    exploded = key_input.map_batches(
+        B.emit_keys, fn_kwargs={"cfg": DEFAULT_CONFIG}, batch_format="pyarrow"
+    )
+    driver_hot = B.find_hot_keys(exploded, DEFAULT_CONFIG)
+    with mock.patch.object(B, "DRIVER_PROBE_MAX_ROWS", 0):
+        dist_hot = B.find_hot_keys(exploded, DEFAULT_CONFIG)
+    assert driver_hot == dist_hot
+    assert len(driver_hot) > 0  # the fixture's hot basename must register
