@@ -244,6 +244,40 @@ ORACLE_SQL = {
         SELECT 'train' AS part, CAST(floor(count(*) * 0.9) AS BIGINT) AS n
         FROM documents
     """,
+    # detect_lang parity: argmax of stopword hits over the first 4000
+    # chars, strict-> loop over langs sorted asc == first CASE branch
+    # hitting the max. The CJK branch never fires on the ASCII testdata
+    # (documented assumption, same as ngram_jaccard_stats).
+    "langid_pred": """
+        WITH w AS (
+            SELECT doc_id, lang,
+                   list_transform(
+                       regexp_extract_all(
+                           substr(COALESCE(text, ''), 1, 4000), '[a-zA-Z]+'),
+                       x -> lower(x)) AS words
+            FROM documents
+        ), h AS (
+            SELECT doc_id, lang,
+                   len(list_filter(words, x -> list_contains(
+                       ['der','die','das','und','ist','nicht','ein','eine','mit','von','zu'], x))) AS h_de,
+                   len(list_filter(words, x -> list_contains(
+                       ['the','and','of','to','a','in','is','that','for','it','with','was'], x))) AS h_en,
+                   len(list_filter(words, x -> list_contains(
+                       ['el','la','los','las','es','una','del','que','por','para','como'], x))) AS h_es,
+                   len(list_filter(words, x -> list_contains(
+                       ['le','la','les','et','est','une','des','dans','que','pour','pas'], x))) AS h_fr
+            FROM w
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'
+                    WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                    WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                    WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                    ELSE 'fr'
+               END AS pred_lang,
+               lang
+        FROM h
+    """,
     "event_value_extremes": """
         SELECT event_type,
                min(CAST(floor(value * 100) AS BIGINT)) AS min_cents,

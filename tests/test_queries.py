@@ -61,6 +61,7 @@ SQL_CHECKED = [
     "knn_bruteforce",
     "ngram_jaccard_stats",
     "shuffle_split_write",
+    "langid_pred",
 ]
 
 
@@ -80,7 +81,6 @@ def test_query_matches_oracle(ray_session, con, name):
 
 
 ROWS_ONLY = [
-    "langid_pred",
     "media_features",
     "model_langid",
     "simhash_hamming_pairs",
