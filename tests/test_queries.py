@@ -151,3 +151,55 @@ def test_entry_contract(ray_session):
     assert sorted(df.columns) == ["cluster_id", "content_sha256", "record_id"]
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_).issubset(set(qs))
+
+
+NULL_SAFE = [
+    "exact_dedup_groups",
+    "token_counts_by_lang",
+    "quality_flags",
+    "quality_scores",
+    "langid_pred",
+    "ngram_jaccard_stats",
+]
+
+
+@pytest.mark.parametrize("name", NULL_SAFE)
+def test_null_text_parity(ray_session, tmp_path, name):
+    """The NULL-text contract (COALESCE(text,'') == fillna('')) must hold
+    on a corpus that actually CONTAINS nulls — the shipped testdata has
+    none, so parity there proves nothing about NULL handling."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.oracle import ORACLE_SQL
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    rng = np.random.default_rng(7)
+    texts = [
+        None if rng.random() < 0.25 else f"the quick doc {i} with, some! text."
+        for i in range(80)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(80)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en", "de", "fr", "es"] * 20),
+            "source": pa.array(["s1", "s2"] * 40),
+            "n_chars": pa.array(
+                [len(x) if x else 0 for x in texts], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    rdf = _canon(_to_df(QUERIES[name](str(tmp_path))))
+    odf = _canon(con.sql(ORACLE_SQL[name]).df())
+    for c in rdf.columns:
+        if rdf[c].dtype != odf[c].dtype:
+            rdf[c] = rdf[c].astype(odf[c].dtype)
+    pd.testing.assert_frame_equal(rdf, odf, check_dtype=False)
