@@ -1230,9 +1230,15 @@ def q_residual_tokens(sf_dir: str):
 
 def q_embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-dup: LSH-bucket candidates (random
-    hyperplanes) verified by exact cosine ≥ 0.30 within each bucket (the testdata embeddings are near-orthogonal random vectors; real embedding near-dup would sit at ≥0.95) —
-    the 5th dedup flavor. Non-SQL."""
+    hyperplanes) verified by exact cosine ≥ 0.30 within each bucket (the
+    testdata embeddings are near-orthogonal random vectors; real
+    embedding near-dup would sit at ≥0.95) — the 5th dedup flavor.
+    Degenerate buckets (many near-identical vectors hashing together)
+    are capped at 2048 members in deterministic min-vec_id order, the
+    same bounded-recall trade as the blocking pair caps. Non-SQL."""
     from address_parser_ray.functions.hashing import rng_for
+
+    MAX_BUCKET = 2048
 
     dim = 64
     planes = rng_for(42, "ann_planes").standard_normal((dim, 8))
@@ -1259,7 +1265,7 @@ def q_embedding_near_dup(sf_dir: str):
                  "id_b": pd.Series([], dtype="int64"),
                  "cos_sim": pd.Series([], dtype="float64")}
             )
-        g = g.sort_values("vec_id")
+        g = g.sort_values("vec_id").head(MAX_BUCKET)
         ids = g["vec_id"].to_numpy()
         emb = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(emb, axis=1)
