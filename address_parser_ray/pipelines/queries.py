@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from address_parser_ray.config import DEFAULT_CONFIG, PipelineConfig
+from address_parser_ray.config import DEFAULT_CONFIG
 from address_parser_ray.functions.hashing import sha256_hex
 from address_parser_ray.functions.text import (
     detect_lang,

@@ -35,7 +35,6 @@ from address_parser_ray.functions.hashing import (
     splitmix64,
 )
 from address_parser_ray.rayutil import (
-    default_concurrency,
     default_num_partitions,
     pinned_join,
 )

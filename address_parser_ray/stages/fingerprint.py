@@ -36,7 +36,6 @@ from address_parser_ray.functions.hashing import (
     token_hashes_u64,
 )
 from address_parser_ray.functions.normalize import basename_arrow, normalize_content_arrow
-from address_parser_ray.rayutil import default_concurrency
 
 
 def fingerprint_schema(cfg: PipelineConfig) -> pa.Schema:
