@@ -101,10 +101,15 @@ def main() -> None:
     # at high parallelism, and the rescore stage re-reads the corpus
     dedup_pipeline(corpus.limit(512).materialize()).assignments.count()
 
-    t0 = time.time()
-    result = dedup_pipeline(corpus)
-    n_assigned = result.assignments.count()
-    e2e = time.time() - t0
+    # two timed runs, min reported: single-shot numbers on this sandbox
+    # swing ±20% with ambient load (BASELINE.md noise analysis)
+    e2e_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        result = dedup_pipeline(corpus)
+        n_assigned = result.assignments.count()
+        e2e_runs.append(time.time() - t0)
+    e2e = min(e2e_runs)
     n_scored = result.scored_pairs.count()
 
     qtimes: dict[str, float] = {}
@@ -129,6 +134,7 @@ def main() -> None:
         "sf": SF,
         "num_cpus": NUM_CPUS,
         "corpus_rows": int(n_rows),
+        "e2e_runs": [round(x, 3) for x in e2e_runs],
         "assigned_rows": int(n_assigned),
         "scored_pairs": int(n_scored),
         "scored_pairs_per_sec": round(n_scored / e2e, 1) if e2e > 0 else None,

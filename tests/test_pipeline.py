@@ -190,3 +190,27 @@ def test_lang_consistency_demotes_cross_lang(ray_session):
     m = out["is_match"].to_pylist()
     assert m[0] is True   # same lang, identical sketches
     assert m[1] is False  # cross-lang demoted despite identical sketches
+
+
+def test_rescore_broadcast_and_join_paths_agree(ray_session, fixture_corpus):
+    """Gate-equivalence: the broadcast-texts fast path and the bucketed
+    pinned_join fallback of the content-rescore stage must produce
+    identical scored pairs."""
+    import dataclasses
+
+    from address_parser_ray.config import DEFAULT_CONFIG
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.sources import read_corpus
+
+    corpus_dir, _ = fixture_corpus
+
+    def run(cfg):
+        sp = dedup_pipeline(read_corpus(corpus_dir), cfg).scored_pairs.to_pandas()
+        return sp.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    fast = run(DEFAULT_CONFIG)
+    # band over the driver gate → full bucketed content join
+    slow = run(dataclasses.replace(DEFAULT_CONFIG, rescore_band_max_driver_pairs=0))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(fast, slow)
