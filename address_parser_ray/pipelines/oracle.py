@@ -285,4 +285,26 @@ ORACLE_SQL = {
                count(*) AS n
         FROM events GROUP BY event_type
     """,
+    # P5 inference-from-partial-evidence: lang masked on (doc_id//20)%10==3
+    # (stride decorrelates the mask from source = f(doc_id%20)),
+    # re-inferred as modal lang of the source group (ties -> lang asc).
+    "infer_missing_lang": """
+        WITH m AS (
+            SELECT doc_id, source,
+                   CASE WHEN (doc_id // 20) % 10 = 3 THEN NULL ELSE lang END AS lang_obs
+            FROM documents
+        ), ev AS (
+            SELECT source, lang_obs AS lang, count(*) AS c
+            FROM m WHERE lang_obs IS NOT NULL GROUP BY 1, 2
+        ), best AS (
+            SELECT source, lang,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY c DESC, lang ASC) AS rn
+            FROM ev
+        )
+        SELECT m.doc_id,
+               COALESCE(m.lang_obs, b.lang, 'und') AS lang_filled,
+               (m.lang_obs IS NULL) AS inferred
+        FROM m LEFT JOIN best b ON m.source = b.source AND b.rn = 1
+    """,
 }

@@ -1288,6 +1288,76 @@ def q_embedding_near_dup(sf_dir: str):
     return ds.groupby("bucket").map_groups(verify, batch_format="pandas")
 
 
+def q_infer_missing_lang(sf_dir: str):
+    """Inference-from-partial-evidence (P5, the reference's
+    infer-district-from-ward hierarchy walk, ``fuzz/inexus_parser.py:
+    264-403``): records missing a field get it back-filled from the
+    majority value among sibling records sharing a parent key.
+
+    Graft shape: ``lang`` is masked on a deterministic subset
+    (``(doc_id // 20) % 10 == 3`` — the testdata carries no NULLs, so
+    partiality is synthesized in-operator; the stride keeps the mask
+    decorrelated from ``source``) and re-inferred as the modal lang of
+    the doc's ``source`` group (ties broken lang-ascending), falling
+    back to ``'und'`` for evidence-free sources.
+
+    Scale shape: the evidence table is |sources| × |langs| rows after a
+    partial per-batch pre-aggregation — tiny at any corpus size — so it
+    is collected on the driver and broadcast once via ``ray.put``; the
+    fill pass is a stateless map_batches. No full-table shuffle."""
+    MASK_MOD, MASK_RES = 10, 3
+
+    def mask(t: pa.Table) -> pa.Table:
+        doc_id = np.asarray(t["doc_id"]).astype(np.int64)
+        keep = pa.array((doc_id // 20) % MASK_MOD != MASK_RES)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "lang_obs": pc.if_else(keep, t["lang"], pa.scalar(None, pa.string())),
+            }
+        )
+
+    masked = _docs(sf_dir, ["doc_id", "source", "lang"]).map_batches(
+        mask, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_valid(t["lang_obs"]))
+        return (
+            pa.table({"source": f["source"], "lang": f["lang_obs"]})
+            .group_by(["source", "lang"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "lang", "c"])
+        )
+
+    evidence = (
+        masked.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # |sources| x |langs| rows — driver-small by design
+    )
+    evidence = evidence.sort_values(["source", "c", "lang"], ascending=[True, False, True])
+    best = dict(zip(evidence.drop_duplicates("source")["source"],
+                    evidence.drop_duplicates("source")["lang"]))
+    best_ref = ray.put(best)
+
+    def fill(t: pa.Table) -> pa.Table:
+        b = ray.get(best_ref)
+        obs = t["lang_obs"].to_pylist()
+        srcs = t["source"].to_pylist()
+        filled = [o if o is not None else b.get(s, "und") for o, s in zip(obs, srcs)]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang_filled": pa.array(filled, type=pa.string()),
+                "inferred": pa.array([o is None for o in obs]),
+            }
+        )
+
+    return masked.map_batches(fill, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1331,4 +1401,5 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "residual_tokens": q_residual_tokens,
+    "infer_missing_lang": q_infer_missing_lang,
 }

@@ -62,7 +62,22 @@ SQL_CHECKED = [
     "ngram_jaccard_stats",
     "shuffle_split_write",
     "langid_pred",
+    "infer_missing_lang",
 ]
+
+
+def test_infer_missing_lang_exercises_inference(ray_session):
+    """The mask must decorrelate from source so the majority-vote path
+    actually fires (not just the 'und' fallback for evidence-free
+    sources)."""
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["infer_missing_lang"](SF).to_pandas()
+    inferred = df[df["inferred"]]
+    assert len(inferred) > 0
+    assert (inferred["lang_filled"] != "und").any()
+    # unmasked rows pass through untouched
+    assert (~df["inferred"]).any()
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
