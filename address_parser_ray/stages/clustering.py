@@ -48,6 +48,72 @@ def _symmetrize(edges):
     return edges.union(rev)
 
 
+def _numpy_components(src: np.ndarray, dst: np.ndarray):
+    """Vectorized union-find over an edge list: min-label propagation
+    with pointer jumping on DENSE indices (np.unique is ascending, so
+    min index == min node id — the deterministic "min wins" rule).
+    O(E) numpy per round, O(log n) rounds, no per-edge Python loop.
+    Returns (uniq_nodes, component_min_id_per_node)."""
+    uniq, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[: src.size], inv[src.size :]
+    lab = np.arange(uniq.size, dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, si, lab[di])
+        np.minimum.at(lab, di, lab[si])
+        lab = lab[lab]  # pointer jumping
+        if np.array_equal(lab, old):
+            break
+    return uniq, uniq[lab]
+
+
+def _mix64(x: np.ndarray, salt: int) -> np.ndarray:
+    """splitmix64 finalizer — a cheap vectorized integer hash."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(
+            (0x9E3779B97F4A7C15 * (salt + 1)) & 0xFFFFFFFFFFFFFFFF
+        )
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _contract_edges(edges, *, n_edges: int, salt: int):
+    """One filtering/contraction round (the MapReduce-CC "filtering"
+    technique — Kiveris et al., *Connected Components in MapReduce and
+    Beyond*, PAPERS.md): hash-bucket the edges by src, run the
+    vectorized union-find within each bucket, and emit each bucket-local
+    component as its star decomposition (root=min id, member).
+
+    The union of per-bucket stars preserves connectivity exactly while
+    dense subgraphs — near-dup match cliques, exactly what blocking
+    produces — collapse from O(k²) edges to k−1 in one shuffle. Output
+    size is Σ(bucket nodes − bucket components) ≤ E, so iterating is
+    monotone; a round that fails to shrink signals a tree-like graph and
+    the caller falls back to label propagation."""
+    nbuckets = int(min(max(4, n_edges // (1 << 19)), 4096))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["src"]).astype(np.int64)
+        b = (_mix64(src, salt) % np.uint64(nbuckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def contract(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["src"]).astype(np.int64)
+        dst = np.asarray(t["dst"]).astype(np.int64)
+        uniq, roots = _numpy_components(src, dst)
+        member = uniq[roots != uniq]
+        root = roots[roots != uniq]
+        return pa.table({"src": pa.array(root), "dst": pa.array(member)})
+
+    return ensure_schema(
+        edges.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(contract, batch_format="pyarrow"),
+        pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+    )
+
+
 def _driver_union_find(edges, nodes, num_partitions: int):
     """Small-graph fast path: the match graph has O(duplicates) edges —
     orders of magnitude smaller than the corpus — so below a threshold
@@ -65,21 +131,7 @@ def _driver_union_find(edges, nodes, num_partitions: int):
     src = np.concatenate(srcs) if srcs else np.empty(0, dtype=np.int64)
     dst = np.concatenate(dsts) if dsts else np.empty(0, dtype=np.int64)
 
-    # vectorized min-label propagation with pointer jumping over DENSE
-    # indices (np.unique is ascending, so min index == min record_id —
-    # the deterministic "min wins" rule). O(E) numpy per round, O(log n)
-    # rounds — no per-edge Python loop.
-    uniq, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
-    si, di = inv[: src.size], inv[src.size :]
-    lab = np.arange(uniq.size, dtype=np.int64)
-    while True:
-        old = lab.copy()
-        np.minimum.at(lab, si, lab[di])
-        np.minimum.at(lab, di, lab[si])
-        lab = lab[lab]  # pointer jumping
-        if np.array_equal(lab, old):
-            break
-    roots = uniq[lab]  # per edge-touched node, its component's min id
+    uniq, roots = _numpy_components(src, dst)
 
     bcast = ray.put((uniq, roots))
 
@@ -113,8 +165,10 @@ def connected_components(
     Nodes absent from any edge become singleton clusters
     (cluster_id = record_id). Below ``driver_max_edges`` the closure runs
     as a driver-side union-find (see _driver_union_find — the match graph
-    is tiny relative to the corpus); above it, the distributed
-    label-propagation loop below takes over. Both paths are deterministic
+    is tiny relative to the corpus); above it, filtering/contraction
+    rounds (``_contract_edges``) collapse dense cliques until the graph
+    fits the gate, and only a non-shrinking residue falls through to the
+    distributed label-propagation loop. All paths are deterministic
     (min record_id wins) and produce identical partitions."""
     num_partitions = default_num_partitions(num_partitions)
     # labels: (node, label); edges never change across rounds — only the
@@ -135,7 +189,25 @@ def connected_components(
         # no edges → everything is a singleton; joins on an empty (and
         # possibly schema-less) dataset are both pointless and brittle.
         return project(labels, {"node": "record_id", "label": "cluster_id"})
-    if n_raw_edges <= driver_max_edges:
+    # contraction ladder: above the driver gate, collapse the match
+    # graph's dense cliques with filtering rounds (one shuffle each)
+    # until it fits the gate; only a tree-like residue that refuses to
+    # shrink falls through to the join-heavy label-propagation loop.
+    # At the 1 M-row / 5 M-edge smoke scale this replaced a 479 s
+    # propagation run with one contraction + the driver finish.
+    n_edges_cur = n_raw_edges
+    for _salt in range(6):
+        if n_edges_cur <= driver_max_edges:
+            break
+        contracted = _contract_edges(
+            edges, n_edges=n_edges_cur, salt=_salt
+        ).materialize()
+        n_new = contracted.count()
+        shrunk = n_new < 0.9 * n_edges_cur
+        edges, n_edges_cur = contracted, n_new
+        if not shrunk:
+            break
+    if n_edges_cur <= driver_max_edges:
         return _driver_union_find(edges, nodes, num_partitions)
 
     sym = _symmetrize(edges).materialize()

@@ -201,6 +201,57 @@ def test_cc_paths_agree(ray_session):
     assert a.equals(b)
 
 
+def test_cc_contraction_ladder_collapses_cliques(ray_session):
+    """Filtering/contraction path: a clique-heavy graph above the driver
+    gate must contract below it (dense cliques → stars) and agree with
+    the sequential oracle; a chain (zero contraction shrinkage) must fall
+    through to label propagation and still be correct."""
+    import ray.data
+    from address_parser_ray.stages.clustering import connected_components
+
+    # 5 cliques of 20 → 950 edges, gate 200: raw > gate, stars < gate
+    edges = []
+    n = 100
+    for c in range(5):
+        base = c * 20
+        edges += [(base + i, base + j) for i in range(20) for j in range(i + 1, 20)]
+    oracle = _py_union_find(n, edges)
+    nodes = ray.data.from_arrow(
+        pa.table({"record_id": pa.array(np.arange(n, dtype=np.int64))})
+    )
+    eds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], type=pa.int64()),
+                "dst": pa.array([e[1] for e in edges], type=pa.int64()),
+            }
+        )
+    )
+    out = connected_components(eds, nodes, driver_max_edges=200).to_pandas()
+    got = dict(zip(out["record_id"], out["cluster_id"]))
+    assert len(got) == n
+    assert all(got[i] == oracle[i] for i in range(n))
+
+    # pure chain: contraction cannot shrink a tree; the non-shrink break
+    # must hand the residue to label propagation, still correct
+    chain = [(i, i + 1) for i in range(49)]
+    oracle2 = _py_union_find(50, chain)
+    nodes2 = ray.data.from_arrow(
+        pa.table({"record_id": pa.array(np.arange(50, dtype=np.int64))})
+    )
+    eds2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in chain], type=pa.int64()),
+                "dst": pa.array([e[1] for e in chain], type=pa.int64()),
+            }
+        )
+    )
+    out2 = connected_components(eds2, nodes2, driver_max_edges=10).to_pandas()
+    got2 = dict(zip(out2["record_id"], out2["cluster_id"]))
+    assert all(got2[i] == oracle2[i] for i in range(50))
+
+
 def test_model_inference_state_loads_once(ray_session):
     """Reference-A3 shape: the ~6 MB weight matrix is built in __init__
     (once per actor) and __call__ never rebuilds it; prediction is
