@@ -48,6 +48,13 @@ class PipelineConfig:
     #: hard cap on candidate pairs emitted per block (deterministic:
     #: pairs are generated in sorted-id order and truncated).
     max_pairs_per_block: int = 4096
+    #: conjunctive blocking (reference D6: candidate-set intersection
+    #: across detected levels, inexus_parser.py:2768-2794): a candidate
+    #: pair must be produced by at least this many distinct block keys
+    #: (LSH bands / exact key) to survive. 1 = disjunctive (default);
+    #: ≥2 trades recall for pair-volume/precision — note it also filters
+    #: single-hit exact-key pairs.
+    min_band_hits: int = 1
 
     # ---- stage 2: pairwise scoring --------------------------------------
     #: cheap set-similarity gate before the rich score — the reference's

@@ -227,6 +227,11 @@ def find_hot_keys(exploded, cfg: PipelineConfig) -> dict[int, int]:
 
 
 _PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+# pair-gen → dedup interchange: n_hits = how many block keys produced the
+# pair within one bucket (summed across buckets in the dedup pass)
+_PAIR_HITS_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("n_hits", pa.int64())]
+)
 
 
 def _make_pairs_bucket_fn(max_pairs: int):
@@ -247,7 +252,7 @@ def _make_pairs_bucket_fn(max_pairs: int):
         order = np.lexsort((ids, keys))
         keys, ids = keys[order], ids[order]
         if keys.size < 2:
-            return _PAIR_SCHEMA.empty_table()
+            return _PAIR_HITS_SCHEMA.empty_table()
         change = np.flatnonzero(np.diff(keys)) + 1
         starts = np.concatenate([[0], change])
         lens = np.diff(np.concatenate([starts, [keys.size]]))
@@ -263,25 +268,45 @@ def _make_pairs_bucket_fn(max_pairs: int):
             out_a.append(mat[:, iu].ravel())
             out_b.append(mat[:, ju].ravel())
         if not out_a:
-            return _PAIR_SCHEMA.empty_table()
+            return _PAIR_HITS_SCHEMA.empty_table()
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
         # within-bucket dedup (the same pair can arise from several keys
-        # in this bucket) — cross-bucket dedup happens downstream.
-        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
-        return pa.table({"id_a": pa.array(uniq[:, 0]), "id_b": pa.array(uniq[:, 1])})
+        # in this bucket) — multiplicity kept as n_hits for conjunctive
+        # blocking; cross-bucket dedup sums it downstream.
+        uniq, counts = np.unique(np.stack([a, b], axis=1), axis=0, return_counts=True)
+        return pa.table(
+            {
+                "id_a": pa.array(uniq[:, 0]),
+                "id_b": pa.array(uniq[:, 1]),
+                "n_hits": pa.array(counts.astype(np.int64)),
+            }
+        )
 
     return make_pairs
 
 
-def _dedup_pairs_bucket(group: pa.Table) -> pa.Table:
-    """Vectorized cross-bucket pair dedup (bucketed by hash(id_a,id_b))."""
-    a = np.asarray(group["id_a"]).astype(np.int64)
-    b = np.asarray(group["id_b"]).astype(np.int64)
-    if a.size == 0:
-        return _PAIR_SCHEMA.empty_table()
-    uniq = np.unique(np.stack([a, b], axis=1), axis=0)
-    return pa.table({"id_a": pa.array(uniq[:, 0]), "id_b": pa.array(uniq[:, 1])})
+def _dedup_pairs_bucket_fn(min_hits: int):
+    """Vectorized cross-bucket pair dedup (bucketed by hash(id_a,id_b)).
+    Sums per-bucket key-hit counts and applies the conjunctive
+    ``min_band_hits`` filter (D6) — with min_hits=1 this is the plain
+    disjunctive dedup."""
+
+    def dedup(group: pa.Table) -> pa.Table:
+        a = np.asarray(group["id_a"]).astype(np.int64)
+        b = np.asarray(group["id_b"]).astype(np.int64)
+        if a.size == 0:
+            return _PAIR_SCHEMA.empty_table()
+        uniq, inv = np.unique(
+            np.stack([a, b], axis=1), axis=0, return_inverse=True
+        )
+        if min_hits > 1:
+            hits = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(hits, inv, np.asarray(group["n_hits"]).astype(np.int64))
+            uniq = uniq[hits >= min_hits]
+        return pa.table({"id_a": pa.array(uniq[:, 0]), "id_b": pa.array(uniq[:, 1])})
+
+    return dedup
 
 
 def blocking_stage(
@@ -345,7 +370,7 @@ def blocking_stage(
     return (
         pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(_dedup_pairs_bucket, batch_format="pyarrow")
+        .map_groups(_dedup_pairs_bucket_fn(cfg.min_band_hits), batch_format="pyarrow")
     )
 
 

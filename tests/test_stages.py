@@ -322,3 +322,53 @@ def test_hot_key_probe_paths_agree(ray_session, fixture_corpus):
         dist_hot = B.find_hot_keys(exploded, DEFAULT_CONFIG)
     assert driver_hot == dist_hot
     assert len(driver_hot) > 0  # the fixture's hot basename must register
+
+
+def test_conjunctive_blocking_kernels():
+    """D6 candidate-set intersection: pair-gen keeps key-hit multiplicity
+    and the dedup pass filters pairs below min_band_hits."""
+    from address_parser_ray.stages.blocking import (
+        _dedup_pairs_bucket_fn,
+        _make_pairs_bucket_fn,
+    )
+
+    g = pa.table(
+        {
+            "block_key": pa.array([10, 10, 20, 20, 30, 30], type=pa.int64()),
+            "record_id": pa.array([1, 2, 1, 2, 3, 4], type=pa.int64()),
+        }
+    )
+    pairs = _make_pairs_bucket_fn(4096)(g)
+    assert pairs.column("n_hits").to_pylist() == [2, 1]
+    assert _dedup_pairs_bucket_fn(1)(pairs).num_rows == 2
+    strict = _dedup_pairs_bucket_fn(2)(pairs)
+    assert strict.column_names == ["id_a", "id_b"]
+    assert strict.to_pydict() == {"id_a": [1], "id_b": [2]}
+
+
+def test_conjunctive_blocking_end_to_end(ray_session, fixture_corpus):
+    """min_band_hits=2 must cut candidate-pair volume while near-dup
+    recall survives (true variants share many LSH bands)."""
+    import dataclasses
+
+    import pandas as pd
+
+    from address_parser_ray.config import DEFAULT_CONFIG
+    from address_parser_ray.functions.hashing import stable_id64
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.pipelines.evaluation import pairwise_f1
+    from address_parser_ray.sources import read_corpus
+
+    corpus_dir, labels_path = fixture_corpus
+    labels = pd.read_parquet(labels_path)
+    labels["record_id"] = [
+        stable_id64(r, p, c) for r, p, c in zip(labels.repo, labels.path, labels.commit)
+    ]
+    loose = dedup_pipeline(read_corpus(corpus_dir))
+    strict = dedup_pipeline(
+        read_corpus(corpus_dir),
+        dataclasses.replace(DEFAULT_CONFIG, min_band_hits=2),
+    )
+    n_loose, n_strict = loose.scored_pairs.count(), strict.scored_pairs.count()
+    assert n_strict < n_loose
+    assert pairwise_f1(labels, strict.assignments.to_pandas()).f1 >= 0.99
