@@ -215,6 +215,51 @@ ORACLE_SQL = {
             FROM scored
         ) WHERE rank <= 3
     """,
+    # IVF mirror: same 16-seed-centroid rule, nearest-centroid assignment
+    # (cos desc, cid asc — matches numpy first-max argmax), nprobe=4 probe
+    # lists, exact cosine ranked only within probed lists. Int-only output.
+    "ann_ivf_topk": """
+        WITH cent AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings ORDER BY vec_id LIMIT 16
+        ), q AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings ORDER BY vec_id LIMIT 5
+        ), assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]), c.cv) DESC, c.cid
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ), probe AS (
+            SELECT qid, cid FROM (
+                SELECT q.qid, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid
+                       ) AS rn
+                FROM q CROSS JOIN cent c
+            ) WHERE rn <= 4
+        ), cand AS (
+            SELECT p.qid AS query_vec_id, a.vec_id AS neighbor_vec_id,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+            FROM probe p
+            JOIN assign a ON a.cid = p.cid
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            JOIN q ON q.qid = p.qid
+            WHERE a.vec_id != p.qid
+        )
+        SELECT query_vec_id, neighbor_vec_id, rank FROM (
+            SELECT query_vec_id, neighbor_vec_id,
+                   row_number() OVER (PARTITION BY query_vec_id
+                                      ORDER BY cos DESC, neighbor_vec_id) AS rank
+            FROM cand
+        ) WHERE rank <= 3
+    """,
     # n_ngrams counts DISTINCT char-4-grams. The engine hashes UTF-8
     # BYTE 4-grams (64-bit, collision-free at doc scale); the oracle
     # counts character substrings — identical on ASCII corpora (the

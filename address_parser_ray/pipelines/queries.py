@@ -1101,6 +1101,77 @@ def q_ann_lsh_buckets(sf_dir: str):
     )
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF ANN (the coarse-quantizer scale path, complementing the LSH
+    buckets): K=16 deterministic seed centroids (the 16 smallest vec_ids,
+    normalized — at 100 TB these come from a driver-side SAMPLE + k-means;
+    the seed rule keeps the operator SQL-checkable), every vector assigned
+    to its nearest centroid (argmax cosine, ties → smaller centroid id);
+    the 5 query vectors probe their nprobe=4 nearest centroid lists and
+    exact cosine is ranked only within the probed candidates. Assignment
+    and probe-filtered scoring are FUSED in one streaming map_batches pass
+    (centroid + query matrices broadcast once via ray.put) — only the tiny
+    (query, candidate) stream reaches the per-query top-k groupby."""
+    import pyarrow.parquet as pq
+
+    K, NPROBE, TOPK, NQUERY = 16, 4, 3, 5
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vids = np.asarray(t["vec_id"], dtype=np.int64)
+    order = np.argsort(vids)
+    cent_idx, q_idx = order[:K], order[:NQUERY]
+    C = np.stack([np.asarray(t["embedding"][i].as_py(), dtype=np.float64) for i in cent_idx])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Q = np.stack([np.asarray(t["embedding"][i].as_py(), dtype=np.float64) for i in q_idx])
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    cids, qids = vids[cent_idx], vids[q_idx]
+
+    # probe table: for each query, its NPROBE nearest centroids
+    # (cos desc, cid asc — matching the assignment tie-break).
+    qc = Q @ C.T  # (NQUERY, K); cids are sorted asc so argsort ties → smaller cid
+    probe = np.zeros((K, NQUERY), dtype=bool)
+    for qi in range(NQUERY):
+        nearest = np.lexsort((cids, -qc[qi]))[:NPROBE]
+        probe[nearest, qi] = True
+    state = ray.put((C, Q, cids, qids, probe))
+
+    class IvfScorer:
+        def __init__(self):
+            self.C, self.Q, self.cids, self.qids, self.probe = ray.get(state)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            emb = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64)
+            emb = emb.reshape(len(t), -1)
+            norms = np.linalg.norm(emb, axis=1)
+            norms[norms == 0] = 1.0
+            emb = emb / norms[:, None]
+            assign = np.argmax(emb @ self.C.T, axis=1)  # first max = smaller cid
+            vid = np.asarray(t["vec_id"], dtype=np.int64)
+            keep = self.probe[assign]  # (n, NQUERY): is row in a probed list?
+            keep &= vid[:, None] != self.qids[None, :]
+            ri, qi = np.nonzero(keep)
+            cos = np.einsum("ij,ij->i", emb[ri], self.Q[qi])
+            return pa.table(
+                {
+                    "query_vec_id": pa.array(self.qids[qi]),
+                    "neighbor_vec_id": pa.array(vid[ri]),
+                    "cos": pa.array(cos),
+                }
+            )
+
+    scored = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(IvfScorer, batch_format="pyarrow", concurrency=(1, 4))
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cos", "neighbor_vec_id"], ascending=[False, True]).head(TOPK)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_vec_id", "neighbor_vec_id", "rank"]]
+
+    return scored.groupby("query_vec_id").map_groups(topk, batch_format="pandas")
+
+
 def _corpus_texts(sf_dir: str):
     """(record_id, text) keyed exactly as ``documents_as_corpus`` keys its
     rows — computed in a streamed ``map_batches``, never materialized on
@@ -1398,6 +1469,7 @@ QUERIES = {
     "synthetic_corpus_stats": q_synthetic_corpus_stats,
     "er_quality": q_er_quality,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "residual_tokens": q_residual_tokens,

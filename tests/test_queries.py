@@ -63,6 +63,7 @@ SQL_CHECKED = [
     "shuffle_split_write",
     "langid_pred",
     "infer_missing_lang",
+    "ann_ivf_topk",
 ]
 
 
