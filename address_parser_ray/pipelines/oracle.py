@@ -260,6 +260,32 @@ ORACLE_SQL = {
             FROM cand
         ) WHERE rank <= 3
     """,
+    # BIO mirror: with the registered phrase list (all 2-token, chain-free
+    # — no phrase's last token equals another's first, guarded by
+    # test_bio_phrases_chain_free) the greedy left-to-right non-overlap
+    # scan equals counting matching adjacent-token pairs; every match is
+    # one B + one I. Tokens = lowercase \s+ split, empties dropped (ASCII
+    # corpus — Python str.split() and '\\s+' agree there).
+    "bio_label_counts": """
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(lower(COALESCE(text, '')), '\\s+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ), hits AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN (tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1]) IN
+                        ('table scan', 'hash join', 'sort merge', 'group by')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+            FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM d)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n_b, 0) AS n_b,
+               COALESCE(h.n_b, 0) AS n_i
+        FROM d LEFT JOIN hits h USING (doc_id)
+    """,
     # n_ngrams counts DISTINCT char-4-grams. The engine hashes UTF-8
     # BYTE 4-grams (64-bit, collision-free at doc scale); the oracle
     # counts character substrings — identical on ASCII corpora (the

@@ -998,8 +998,11 @@ _BIO_PHRASES = [["table", "scan"], ["hash", "join"], ["sort", "merge"], ["group"
 
 def q_bio_label_counts(sf_dir: str):
     """BIO span labeling (M10 ``label_tokens``) over documents: counts of
-    B-/I- tags per doc for a fixed phrase list. Non-SQL (sequential span
-    semantics)."""
+    B-/I- tags per doc for a fixed phrase list. SQL oracle: with this
+    phrase list (all length 2, no phrase's last token equal to another's
+    first) the greedy non-overlapping scan degenerates to counting
+    matching adjacent-token pairs — test_bio_phrases_chain_free guards
+    the property the oracle relies on."""
     from address_parser_ray.functions.text import label_tokens_bio
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:

@@ -64,7 +64,21 @@ SQL_CHECKED = [
     "langid_pred",
     "infer_missing_lang",
     "ann_ivf_topk",
+    "bio_label_counts",
 ]
+
+
+def test_bio_phrases_chain_free():
+    """The bio_label_counts SQL oracle is only equivalent to the greedy
+    BIO scan while the phrase list is 2-token and chain-free (no phrase's
+    last token equals another's first). If this fails, the oracle must be
+    rewritten as a sequential recursion, not just the list edited."""
+    from address_parser_ray.pipelines.queries import _BIO_PHRASES
+
+    assert all(len(p) == 2 for p in _BIO_PHRASES)
+    firsts = {p[0] for p in _BIO_PHRASES}
+    lasts = {p[-1] for p in _BIO_PHRASES}
+    assert not (firsts & lasts)
 
 
 def test_infer_missing_lang_exercises_inference(ray_session):
@@ -100,7 +114,6 @@ ROWS_ONLY = [
     "media_features",
     "model_langid",
     "simhash_hamming_pairs",
-    "bio_label_counts",
     "synthetic_corpus_stats",
     "ann_lsh_buckets",
     "ngram_jaccard_pairs",
