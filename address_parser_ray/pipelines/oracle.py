@@ -143,6 +143,18 @@ ORACLE_SQL = {
         WHERE p.event_type = 'purchase'
         GROUP BY p.event_id, p.user_id
     """,
+    "purchase_clicks_1h": """
+        SELECT p.event_id, p.user_id,
+               CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h
+        FROM events p
+        LEFT JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts > p.ts - INTERVAL 1 HOUR
+         AND c.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id, p.user_id
+    """,
     "user_sessions": """
         SELECT user_id,
                count(*) AS n_events,

@@ -963,6 +963,60 @@ def q_user_sessions(sf_dir: str):
     return ev.groupby("bucket").map_groups(sessions_bucket, batch_format="pandas")
 
 
+def q_purchase_clicks_1h(sf_dir: str):
+    """Bounded-interval RANGE join (the windowed sibling of the as-of
+    join above): for each purchase, the number of same-user clicks in
+    (ts − 1h, ts]. Users are hash-bucketed (same partitioning assumption:
+    one bucket holds all of a user's events); within a bucket clicks are
+    sorted once on a dense (user, ts) composite key and every purchase's
+    window is answered by two ``np.searchsorted`` probes — one vectorized
+    pass per bucket, no per-user Python and no pairwise blow-up."""
+    from address_parser_ray.rayutil import default_num_partitions
+
+    WINDOW_US = 3_600_000_000
+
+    nparts = default_num_partitions()
+    ev = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        .filter(expr="event_type == 'purchase' or event_type == 'click'")
+        .map_batches(_add_user_bucket(nparts), batch_format="pyarrow")
+    )
+
+    def window_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        tsi = g["ts"].to_numpy().view("i8")  # µs since epoch
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        is_click = (g["event_type"] == "click").to_numpy()
+        # dense per-bucket user index → (user, ts) packs into ONE int64:
+        # segment width = span + window + 2 keeps users disjoint even for
+        # the lo probe at ts − 1h. Bucket-local, so no global-id overflow.
+        uniq, du = np.unique(uid, return_inverse=True)
+        rel = tsi - tsi.min()
+        seg = np.int64(rel.max()) + WINDOW_US + 2
+        if len(uniq) * seg >= np.iinfo(np.int64).max:
+            raise OverflowError(
+                "bucket (users × time-span) exceeds int64 packing; "
+                "raise the bucket fan-out (default_num_partitions)"
+            )
+        comp = du * seg + rel + WINDOW_US
+        clicks = np.sort(comp[is_click])
+        p = ~is_click
+        hi = np.searchsorted(clicks, comp[p], side="right")
+        lo = np.searchsorted(clicks, comp[p] - WINDOW_US, side="right")
+        return pd.DataFrame(
+            {
+                "event_id": eid[p],
+                "user_id": uid[p],
+                "n_clicks_1h": (hi - lo).astype(np.int64),
+            }
+        )
+
+    return ev.groupby("bucket").map_groups(window_bucket, batch_format="pandas")
+
+
 def q_event_value_extremes(sf_dir: str):
     """Min/max/count per event type (G5 latency-stats analogue,
     ``hcmut_assigment/scorer.py:110-116``), int-exact via floor-cents."""
@@ -1467,6 +1521,7 @@ QUERIES = {
     "customers_per_region": q_customers_per_region,
     "purchase_last_click": q_purchase_last_click,
     "user_sessions": q_user_sessions,
+    "purchase_clicks_1h": q_purchase_clicks_1h,
     "event_value_extremes": q_event_value_extremes,
     "bio_label_counts": q_bio_label_counts,
     "synthetic_corpus_stats": q_synthetic_corpus_stats,

@@ -65,6 +65,7 @@ SQL_CHECKED = [
     "infer_missing_lang",
     "ann_ivf_topk",
     "bio_label_counts",
+    "purchase_clicks_1h",
 ]
 
 
