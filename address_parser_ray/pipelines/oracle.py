@@ -95,6 +95,19 @@ ORACLE_SQL = {
                CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         FROM events GROUP BY 1, 2
     """,
+    "events_sliding_3h": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, hour,
+               CAST(sum(n) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_3h
+        FROM hourly
+    """,
     "embedding_topk": """
         WITH q AS (
             SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0

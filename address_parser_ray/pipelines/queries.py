@@ -525,6 +525,48 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def q_events_sliding_3h(sf_dir: str):
+    """SLIDING-window aggregate (trailing 3 h count per event type, one
+    row per occupied hour) — the moving-window sibling of the tumbling
+    ``events_hourly``. The heavy reduction is the same partial hourly
+    pre-aggregation; the window itself runs over the compacted
+    (event_type, hour) panel — thousands of rows regardless of event
+    volume — as one vectorized prefix-sum + ``searchsorted`` pass per
+    event_type group."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {"event_type": df["event_type"], "hour": df["ts"].dt.floor("h")}
+        ).groupby(["event_type", "hour"], sort=False, as_index=False).agg(
+            part_n=("hour", "size")
+        )
+        g["part_n"] = g["part_n"].astype(np.int64)
+        return g
+
+    hourly = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("part_n", alias_name="n"))
+    )
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour").reset_index(drop=True)
+        h = g["hour"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        n = g["n"].to_numpy(dtype=np.int64)
+        pre = np.concatenate([[0], np.cumsum(n)])
+        lo = np.searchsorted(h, h - 2, side="left")
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "hour": g["hour"],
+                "n_3h": pre[np.arange(1, len(h) + 1)] - pre[lo],
+            }
+        )
+
+    return hourly.groupby("event_type").map_groups(window, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -1509,6 +1551,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "events_hourly": q_events_hourly,
+    "events_sliding_3h": q_events_sliding_3h,
     "embedding_topk": q_embedding_topk,
     "knn_bruteforce": q_knn_bruteforce,
     "media_sizes": q_media_sizes,

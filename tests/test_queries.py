@@ -66,6 +66,7 @@ SQL_CHECKED = [
     "ann_ivf_topk",
     "bio_label_counts",
     "purchase_clicks_1h",
+    "events_sliding_3h",
 ]
 
 
