@@ -108,6 +108,73 @@ ORACLE_SQL = {
                ) AS BIGINT) AS n_3h
         FROM hourly
     """,
+    # rank rule is pure-integer ((p*n+99)//100) on both sides — no float
+    # quantile semantics involved
+    "event_value_percentiles": """
+        WITH h AS (
+            SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), c AS (
+            SELECT event_type, cents,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+                   sum(n) OVER (PARTITION BY event_type) AS total
+            FROM h
+        )
+        SELECT event_type,
+               CAST(max(total) AS BIGINT) AS n,
+               CAST(min(CASE WHEN cum >= (50 * total + 99) // 100 THEN cents END) AS BIGINT) AS p50_cents,
+               CAST(min(CASE WHEN cum >= (90 * total + 99) // 100 THEN cents END) AS BIGINT) AS p90_cents,
+               CAST(min(CASE WHEN cum >= (99 * total + 99) // 100 THEN cents END) AS BIGINT) AS p99_cents
+        FROM c GROUP BY 1
+    """,
+    # the 60-bit hash is the md5 hex prefix folded with integer reduce —
+    # bit-identical to the engine's int(md5[:15], 16); estimator is
+    # HUGEINT-exact so the comparison needs no float tolerance
+    "distinct_kmv": """
+        WITH h AS (
+            SELECT DISTINCT lang,
+                   list_reduce(
+                       list_transform(
+                           split(substr(md5(COALESCE(text, '')), 1, 15), ''),
+                           c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
+                       (a, b) -> a * 16 + b) AS hv
+            FROM documents
+        ), r AS (
+            SELECT lang, hv,
+                   row_number() OVER (PARTITION BY lang ORDER BY hv) AS rk,
+                   count(*) OVER (PARTITION BY lang) AS nd
+            FROM h
+        )
+        SELECT lang,
+               CAST(CASE WHEN max(nd) >= 64
+                    THEN (CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+                         // max(CASE WHEN rk = 64 THEN hv END)
+                    ELSE max(nd) END AS BIGINT) AS est_distinct
+        FROM r GROUP BY 1
+    """,
+    # hex strings are fixed-width lowercase → lexicographic order in SQL
+    # == Python string sort == numeric hash order
+    "stratified_sample": """
+        WITH k AS (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))
+                   ) AS sample_rank
+            FROM documents
+        )
+        SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+        FROM k WHERE sample_rank <= 3
+    """,
+    "customers_without_orders": """
+        SELECT c.c_custkey, c.c_name,
+               CAST(floor(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 300000.0
+        )
+    """,
     "embedding_topk": """
         WITH q AS (
             SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0

@@ -873,6 +873,47 @@ def q_top3_docs_per_source(sf_dir: str):
     )
 
 
+def q_customers_without_orders(sf_dir: str):
+    """Distributed ANTI-join (J7's set-subtraction shape lifted to the
+    relational level): customers with no HIGH-VALUE order (>= 300k),
+    via the bucketed reduce-side join with ``join_type="left anti"`` —
+    the anti side ships only its DISTINCT keys through the shuffle
+    (orders are row-filtered AT THE READ, key-projected and
+    pre-deduplicated per batch), so the probe stream is bounded by
+    distinct qualifying customers, not order volume."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pc.field("o_totalprice") >= 300000.0,
+    )
+
+    def dedup_keys(t: pa.Table) -> pa.Table:
+        k = np.unique(np.asarray(t["o_custkey"], dtype=np.int64))
+        return pa.table({"o_custkey": pa.array(k)})
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "acctbal_cents": pa.array(
+                    _cents(np.asarray(t["c_acctbal"], dtype=np.float64))
+                ),
+            }
+        )
+
+    return pinned_join(
+        cust.map_batches(add_cents, batch_format="pyarrow"),
+        orders.map_batches(dedup_keys, batch_format="pyarrow"),
+        on="c_custkey",
+        right_on="o_custkey",
+        join_type="left anti",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Broadcast dimension join (A2/J1: small side via ray.put, no shuffle)
 # ---------------------------------------------------------------------------
@@ -1082,6 +1123,150 @@ def q_event_value_extremes(sf_dir: str):
             Max("cents", alias_name="max_cents"),
             Count(alias_name="n"),
         )
+    )
+
+
+def q_event_value_percentiles(sf_dir: str):
+    """EXACT distributed percentiles (p50/p90/p99 per event type) via a
+    bounded value histogram: values floor to int cents (the repo-wide
+    determinism trick), the heavy pass is a partial (event_type, cents)
+    count inside ``map_batches``, and the quantile selection runs over
+    the compacted histogram — thousands of rows regardless of event
+    volume (same shape as the sliding window's hourly panel). Rank rule
+    is pure-integer on both sides (``rank_p = (p*n + 99) // 100``,
+    answer = smallest cents with cumulative count >= rank) so parity
+    does not depend on float quantile semantics. At 100 TB this is the
+    scale path for exact quantiles over bounded-domain values; unbounded
+    domains would swap the histogram for a t-digest sketch."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "cents": _cents(df["value"].to_numpy(dtype=np.float64)),
+            }
+        ).groupby(["event_type", "cents"], sort=False, as_index=False).agg(
+            part_n=("cents", "size")
+        )
+        g["part_n"] = g["part_n"].astype(np.int64)
+        return g
+
+    hist = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("part_n", alias_name="n"))
+    )
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents").reset_index(drop=True)
+        cents = g["cents"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(g["n"].to_numpy(dtype=np.int64))
+        total = int(cum[-1])
+        out = {"event_type": [g["event_type"].iloc[0]], "n": [total]}
+        for p in (50, 90, 99):
+            rank = (p * total + 99) // 100
+            out[f"p{p}_cents"] = [int(cents[np.searchsorted(cum, rank, side="left")])]
+        return pd.DataFrame(out)
+
+    return hist.groupby("event_type").map_groups(quantiles, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Sketches + sampling over documents (KMV distinct, stratified sample)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_HEXVAL = {c: i for i, c in enumerate("0123456789abcdef")}
+
+
+def _md5_60bit(texts: list) -> np.ndarray:
+    """First 15 hex chars of md5 as int64 (< 2^60) — the same value
+    DuckDB derives via ``list_reduce`` over the md5 hex string, so the
+    sketch is exactly SQL-checkable."""
+    import hashlib
+
+    return np.fromiter(
+        (
+            int(hashlib.md5((t or "").encode("utf-8")).hexdigest()[:15], 16)
+            for t in texts
+        ),
+        dtype=np.int64,
+        count=len(texts),
+    )
+
+
+def q_distinct_kmv(sf_dir: str):
+    """KMV (k-minimum-values) distinct-count sketch per lang: keep the
+    k=64 smallest distinct 60-bit hashes of each document text; estimate
+    ``(k-1) * 2^60 // h_k`` when the sketch saturates, exact count
+    below. The sketch is MERGEABLE — each batch emits at most k rows per
+    lang, so the shuffle carries O(k x langs x batches) rows no matter
+    the corpus size (the histogram-panel discipline again). Estimator:
+    Bar-Yossef et al. 2002 / Beyer et al. SIGMOD'07 (public). Integer
+    arithmetic end-to-end (Python int << 60 / DuckDB HUGEINT) so the
+    oracle hash-matches bit-for-bit."""
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_60bit(df["text"].tolist())
+        g = pd.DataFrame({"lang": df["lang"], "h": h}).drop_duplicates()
+        g = g.sort_values("h", kind="stable").groupby("lang", sort=False).head(_KMV_K)
+        return g.reset_index(drop=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(g["h"].to_numpy(dtype=np.int64))
+        if len(u) >= _KMV_K:
+            est = ((_KMV_K - 1) << 60) // int(u[_KMV_K - 1])
+        else:
+            est = len(u)
+        return pd.DataFrame(
+            {"lang": [g["lang"].iloc[0]], "est_distinct": np.array([est], dtype=np.int64)}
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: 3 documents per lang, chosen by
+    md5 order of the doc id — the train-subset-sampling op every data
+    pipeline needs, reproducible across runs/cluster sizes because the
+    'random' order is a pure hash of the row key (same discipline as the
+    T6 hash split). Per-batch top-k partials bound the shuffle to
+    k x langs x batches rows; hex strings compare identically in Python
+    and SQL (fixed-width lowercase)."""
+    import hashlib
+
+    docs = _docs(sf_dir, ["lang", "doc_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        key = [
+            hashlib.md5(str(int(d)).encode()).hexdigest() for d in df["doc_id"]
+        ]
+        g = pd.DataFrame({"lang": df["lang"], "doc_id": df["doc_id"], "skey": key})
+        return (
+            g.sort_values("skey", kind="stable")
+            .groupby("lang", sort=False)
+            .head(3)
+            .reset_index(drop=True)
+        )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("skey", kind="stable").head(3)
+        g = g.reset_index(drop=True)
+        g["sample_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "doc_id", "sample_rank"]]
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(pick, batch_format="pandas")
     )
 
 
@@ -1552,6 +1737,10 @@ QUERIES = {
     "top_customers": q_top_customers,
     "events_hourly": q_events_hourly,
     "events_sliding_3h": q_events_sliding_3h,
+    "event_value_percentiles": q_event_value_percentiles,
+    "distinct_kmv": q_distinct_kmv,
+    "stratified_sample": q_stratified_sample,
+    "customers_without_orders": q_customers_without_orders,
     "embedding_topk": q_embedding_topk,
     "knn_bruteforce": q_knn_bruteforce,
     "media_sizes": q_media_sizes,

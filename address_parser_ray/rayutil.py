@@ -133,19 +133,25 @@ def pinned_join(
     left_suffix: str | None = None,
     right_suffix: str | None = "_r",
 ):
-    """Partitioned reduce-side inner hash join (see module docstring).
+    """Partitioned reduce-side hash join (see module docstring).
 
     Column semantics match the native operator as verified earlier: the
     output keeps the LEFT key column name; the right key is dropped;
     non-key name collisions get ``right_suffix`` on the right column.
     Keys must be integer columns. Output is lazy (composes freely).
+
+    ``join_type="left anti"`` keeps left rows whose key has NO match on
+    the right; only the right KEYS travel through the shuffle (payload
+    dropped at the tag stage), so the anti side is as light as a
+    semi-join filter.
     """
-    if join_type != "inner":
-        raise NotImplementedError("only inner joins are used by this engine")
+    if join_type not in ("inner", "left anti"):
+        raise NotImplementedError("only inner / left-anti joins are used")
+    anti = join_type == "left anti"
     right_on = right_on or on
     ls, rs = _arrow_schema(left), _arrow_schema(right)
     lpay = [c for c in ls.names if c != on]
-    rpay = [c for c in rs.names if c != right_on]
+    rpay = [] if anti else [c for c in rs.names if c != right_on]
     # resolve right-side collisions with the suffix (left wins its names)
     ren = {
         c: c + (right_suffix or "_r") if (c in lpay or c == on) else c for c in rpay
@@ -199,7 +205,7 @@ def pinned_join(
     def join_bucket(g: pa.Table) -> pa.Table:
         side = np.asarray(g["__side"])
         lmask = side == 0
-        if not lmask.any() or lmask.all():
+        if not lmask.any() or (lmask.all() and not anti):
             return out_schema.empty_table()
         lt_rows = g.filter(pa.array(lmask))
         rt_rows = g.filter(pa.array(~lmask))
@@ -209,7 +215,7 @@ def pinned_join(
         rt = pa.table(
             {"__key": rt_rows["__key"], **{ren[c]: rt_rows["r." + ren[c]] for c in rpay}}
         )
-        j = lt.join(rt, keys=["__key"], join_type="inner")
+        j = lt.join(rt, keys=["__key"], join_type="left anti" if anti else "inner")
         cols = {on: j["__key"].cast(key_type)}
         for c in lpay:
             cols[c] = j[c]

@@ -67,6 +67,10 @@ SQL_CHECKED = [
     "bio_label_counts",
     "purchase_clicks_1h",
     "events_sliding_3h",
+    "event_value_percentiles",
+    "distinct_kmv",
+    "stratified_sample",
+    "customers_without_orders",
 ]
 
 
