@@ -310,6 +310,31 @@ ORACLE_SQL = {
     # IVF mirror: same 16-seed-centroid rule, nearest-centroid assignment
     # (cos desc, cid asc — matches numpy first-max argmax), nprobe=4 probe
     # lists, exact cosine ranked only within probed lists. Int-only output.
+    # bit j compares two list_inner_product terms against the (2j,2j+1)
+    # smallest-vec_id seed rows — the engine computes the same two
+    # float64 dot products per bit
+    "ann_lsh_buckets": """
+        WITH s AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS v,
+                   row_number() OVER (ORDER BY vec_id) - 1 AS rn
+            FROM embeddings ORDER BY vec_id LIMIT 24
+        ), planes AS (
+            SELECT a.rn // 2 AS j, a.v AS av, b.v AS bv
+            FROM s a JOIN s b ON b.rn = a.rn + 1
+            WHERE a.rn % 2 = 0
+        ), bits AS (
+            SELECT e.vec_id,
+                   sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.av)
+                              > list_inner_product(CAST(e.embedding AS DOUBLE[]), p.bv)
+                        THEN CAST(1 AS BIGINT) << CAST(p.j AS INT)
+                        ELSE CAST(0 AS BIGINT) END) AS bucket
+            FROM embeddings e CROSS JOIN planes p
+            GROUP BY e.vec_id
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_vectors
+        FROM bits GROUP BY 1
+    """,
     "ann_ivf_topk": """
         WITH cent AS (
             SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv

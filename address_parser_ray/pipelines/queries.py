@@ -1356,24 +1356,31 @@ def q_er_quality(sf_dir: str):
 
 
 def q_ann_lsh_buckets(sf_dir: str):
-    """Random-hyperplane LSH over embeddings: 12-bit signatures → bucket
+    """Hyperplane LSH over embeddings: 12-bit signatures → bucket
     histogram (the scale path for similarity search — candidates come
-    from same-bucket collisions instead of a full matmul). Deterministic
-    hyperplanes from the fixed seed."""
+    from same-bucket collisions instead of a full matmul). Bit j is
+    ``dot(e, A_j) > dot(e, B_j)`` where (A_j, B_j) are the (2j, 2j+1)-th
+    smallest-vec_id rows — data-derived hyperplanes (the difference
+    A_j − B_j) with the same seed-row rule as the IVF centroids, which
+    keeps the operator fully SQL-checkable. At 100 TB the seed rows come
+    from a driver-side sample; the two dot products per bit match the
+    oracle's ``list_inner_product`` term-for-term."""
     import pyarrow.parquet as pq
 
-    meta = pq.read_schema(f"{sf_dir}/embeddings.parquet")
-    dim = 64  # embeddings are list<float>[64] in this testdata
-    from address_parser_ray.functions.hashing import rng_for
-
-    planes = rng_for(42, "ann_planes").standard_normal((dim, 12))
-    planes_ref = ray.put(planes)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vids = np.asarray(t["vec_id"], dtype=np.int64)
+    order = np.argsort(vids)[:24]
+    seeds = np.stack(
+        [np.asarray(t["embedding"][i].as_py(), dtype=np.float64) for i in order]
+    )
+    A, B = seeds[0::2], seeds[1::2]  # (12, dim) each
+    planes_ref = ray.put((A, B))
 
     def bucketize(t: pa.Table) -> pa.Table:
-        pl = ray.get(planes_ref)
+        a_m, b_m = ray.get(planes_ref)
         emb = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64)
         emb = emb.reshape(len(t), -1)
-        bits = (emb @ pl) > 0
+        bits = (emb @ a_m.T) > (emb @ b_m.T)
         code = (bits * (1 << np.arange(12))).sum(axis=1).astype(np.int64)
         return pa.table({"bucket": pa.array(code)})
 

@@ -71,6 +71,7 @@ SQL_CHECKED = [
     "distinct_kmv",
     "stratified_sample",
     "customers_without_orders",
+    "ann_lsh_buckets",
 ]
 
 
@@ -121,7 +122,6 @@ ROWS_ONLY = [
     "model_langid",
     "simhash_hamming_pairs",
     "synthetic_corpus_stats",
-    "ann_lsh_buckets",
     "ngram_jaccard_pairs",
     "embedding_near_dup",
     "residual_tokens",
