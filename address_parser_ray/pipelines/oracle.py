@@ -153,6 +153,31 @@ ORACLE_SQL = {
                     ELSE max(nd) END AS BIGINT) AS est_distinct
         FROM r GROUP BY 1
     """,
+    # same RE2-compatible pattern the engine compiles with re.ASCII
+    "vocab_stats": """
+        WITH tok AS (
+            SELECT lang,
+                   unnest(regexp_extract_all(
+                       COALESCE(text, ''),
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS token
+            FROM documents
+        ), counts AS (
+            SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY 1, 2
+        ), ranked AS (
+            SELECT lang, token, n,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY n DESC, token ASC
+                   ) AS rk
+            FROM counts
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               max(CASE WHEN rk = 1 THEN token END) AS top_token,
+               CAST(max(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS top_token_n
+        FROM ranked GROUP BY 1
+    """,
     # hex strings are fixed-width lowercase → lexicographic order in SQL
     # == Python string sort == numeric hash order
     "stratified_sample": """

@@ -1233,6 +1233,72 @@ def q_distinct_kmv(sf_dir: str):
     )
 
 
+_BPE_RE = None  # compiled lazily per process (regex compile once, A1 discipline)
+
+
+def _bpe_findall(texts: pd.Series):
+    """BPE-ish pre-tokenizer (letter runs | digit runs | symbol runs) —
+    the GPT-2-style split classes without the contraction cases; compiled
+    with re.ASCII so ``\\s`` matches RE2's class exactly (the oracle runs
+    the same pattern through DuckDB's regexp_extract_all)."""
+    global _BPE_RE
+    if _BPE_RE is None:
+        import re
+
+        _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+", re.ASCII)
+    return texts.fillna("").str.findall(_BPE_RE)
+
+
+def q_vocab_stats(sf_dir: str):
+    """Vocabulary build over BPE-ish tokens — the canonical word-count
+    shuffle of every training-data pipeline: per-batch PARTIAL
+    (lang, token) counts (shuffle volume bounded by per-batch vocab, not
+    token occurrences), a (lang, token) groupby-sum, then a tiny per-lang
+    reduction to vocab size / total tokens / most-frequent token
+    (tie → lexicographically smallest). Token classes are letter / digit
+    / symbol runs (the BPE pre-tokenizer split), full SQL oracle."""
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _bpe_findall(df["text"])
+        n = toks.str.len().to_numpy()
+        if n.sum() == 0:
+            return pd.DataFrame({"lang": [], "token": [], "part_n": []}).astype(
+                {"lang": str, "token": str, "part_n": np.int64}
+            )
+        flat = pd.DataFrame(
+            {
+                "lang": np.repeat(df["lang"].to_numpy(), n),
+                "token": np.concatenate(toks.to_numpy()),
+            }
+        )
+        g = flat.groupby(["lang", "token"], sort=False, as_index=False).agg(
+            part_n=("token", "size")
+        )
+        g["part_n"] = g["part_n"].astype(np.int64)
+        return g
+
+    counts = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("part_n", alias_name="n"))
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(["n", "token"], ascending=[False, True]).iloc[0]
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "vocab_size": np.array([len(g)], dtype=np.int64),
+                "n_tokens": np.array([int(g["n"].sum())], dtype=np.int64),
+                "top_token": [top["token"]],
+                "top_token_n": np.array([int(top["n"])], dtype=np.int64),
+            }
+        )
+
+    return counts.groupby("lang").map_groups(final, batch_format="pandas")
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic stratified sample: 3 documents per lang, chosen by
     md5 order of the doc id — the train-subset-sampling op every data
@@ -1746,6 +1812,7 @@ QUERIES = {
     "events_sliding_3h": q_events_sliding_3h,
     "event_value_percentiles": q_event_value_percentiles,
     "distinct_kmv": q_distinct_kmv,
+    "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,
     "embedding_topk": q_embedding_topk,

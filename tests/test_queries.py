@@ -72,6 +72,7 @@ SQL_CHECKED = [
     "stratified_sample",
     "customers_without_orders",
     "ann_lsh_buckets",
+    "vocab_stats",
 ]
 
 
