@@ -153,6 +153,57 @@ ORACLE_SQL = {
                     ELSE max(nd) END AS BIGINT) AS est_distinct
         FROM r GROUP BY 1
     """,
+    "revenue_rollup": """
+        WITH f AS (
+            SELECT r.r_name, n.n_name,
+                   CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+        )
+        SELECT r_name, n_name,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM f GROUP BY 1, 2
+        UNION ALL
+        SELECT r_name, 'ALL', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        FROM f GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', 'ALL', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        FROM f
+    """,
+    # integer idf weight (L*1000)//df — exact on both sides, no float log
+    "tfidf_top_terms": """
+        WITH tok AS (
+            SELECT lang,
+                   unnest(regexp_extract_all(
+                       COALESCE(text, ''),
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS token
+            FROM documents
+        ), counts AS (
+            SELECT lang, token, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY 1, 2
+        ), l AS (
+            SELECT count(DISTINCT lang) AS nl FROM documents
+        ), scored AS (
+            SELECT c.lang, c.token, c.tf,
+                   c.tf * ((l.nl * 1000) // d.df) AS score
+            FROM counts c
+            JOIN (SELECT token, CAST(count(*) AS BIGINT) AS df
+                  FROM counts GROUP BY 1) d ON d.token = c.token
+            CROSS JOIN l
+        ), ranked AS (
+            SELECT lang, token, score,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY score DESC, token ASC
+                   ) AS rk
+            FROM scored
+        )
+        SELECT lang, CAST(rk AS BIGINT) AS rank, token,
+               CAST(score AS BIGINT) AS score
+        FROM ranked WHERE rk <= 5
+    """,
     # same RE2-compatible pattern the engine compiles with re.ASCII
     "vocab_stats": """
         WITH tok AS (

@@ -415,6 +415,148 @@ def q_orders_by_nation(sf_dir: str):
     )
 
 
+def q_revenue_rollup(sf_dir: str):
+    """Hierarchical rollup (GROUPING SETS analogue): order revenue at
+    (region, nation), (region), and grand-total levels. ONE streaming
+    pass aggregates at the finest grain (dims broadcast, searchsorted
+    lookups — same shape as orders_by_nation); the coarser levels are
+    derived from the resulting nation panel, which is bounded by the
+    dimension cardinality (25 rows) regardless of fact volume — never a
+    second scan. 'ALL' marks rolled-up levels."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+
+    ckeys = np.asarray(cust["c_custkey"]).astype(np.int64)
+    cnat = np.asarray(cust["c_nationkey"]).astype(np.int64)
+    corder = np.argsort(ckeys)
+    nkeys = np.asarray(nation["n_nationkey"]).astype(np.int64)
+    nnames = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    nreg = np.asarray(nation["n_regionkey"]).astype(np.int64)
+    norder = np.argsort(nkeys)
+    rkeys = np.asarray(region["r_regionkey"]).astype(np.int64)
+    rnames = np.asarray(region["r_name"].to_pylist(), dtype=object)
+    rorder = np.argsort(rkeys)
+
+    nidx = norder[np.searchsorted(nkeys[norder], cnat[corder])]
+    ridx = rorder[np.searchsorted(rkeys[rorder], nreg[nidx])]
+    dims_ref = ray.put((ckeys[corder], nnames[nidx], rnames[ridx]))
+
+    def add_dims(t: pa.Table) -> pa.Table:
+        ck, nat_of, reg_of = ray.get(dims_ref)
+        pos = np.searchsorted(ck, np.asarray(t["o_custkey"]).astype(np.int64))
+        return pa.table(
+            {
+                "r_name": pa.array(reg_of[pos], type=pa.string()),
+                "n_name": pa.array(nat_of[pos], type=pa.string()),
+                "cents": pa.array(
+                    _cents(np.asarray(t["o_totalprice"], dtype=np.float64))
+                ),
+            }
+        )
+
+    fine = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(add_dims, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
+        .to_pandas()
+    )
+    by_region = fine.groupby("r_name", as_index=False)[["n_orders", "total_cents"]].sum()
+    by_region["n_name"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "r_name": ["ALL"],
+            "n_name": ["ALL"],
+            "n_orders": [fine["n_orders"].sum()],
+            "total_cents": [fine["total_cents"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_region, total], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["total_cents"] = out["total_cents"].astype(np.int64)
+    return out[["r_name", "n_name", "n_orders", "total_cents"]]
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-lang top-5 terms by tf-idf with an INTEGER idf weight
+    (``(L*1000) // df``, L = distinct langs) so ranking is exact on both
+    sides — no float log parity games. ONE shuffle: the (lang, token)
+    partial counts group by TOKEN, where each group computes its own
+    document frequency (df = langs containing it) and scores every
+    (lang, tf) row; the per-lang top-5 runs over the scored panel
+    (bounded by vocabulary). The classic keyword-extraction op."""
+    docs = _docs(sf_dir, ["lang", "text"])
+    n_langs = len(docs.unique("lang"))  # tiny distinct aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _bpe_findall(df["text"])
+        n = toks.str.len().to_numpy()
+        if n.sum() == 0:
+            return pd.DataFrame({"lang": [], "token": [], "part_n": []}).astype(
+                {"lang": str, "token": str, "part_n": np.int64}
+            )
+        flat = pd.DataFrame(
+            {
+                "lang": np.repeat(df["lang"].to_numpy(), n),
+                "token": np.concatenate(toks.to_numpy()),
+            }
+        )
+        g = flat.groupby(["lang", "token"], sort=False, as_index=False).agg(
+            part_n=("token", "size")
+        )
+        g["part_n"] = g["part_n"].astype(np.int64)
+        return g
+
+    counts = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("part_n", alias_name="tf"))
+    )
+
+    # df + scoring is bucketed by token HASH (one Python call per bucket,
+    # vectorized inside — the per-key map_groups trap avoided), because a
+    # real vocabulary has millions of tokens
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["tb"] = (
+            pd.util.hash_pandas_object(df["token"], index=False).to_numpy()
+            % nparts
+        ).astype(np.int64)
+        return df
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df_count = g.groupby("token")["lang"].transform("size").to_numpy()
+        idf_int = (n_langs * 1000) // df_count
+        out = g[["lang", "token", "tf"]].copy()
+        out["score"] = (out["tf"].to_numpy(dtype=np.int64) * idf_int).astype(np.int64)
+        return out
+
+    scored = (
+        counts.map_batches(add_bucket, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(score_bucket, batch_format="pandas")
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "token"], ascending=[False, True]).head(5)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "rank", "token", "score"]]
+
+    return scored.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
 def q_pricing_summary(sf_dir: str):
     """Lineitem pricing rollup (the G1-style grouped aggregate)."""
     li = ray.data.read_parquet(
@@ -1807,6 +1949,8 @@ QUERIES = {
     "filter_union_counts": q_filter_union_counts,
     "orders_by_nation": q_orders_by_nation,
     "pricing_summary": q_pricing_summary,
+    "revenue_rollup": q_revenue_rollup,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "top_customers": q_top_customers,
     "events_hourly": q_events_hourly,
     "events_sliding_3h": q_events_sliding_3h,

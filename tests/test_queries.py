@@ -73,6 +73,8 @@ SQL_CHECKED = [
     "customers_without_orders",
     "ann_lsh_buckets",
     "vocab_stats",
+    "revenue_rollup",
+    "tfidf_top_terms",
 ]
 
 
