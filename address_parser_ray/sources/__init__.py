@@ -1,6 +1,8 @@
 from address_parser_ray.sources.corpus import (
+    detect_format,
     documents_as_corpus,
     read_corpus,
+    write_jsonl,
 )
 
-__all__ = ["read_corpus", "documents_as_corpus"]
+__all__ = ["read_corpus", "documents_as_corpus", "detect_format", "write_jsonl"]

@@ -14,6 +14,7 @@ executor replaces the hand-rolled incremental parse.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pyarrow as pa
 import ray.data
@@ -21,9 +22,51 @@ import ray.data
 CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
 
-def read_corpus(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    """Read a corpus Parquet directory/file with column pruning."""
-    return ray.data.read_parquet(path, columns=columns or CORPUS_COLUMNS)
+def detect_format(path: str) -> str:
+    """File-kind sniffer (reference S3, ``build_real_dataset.py:23-44``
+    magic-byte + extension dispatch): 'parquet' or 'json' (JSONL / JSON
+    array both — pyarrow's json reader handles NDJSON natively)."""
+    probe = path
+    if os.path.isdir(path):
+        entries = sorted(
+            e for e in os.listdir(path) if not e.startswith((".", "_"))
+        )
+        if not entries:
+            return "parquet"
+        probe = os.path.join(path, entries[0])
+    ext = os.path.splitext(probe)[1].lower()
+    if ext in (".parquet", ".pq"):
+        return "parquet"
+    if ext in (".json", ".jsonl", ".ndjson"):
+        return "json"
+    with open(probe, "rb") as f:
+        head = f.read(4)
+    return "parquet" if head[:4] == b"PAR1" else "json"
+
+
+def read_corpus(
+    path: str,
+    columns: list[str] | None = None,
+    file_format: str | None = None,
+) -> ray.data.Dataset:
+    """Read a corpus directory/file with column pruning. Parquet prunes
+    AT the read (only the needed columns leave storage); JSONL cannot —
+    it is parsed then projected, so Parquet is the 100-TB format and
+    JSONL the ingestion/interchange one (reference S1/S4 readers)."""
+    cols = columns or CORPUS_COLUMNS
+    fmt = file_format or detect_format(path)
+    if fmt == "parquet":
+        return ray.data.read_parquet(path, columns=cols)
+    from address_parser_ray.rayutil import project
+
+    return project(ray.data.read_json(path), {c: c for c in cols})
+
+
+def write_jsonl(ds: ray.data.Dataset, path: str) -> None:
+    """JSONL sink (reference S7 ``merge_datasets.py:40-55`` writer):
+    one line per record, partitioned one file per block — resumable
+    output, never one giant file."""
+    ds.write_json(path)
 
 
 def _docs_to_corpus(batch: pa.Table) -> pa.Table:

@@ -121,3 +121,34 @@ def test_write_corpus_idempotent(tmp_path, ray_session):
     c2, p2 = write_corpus(d, n_seeds=5, variants_per_seed=4)  # second call: no-op
     assert (c1, p1) == (c2, p2)
     assert pq.read_table(p2).equals(t1)
+
+
+def test_jsonl_roundtrip_and_sniffer(ray_session, tmp_path):
+    """JSONL sink → sniffer → JSONL reader must round-trip the corpus
+    byte-identically (modulo row order) vs the parquet read, and the
+    pipeline must accept the JSONL-backed dataset unchanged."""
+    import pandas as pd
+
+    from address_parser_ray.fixtures import write_corpus
+    from address_parser_ray.sources import (
+        detect_format,
+        read_corpus,
+        write_jsonl,
+    )
+
+    corpus_dir, _ = write_corpus(
+        str(tmp_path / "fx"), n_seeds=5, variants_per_seed=3
+    )
+    assert detect_format(corpus_dir) == "parquet"
+
+    ds = read_corpus(corpus_dir)
+    jdir = str(tmp_path / "jsonl")
+    write_jsonl(ds, jdir)
+    assert detect_format(jdir) == "json"
+
+    back = read_corpus(jdir).to_pandas()
+    orig = ds.to_pandas()
+    key = ["repo", "path", "commit"]
+    back = back.sort_values(key).reset_index(drop=True)[orig.columns]
+    orig = orig.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, orig)
