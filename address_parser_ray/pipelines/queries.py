@@ -119,7 +119,11 @@ def q_simhash_hamming_pairs(sf_dir: str):
     corpus = documents_as_corpus(sf_dir)
     fp = corpus.map_batches(
         Fingerprinter,
-        fn_constructor_kwargs={"cfg": DEFAULT_CONFIG},
+        # simhash only: skips the three OPH sketches + content sha256
+        fn_constructor_kwargs={
+            "cfg": DEFAULT_CONFIG,
+            "outputs": frozenset({"simhash"}),
+        },
         batch_format="pyarrow",
         batch_size=512,
         concurrency=(2, 8),
@@ -493,7 +497,8 @@ def q_tfidf_top_terms(sf_dir: str):
     (lang, tf) row; the per-lang top-5 runs over the scored panel
     (bounded by vocabulary). The classic keyword-extraction op."""
     docs = _docs(sf_dir, ["lang", "text"])
-    n_langs = len(docs.unique("lang"))  # tiny distinct aggregate
+    # tiny distinct aggregate over a lang-only read (never drags text)
+    n_langs = len(_docs(sf_dir, ["lang"]).unique("lang"))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = _bpe_findall(df["text"])

@@ -71,14 +71,27 @@ class Fingerprinter:
     warm state is the process-level shingle power cache inside
     ``functions.hashing`` (lru-style, grows on demand)."""
 
-    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG):
+    #: every sketch the full fingerprint carries; pass a subset as
+    #: ``outputs`` to skip the others' compute (e.g. the simhash query
+    #: needs neither the three OPH sketches nor the content sha)
+    ALL_OUTPUTS = frozenset(
+        {"minhash", "token_minhash", "fine_minhash", "simhash", "content_sha256"}
+    )
+
+    def __init__(
+        self,
+        cfg: PipelineConfig = DEFAULT_CONFIG,
+        outputs: frozenset | None = None,
+    ):
         self.cfg = cfg
+        self.outputs = self.ALL_OUTPUTS if outputs is None else frozenset(outputs)
         self.schema = fingerprint_schema(cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
 
         cfg = self.cfg
+        out = self.outputs
         content = batch["content"]
         norm = normalize_content_arrow(
             content, lowercase=cfg.lowercase, strip_comments=cfg.strip_comments
@@ -97,60 +110,83 @@ class Fingerprinter:
         path = batch["path"].to_pylist()
         commit = batch["commit"].to_pylist()
 
+        want_mh = "minhash" in out
+        want_tmh = "token_minhash" in out
+        want_fmh = "fine_minhash" in out
+        want_sh = "simhash" in out
+        want_sha = "content_sha256" in out
+
         n = len(norm_views)
         rid = np.empty(n, dtype=np.int64)
-        mh = np.empty((n, cfg.num_perm), dtype=np.uint64)
-        tmh = np.empty((n, cfg.token_num_perm), dtype=np.uint64)
-        fmh = np.empty((n, cfg.num_perm), dtype=np.uint64)
-        sh = np.empty(n, dtype=np.uint64)
+        mh = np.empty((n, cfg.num_perm), dtype=np.uint64) if want_mh else None
+        tmh = (
+            np.empty((n, cfg.token_num_perm), dtype=np.uint64) if want_tmh else None
+        )
+        fmh = np.empty((n, cfg.num_perm), dtype=np.uint64) if want_fmh else None
+        sh = np.empty(n, dtype=np.uint64) if want_sh else None
         n_tok = np.empty(n, dtype=np.int64)
         shas = []
         for i in range(n):
             rid[i] = stable_id64(repo[i] or "", path[i] or "", commit[i] or "")
-            shas.append(hashlib.sha256(raw_views[i]).hexdigest())
+            if want_sha:
+                shas.append(hashlib.sha256(raw_views[i]).hexdigest())
             arr = norm_views[i].astype(np.uint64)  # ONE conversion per row
             # wide shingles keep unique() — the sorted prefix IS the
             # deterministic min-k sample SimHash draws from
-            shingles = char_shingle_hashes_u64(arr, cfg.shingle_k, unique=True)
-            # OPH is duplicate-insensitive: skip the sort for its inputs
-            fine = char_shingle_hashes_u64(arr, cfg.fine_shingle_k, unique=False)
+            if want_mh or want_sh:
+                shingles = char_shingle_hashes_u64(arr, cfg.shingle_k, unique=True)
             toks, n_tok[i] = token_hashes_u64(arr, unique=False)
             # one-permutation hashing: one pass over the shingle set
             # instead of num_perm (classic MinHash is memory-bandwidth
             # bound: an (S × 128) temp per doc).
-            mh[i] = oph_minhash(shingles, cfg.num_perm, cfg.seed)
-            tmh[i] = oph_minhash(toks, cfg.token_num_perm, cfg.seed + 7)
+            if want_mh:
+                mh[i] = oph_minhash(shingles, cfg.num_perm, cfg.seed)
+            if want_tmh:
+                tmh[i] = oph_minhash(toks, cfg.token_num_perm, cfg.seed + 7)
             # fine (4-gram) sketch: rename-robust content evidence for
             # the P2 content blend (estimated in the scorer, verified
             # exactly only in the near-threshold band)
-            fmh[i] = oph_minhash(fine, cfg.num_perm, cfg.seed + 13)
+            if want_fmh:
+                # OPH is duplicate-insensitive: skip the sort for its inputs
+                fine = char_shingle_hashes_u64(arr, cfg.fine_shingle_k, unique=False)
+                fmh[i] = oph_minhash(fine, cfg.num_perm, cfg.seed + 13)
             # SimHash over the min-2048 shingle sample (unique() sorts, so
             # the prefix IS the deterministic min-k sketch) — full-set
             # SimHash is pure memory bandwidth on large files.
-            sh[i] = simhash64(shingles[:2048])
+            if want_sh:
+                sh[i] = simhash64(shingles[:2048])
 
         n_chars = pc.cast(pc.utf8_length(content), pa.int64())
-        return pa.table(
-            {
-                "record_id": pa.array(rid),
-                "repo": batch["repo"],
-                "path": batch["path"],
-                "commit": batch["commit"],
-                "lang": batch["lang"],
-                "basename": basename_arrow(batch["path"]),
-                "content_sha256": pa.array(shas, type=pa.string()),
-                "n_chars": n_chars,
-                "n_tokens": pa.array(n_tok),
-                "minhash": pa.array([mh[i].tobytes() for i in range(n)], type=pa.binary()),
-                "token_minhash": pa.array(
-                    [tmh[i].tobytes() for i in range(n)], type=pa.binary()
-                ),
-                "fine_minhash": pa.array(
-                    [fmh[i].tobytes() for i in range(n)], type=pa.binary()
-                ),
-                "simhash": pa.array(sh),
-            }
-        )
+        cols = {
+            "record_id": pa.array(rid),
+            "repo": batch["repo"],
+            "path": batch["path"],
+            "commit": batch["commit"],
+            "lang": batch["lang"],
+            "basename": basename_arrow(batch["path"]),
+            "n_chars": n_chars,
+            "n_tokens": pa.array(n_tok),
+        }
+        if want_sha:
+            cols["content_sha256"] = pa.array(shas, type=pa.string())
+        if want_mh:
+            cols["minhash"] = pa.array(
+                [mh[i].tobytes() for i in range(n)], type=pa.binary()
+            )
+        if want_tmh:
+            cols["token_minhash"] = pa.array(
+                [tmh[i].tobytes() for i in range(n)], type=pa.binary()
+            )
+        if want_fmh:
+            cols["fine_minhash"] = pa.array(
+                [fmh[i].tobytes() for i in range(n)], type=pa.binary()
+            )
+        if want_sh:
+            cols["simhash"] = pa.array(sh)
+        # column order of the full schema is preserved for default runs
+        if out == self.ALL_OUTPUTS:
+            cols = {f.name: cols[f.name] for f in self.schema}
+        return pa.table(cols)
 
 
 def fingerprint_stage(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *, concurrency=None):

@@ -372,3 +372,36 @@ def test_conjunctive_blocking_end_to_end(ray_session, fixture_corpus):
     n_loose, n_strict = loose.scored_pairs.count(), strict.scored_pairs.count()
     assert n_strict < n_loose
     assert pairwise_f1(labels, strict.assignments.to_pandas()).f1 >= 0.99
+
+
+def test_fingerprinter_outputs_subset_matches_full():
+    """A sketch-subset Fingerprinter must produce byte-identical values
+    for the requested sketches (the gating skips compute, never changes
+    it) and omit the rest."""
+    from address_parser_ray.stages.fingerprint import Fingerprinter
+
+    batch = pa.table(
+        {
+            "repo": ["r1", "r2", "r3"],
+            "path": ["a.py", "b.py", "c.py"],
+            "commit": ["c1", "c2", "c3"],
+            "lang": ["python"] * 3,
+            "content": [
+                "def f():\n    return 1\n",
+                "some other file body with tokens\n" * 20,
+                "",
+            ],
+        }
+    )
+    full = Fingerprinter(CFG)(batch)
+    only_sh = Fingerprinter(CFG, outputs=frozenset({"simhash"}))(batch)
+    assert only_sh["simhash"].to_pylist() == full["simhash"].to_pylist()
+    assert only_sh["record_id"].to_pylist() == full["record_id"].to_pylist()
+    for absent in ("minhash", "token_minhash", "fine_minhash", "content_sha256"):
+        assert absent not in only_sh.column_names
+
+    only_mh = Fingerprinter(CFG, outputs=frozenset({"minhash", "content_sha256"}))(
+        batch
+    )
+    assert only_mh["minhash"].to_pylist() == full["minhash"].to_pylist()
+    assert only_mh["content_sha256"].to_pylist() == full["content_sha256"].to_pylist()
