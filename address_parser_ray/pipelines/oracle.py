@@ -571,4 +571,84 @@ ORACLE_SQL = {
                (m.lang_obs IS NULL) AS inferred
         FROM m LEFT JOIN best b ON m.source = b.source AND b.rn = 1
     """,
+    # Sequence packing: batch boundary = tokens_before // capacity,
+    # a pure window prefix-sum partitioned by doc_id % 16 (the same
+    # bucket fan-out the Ray side scans independently).
+    "seq_pack_stats": """
+        WITH t AS (
+            SELECT doc_id, doc_id % 16 AS bucket,
+                   len(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+'))
+                       AS n_tokens
+            FROM documents
+        ), packed AS (
+            SELECT bucket, n_tokens,
+                   (sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS batch_id
+            FROM t
+        )
+        SELECT bucket, batch_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS batch_tokens
+        FROM packed GROUP BY 1, 2
+    """,
+    # Decontamination: token 5-gram overlap vs the doc_id%97==0
+    # benchmark slice; n_hits counts gram POSITIONS (each occurrence).
+    "contamination_5gram": """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS tl
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, array_to_string(list_slice(tl, i, i + 4), ' ') AS g
+            FROM toks, unnest(range(1, greatest(len(tl) - 3, 1))) AS t(i)
+        ), bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+        ), hits AS (
+            SELECT g.doc_id, count(b.g) AS n_hits
+            FROM grams g LEFT JOIN bench b USING (g)
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               COALESCE(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+    "props_k_stats": """
+        WITH x AS (
+            SELECT event_type,
+                   CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(max(k) AS BIGINT) AS max_k
+        FROM x GROUP BY event_type
+    """,
+    "pivot_event_hours": """
+        SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+               CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS n_click,
+               CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS n_error,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS n_signup,
+               CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view,
+               CAST(count(*) FILTER (WHERE event_type NOT IN
+                    ('click','error','purchase','signup','view')) AS BIGINT) AS n_other
+        FROM events GROUP BY 1
+    """,
+    # Integer milli-grid vector aggregation: floor(f64(e)*1000) is
+    # bit-identical in numpy and DuckDB (f32->f64 widening is exact).
+    "embedding_centroids": """
+        SELECT label, gs AS dim,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT))
+                    AS BIGINT) AS sum_milli
+        FROM (
+            SELECT label, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS gs
+            FROM embeddings
+        )
+        GROUP BY label, gs
+    """,
 }

@@ -1934,6 +1934,292 @@ def q_infer_missing_lang(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Training-data shaping: sequence packing, decontamination, payload parsing
+# ---------------------------------------------------------------------------
+
+_PACK_BUCKETS = 16  # partitioning key for the packing scan (oracle pins it)
+_PACK_CAPACITY = 512  # token budget per training batch
+
+
+def q_seq_pack_stats(sf_dir: str):
+    """Sequence packing for training batches: docs are greedily packed in
+    doc_id order into batches of ~``_PACK_CAPACITY`` whitespace tokens —
+    batch boundary rule ``batch_id = tokens_before // capacity`` (a
+    prefix-sum, so a batch may overflow by at most one doc; the rule is a
+    pure window function, which keeps it shuffle-free AND
+    SQL-checkable). The scan is partitioned by ``doc_id % _PACK_BUCKETS``
+    — each bucket's prefix sum is independent, so the op scales by
+    raising the bucket fan-out, never by a global ordered scan.
+    Reference analogue: T5 batching in ``ner/merge_datasets.py:85-99`` +
+    the trainer's fixed-token batch shape (``ner/configs/train_default
+    .json:7-12``)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (df["doc_id"] % _PACK_BUCKETS).astype(np.int64),
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_tokens": ws_token_count_series(df["text"]),
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        tok = g["n_tokens"].to_numpy(np.int64)
+        before = np.concatenate([[0], np.cumsum(tok)[:-1]])
+        out = pd.DataFrame(
+            {
+                "bucket": g["bucket"].to_numpy(np.int64),
+                "batch_id": before // _PACK_CAPACITY,
+                "n_tokens": tok,
+            }
+        )
+        agg = out.groupby(["bucket", "batch_id"], as_index=False, sort=False).agg(
+            n_docs=("n_tokens", "size"), batch_tokens=("n_tokens", "sum")
+        )
+        agg["n_docs"] = agg["n_docs"].astype(np.int64)
+        agg["batch_tokens"] = agg["batch_tokens"].astype(np.int64)
+        return agg
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
+_CONTAM_N = 5  # token n-gram order
+_CONTAM_MOD = 97  # stand-in benchmark membership rule: doc_id % 97 == 0
+
+
+def _ws_tokens(text) -> list:
+    # parity with regexp_split_to_array(trim(x), '\s+') for n-gram
+    # purposes: both yield zero n-grams below _CONTAM_N tokens.
+    return (text or "").split()
+
+
+def q_contamination_5gram(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs sharing any token
+    5-gram with a benchmark/eval set (the standard train-set
+    contamination check). The benchmark here is the deterministic
+    ``doc_id % 97 == 0`` slice standing in for an external eval set —
+    which is small BY DEFINITION, so collecting its distinct grams on
+    the driver and broadcasting the set via ``ray.put`` is the correct
+    100-TB shape (the corpus side streams; nothing corpus-sized ever
+    materializes). Hit = any of the doc's gram positions appears in the
+    benchmark set."""
+    import ray
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df[(df["doc_id"] % _CONTAM_MOD) == 0]
+        return pd.DataFrame(
+            {
+                "g": list(
+                    {
+                        " ".join(toks[i : i + _CONTAM_N])
+                        for text in sel["text"]
+                        for toks in (_ws_tokens(text),)
+                        for i in range(len(toks) - _CONTAM_N + 1)
+                    }
+                )
+            }
+        )
+
+    bench = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(bench_grams, batch_format="pandas")
+        .to_pandas()
+    )
+    bench_ref = ray.put(frozenset(bench["g"]))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bset = ray.get(bench_ref)
+        hits = np.fromiter(
+            (
+                sum(
+                    " ".join(toks[i : i + _CONTAM_N]) in bset
+                    for i in range(len(toks) - _CONTAM_N + 1)
+                )
+                for text in df["text"]
+                for toks in (_ws_tokens(text),)
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_hits": hits,
+                "contaminated": hits > 0,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pandas")
+
+
+def q_props_k_stats(sf_dir: str):
+    """JSON payload field extraction + aggregate (reference S8 JSON
+    payload handling): pull ``k`` out of the ``props`` JSON string with
+    one vectorized RE2 regex (no per-row json.loads) and aggregate per
+    event type. Partial min/sum/max per batch → tiny shuffle."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            df["props"]
+            .str.extract(r'"k":\s*(\d+)', expand=False)
+            .astype(np.int64)
+        )
+        g = pd.DataFrame({"event_type": df["event_type"], "k": k}).groupby(
+            "event_type", sort=False, as_index=False
+        ).agg(
+            part_n=("k", "size"),
+            part_sum=("k", "sum"),
+            part_min=("k", "min"),
+            part_max=("k", "max"),
+        )
+        g["part_n"] = g["part_n"].astype(np.int64)
+        return g
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("part_n", alias_name="n"),
+            Sum("part_sum", alias_name="sum_k"),
+            Min("part_min", alias_name="min_k"),
+            Max("part_max", alias_name="max_k"),
+        )
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_hours(sf_dir: str):
+    """Pivot / wide aggregate: event counts by hour-of-day with one
+    column per event type (conditional partial counts per batch → a
+    24-row panel). Types outside the pinned list land in ``n_other`` so
+    the schema is stable regardless of data drift."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hod = df["ts"].dt.hour.astype(np.int64)
+        cols = {"hour_of_day": hod}
+        known = np.zeros(len(df), dtype=bool)
+        for t in _PIVOT_TYPES:
+            m = (df["event_type"] == t).to_numpy()
+            known |= m
+            cols[f"part_{t}"] = m.astype(np.int64)
+        cols["part_other"] = (~known).astype(np.int64)
+        return (
+            pd.DataFrame(cols)
+            .groupby("hour_of_day", sort=False, as_index=False)
+            .sum()
+        )
+
+    aggs = [Sum(f"part_{t}", alias_name=f"n_{t}") for t in _PIVOT_TYPES]
+    aggs.append(Sum("part_other", alias_name="n_other"))
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("hour_of_day")
+        .aggregate(*aggs)
+    )
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-label embedding centroid — vector aggregation with per-batch
+    partial sums (labels × dims rows enter the shuffle, never vectors).
+    Elements are snapped to an integer milli-grid (``floor(f64(e)*1000)``
+    — float32→float64 is exact, so numpy and DuckDB floor identically)
+    making the distributed sum order-independent and bit-checkable.
+    Centroid = sum_milli / n_vecs, derivable exactly from the output."""
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        vals = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(t)
+        d = len(vals) // n if n else 0
+        milli = np.floor(vals * 1000.0).astype(np.int64).reshape(n, d)
+        labels = t["label"].to_numpy()
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, milli)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), type=t.schema.field("label").type),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq))),
+                "part_n": pa.array(np.repeat(counts, d)),
+                "part_sum": pa.array(sums.reshape(-1)),
+            }
+        )
+
+    return (
+        emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim"])
+        .aggregate(
+            Sum("part_n", alias_name="n_vecs"),
+            Sum("part_sum", alias_name="sum_milli"),
+        )
+    )
+
+
+class MediaResizer:
+    """Actor-pool multimodal resize stage: decode the binary PGM payload,
+    2×2 box-downsample on the integer grid (``sum // 4`` per block —
+    deterministic, no float rounding), emit output dims + pixel
+    checksum. Same warm-decoder discipline as MediaFeatureExtractor."""
+
+    def __init__(self):
+        from address_parser_ray.functions.media import (
+            decode_image,
+            synth_pgm_from_bytes,
+        )
+
+        self._decode = decode_image
+        self._synth = synth_pgm_from_bytes
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_w, out_h, px_sum = [], [], []
+        for x in t["text"].to_pylist():
+            w, h, raster = self._decode(self._synth((x or "").encode("utf-8")))
+            raster = raster[: h - h % 2, : w - w % 2].astype(np.int64)
+            small = (
+                raster[0::2, 0::2]
+                + raster[0::2, 1::2]
+                + raster[1::2, 0::2]
+                + raster[1::2, 1::2]
+            ) // 4
+            out_h.append(small.shape[0])
+            out_w.append(small.shape[1])
+            px_sum.append(int(small.sum()))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "out_width": pa.array(out_w, type=pa.int64()),
+                "out_height": pa.array(out_h, type=pa.int64()),
+                "px_sum": pa.array(px_sum, type=pa.int64()),
+            }
+        )
+
+
+def q_media_resize(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MediaResizer,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1987,4 +2273,10 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "residual_tokens": q_residual_tokens,
     "infer_missing_lang": q_infer_missing_lang,
+    "seq_pack_stats": q_seq_pack_stats,
+    "contamination_5gram": q_contamination_5gram,
+    "props_k_stats": q_props_k_stats,
+    "pivot_event_hours": q_pivot_event_hours,
+    "embedding_centroids": q_embedding_centroids,
+    "media_resize": q_media_resize,
 }

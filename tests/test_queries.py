@@ -75,6 +75,11 @@ SQL_CHECKED = [
     "vocab_stats",
     "revenue_rollup",
     "tfidf_top_terms",
+    "seq_pack_stats",
+    "contamination_5gram",
+    "props_k_stats",
+    "pivot_event_hours",
+    "embedding_centroids",
 ]
 
 
@@ -129,6 +134,7 @@ ROWS_ONLY = [
     "embedding_near_dup",
     "residual_tokens",
     "winnow_dup_pairs",
+    "media_resize",
 ]
 
 
