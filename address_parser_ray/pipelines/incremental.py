@@ -1,0 +1,181 @@
+"""Incremental entity resolution: attach a NEW batch of records to an
+existing :class:`DedupResult` without re-fingerprinting or re-scoring
+the old corpus.
+
+The reference's pipeline is batch-only (``ner/build_real_dataset.py``
+reprocesses the whole file per run); a 100-TB engine cannot afford
+that — daily crawl increments must link against yesterday's clusters.
+Shape:
+
+    fingerprint(new batch)                    # old sketches are REUSED
+      → exact dedup over old ∪ new ids+shas   # light shuffle — this IS
+                                              #   the distributed sha-index
+                                              #   probe (16 B+sha per row)
+      → blocking over all reps                # band keys recomputed from
+                                              #   sketches (no content read)
+      → keep only pairs touching a new id     # old↔old pairs were already
+                                              #   decided by the prev run
+      → score / content-rescore new pairs     # the expensive stages run
+                                              #   on the increment only
+      → closure over new edges ∪ dup edges
+        ∪ prev NON-SINGLETON assignments      # new evidence may MERGE two
+                                              #   old clusters; min-id
+                                              #   labels stay stable
+
+Determinism: labels are min-record-id, so an incremental run and a
+full-corpus run produce the SAME partition AND the same labels whenever
+they decide the same pairs (asserted by ``tests/test_incremental.py``).
+At true 100-TB scale the remaining cost is re-emitting band keys over
+old sketches (cheap, content never read); persisting the exploded band
+index would remove it at the price of a mutable index — out of scope.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from address_parser_ray.config import DEFAULT_CONFIG, PipelineConfig
+from address_parser_ray.pipelines.dedup import DedupResult
+from address_parser_ray.rayutil import (
+    default_num_partitions,
+    partitions_for,
+    project,
+)
+from address_parser_ray.stages.blocking import attach_features, blocking_stage
+from address_parser_ray.stages.clustering import connected_components
+from address_parser_ray.stages.exact_dedup import (
+    duplicate_edges,
+    exact_dedup_stage,
+    representatives,
+)
+from address_parser_ray.stages.fingerprint import fingerprint_stage
+from address_parser_ray.stages.scoring import match_edges
+
+
+def _collect_ids(ds: ray.data.Dataset) -> np.ndarray:
+    """Sorted id array of the increment — the incremental contract is
+    that the NEW batch is small relative to the corpus, so its id set
+    broadcasts (the corpus-sized side never leaves the cluster)."""
+    parts = [
+        np.asarray(b["record_id"]).astype(np.int64)
+        for b in ds.select_columns(["record_id"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )
+    ]
+    return np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+
+
+def _touching_filter(new_ids_ref):
+    def keep(t: pa.Table) -> pa.Table:
+        ids = ray.get(new_ids_ref)
+        if not ids.size:
+            return t.slice(0, 0)
+
+        def isin(col) -> np.ndarray:
+            x = np.asarray(col).astype(np.int64)
+            pos = np.clip(np.searchsorted(ids, x), 0, ids.size - 1)
+            return ids[pos] == x
+
+        return t.filter(pa.array(isin(t["id_a"]) | isin(t["id_b"])))
+
+    return keep
+
+
+def incremental_dedup(
+    prev: DedupResult,
+    new_corpus: ray.data.Dataset,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    *,
+    old_corpus: ray.data.Dataset | None = None,
+    num_partitions: int | None = None,
+) -> DedupResult:
+    """Link ``new_corpus`` against ``prev`` (a completed run's result).
+
+    ``old_corpus`` is required when ``cfg.content_rescore`` is on: the
+    rescore stage re-reads content BY ID for near-threshold pairs, and a
+    new↔old pair needs the old side's text.
+    """
+    if cfg.content_rescore and old_corpus is None:
+        raise ValueError(
+            "incremental_dedup with cfg.content_rescore=True needs "
+            "old_corpus (the rescore band re-reads content by id for "
+            "both pair sides)"
+        )
+    num_partitions = default_num_partitions(num_partitions)
+
+    new_fp = fingerprint_stage(new_corpus, cfg).materialize()
+    new_ids_ref = ray.put(_collect_ids(new_fp))
+
+    old_fp = prev.fingerprints.drop_columns(["rep_id"])
+    deduped = exact_dedup_stage(old_fp.union(new_fp)).materialize()
+    reps = representatives(deduped).materialize()
+    dup_edges = duplicate_edges(deduped)
+
+    pairs = (
+        blocking_stage(reps, cfg)
+        .map_batches(
+            _touching_filter(new_ids_ref),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    n_pairs = pairs.count()
+    join_partitions = partitions_for(n_pairs)
+
+    if n_pairs == 0:
+        from address_parser_ray.stages.scoring import _empty_scores
+
+        scored = ray.data.from_arrow(_empty_scores())
+        edges = ray.data.from_arrow(
+            _empty_scores().select(["id_a", "id_b"]).rename_columns(["src", "dst"])
+        )
+    else:
+        from address_parser_ray.stages.blocking import _reduce_feats
+        from address_parser_ray.stages.scoring import (
+            scoring_stage,
+            scoring_stage_broadcast,
+        )
+
+        feats = reps.map_batches(
+            _reduce_feats(cfg), batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        if feats.size_bytes() <= cfg.broadcast_feats_max_bytes:
+            scored = scoring_stage_broadcast(pairs, feats, cfg).materialize()
+        else:
+            scored = scoring_stage(
+                attach_features(pairs, reps, cfg, num_partitions=join_partitions),
+                cfg,
+            ).materialize()
+        if cfg.content_rescore:
+            from address_parser_ray.stages.rescore import content_rescore_stage
+
+            scored = content_rescore_stage(
+                scored,
+                old_corpus.union(new_corpus),
+                cfg,
+                num_partitions=join_partitions,
+            ).materialize()
+        edges = match_edges(scored)
+
+    # prev assignments re-enter the closure as (record → label) edges;
+    # singletons (record == label) carry no information and are dropped,
+    # so this side is O(duplicates in the old corpus), not O(corpus).
+    prev_edges = project(
+        prev.assignments, {"record_id": "src", "cluster_id": "dst"}
+    ).filter(expr="src != dst")
+
+    assignments = connected_components(
+        edges.union(dup_edges).union(prev_edges),
+        deduped,
+        max_rounds=cfg.max_cc_rounds,
+        num_partitions=num_partitions,
+        driver_max_edges=cfg.driver_cc_max_edges,
+    ).materialize()
+
+    return DedupResult(
+        assignments=assignments, scored_pairs=scored, fingerprints=deduped
+    )

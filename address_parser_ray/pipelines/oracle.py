@@ -613,6 +613,25 @@ ORACLE_SQL = {
                COALESCE(h.n_hits, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)
     """,
+    # Gopher-style repetition: total vs distinct token 3-grams per doc.
+    "repetition_stats": """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS tl
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, array_to_string(list_slice(tl, i, i + 2), ' ') AS g
+            FROM toks, unnest(range(1, greatest(len(tl) - 1, 1))) AS t(i)
+        ), agg AS (
+            SELECT doc_id, count(*) AS n_grams,
+                   count(DISTINCT g) AS n_distinct
+            FROM grams GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
     "props_k_stats": """
         WITH x AS (
             SELECT event_type,

@@ -2058,6 +2058,38 @@ def q_contamination_5gram(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pandas")
 
 
+_REP_N = 3  # n-gram order for the repetition signal
+
+
+def q_repetition_stats(sf_dir: str):
+    """Within-doc repetition signal (the Gopher-style duplicate n-gram
+    fraction): per doc, total vs distinct token 3-gram counts — a high
+    duplicate fraction flags degenerate/templated text for training-set
+    filtering. Stateless map; repetition fraction =
+    1 - n_distinct/n_grams, derivable exactly from the integer output."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        total = np.zeros(len(df), dtype=np.int64)
+        distinct = np.zeros(len(df), dtype=np.int64)
+        for j, text in enumerate(df["text"]):
+            toks = _ws_tokens(text)
+            n = max(len(toks) - _REP_N + 1, 0)
+            total[j] = n
+            if n:
+                distinct[j] = len(
+                    {tuple(toks[i : i + _REP_N]) for i in range(n)}
+                )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_grams": total,
+                "n_distinct": distinct,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
 def q_props_k_stats(sf_dir: str):
     """JSON payload field extraction + aggregate (reference S8 JSON
     payload handling): pull ``k`` out of the ``props`` JSON string with
@@ -2219,6 +2251,54 @@ def q_media_resize(sf_dir: str):
     )
 
 
+def q_incremental_dedup_check(sf_dir: str):
+    """Incremental linkage equivalence (rows-only): split the documents
+    corpus 80/20 by doc_id, dedup the 80, attach the 20 with
+    ``incremental_dedup``, and compare against the full-corpus run —
+    the daily-crawl-increment shape a 100-TB engine must support.
+    Reports pairwise F1 (1e6-scaled) and whether the min-id labels are
+    bit-identical (they must be when both runs decide the same pairs)."""
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.pipelines.evaluation import pairwise_f1
+    from address_parser_ray.pipelines.incremental import incremental_dedup
+    from address_parser_ray.sources import documents_as_corpus
+
+    corpus = documents_as_corpus(sf_dir)
+
+    def part(is_new: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"]).astype(np.int64)
+            m = (ids % 5 == 0) if is_new else (ids % 5 != 0)
+            return t.filter(pa.array(m))
+
+        return fn
+
+    old = corpus.map_batches(part(False), batch_format="pyarrow").materialize()
+    new = corpus.map_batches(part(True), batch_format="pyarrow").materialize()
+
+    full_df = (
+        _dedup_documents(sf_dir)
+        .assignments.to_pandas()
+        .sort_values("record_id")
+        .reset_index(drop=True)
+    )
+    prev = dedup_pipeline(old)
+    inc = incremental_dedup(prev, new, old_corpus=old)
+    inc_df = (
+        inc.assignments.to_pandas().sort_values("record_id").reset_index(drop=True)
+    )
+    m = pairwise_f1(full_df, inc_df)
+    return pd.DataFrame(
+        [
+            {
+                "n_records": np.int64(len(inc_df)),
+                "labels_identical": bool(inc_df.equals(full_df)),
+                "f1_vs_full_1e6": np.int64(round(m.f1 * 1e6)),
+            }
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2275,8 +2355,10 @@ QUERIES = {
     "infer_missing_lang": q_infer_missing_lang,
     "seq_pack_stats": q_seq_pack_stats,
     "contamination_5gram": q_contamination_5gram,
+    "repetition_stats": q_repetition_stats,
     "props_k_stats": q_props_k_stats,
     "pivot_event_hours": q_pivot_event_hours,
     "embedding_centroids": q_embedding_centroids,
     "media_resize": q_media_resize,
+    "incremental_dedup_check": q_incremental_dedup_check,
 }

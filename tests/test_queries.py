@@ -77,6 +77,7 @@ SQL_CHECKED = [
     "tfidf_top_terms",
     "seq_pack_stats",
     "contamination_5gram",
+    "repetition_stats",
     "props_k_stats",
     "pivot_event_hours",
     "embedding_centroids",
@@ -135,6 +136,7 @@ ROWS_ONLY = [
     "residual_tokens",
     "winnow_dup_pairs",
     "media_resize",
+    "incremental_dedup_check",
 ]
 
 
