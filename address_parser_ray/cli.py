@@ -141,6 +141,30 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_incremental(args) -> int:
+    """Attach a new record batch to a completed (checkpointed) run —
+    the daily-increment surface of the engine. The config knobs must
+    match the previous run's (checkpoints are context-keyed, so a
+    mismatch is the operator's responsibility here: the previous run's
+    sketches are reused as-is)."""
+    ray = _ray_up()
+    from address_parser_ray.pipelines.incremental import incremental_dedup, load_result
+    from address_parser_ray.sources import read_corpus
+
+    cfg = _build_cfg(args)
+    prev = load_result(args.prev_checkpoint)
+    old_corpus = read_corpus(args.old_input) if args.old_input else None
+    result = incremental_dedup(
+        prev, read_corpus(args.input), cfg, old_corpus=old_corpus
+    )
+    result.assignments.write_parquet(args.output)
+    n = result.assignments.count()
+    n_clusters = result.assignments.unique("cluster_id")
+    print(json.dumps({"rows": n, "clusters": len(n_clusters), "output": args.output}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="address_parser_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -172,6 +196,22 @@ def main(argv=None) -> int:
     sp.add_argument("--names", default="train,test")
     sp.add_argument("--seed", type=int, default=42)
     sp.set_defaults(fn=cmd_split)
+
+    inc = sub.add_parser(
+        "incremental",
+        help="attach a new corpus batch to a completed checkpointed run",
+    )
+    inc.add_argument("--prev-checkpoint", required=True,
+                     help="checkpoint dir of the completed previous run")
+    inc.add_argument("--input", required=True, help="NEW batch parquet file/dir")
+    inc.add_argument("--old-input", default=None,
+                     help="previous corpus (required while content rescore is on)")
+    inc.add_argument("--output", required=True, help="assignments output dir")
+    inc.add_argument("--match-threshold", type=float, default=None)
+    inc.add_argument("--jaccard-gate", type=float, default=None)
+    inc.add_argument("--lsh-bands", type=int, default=None)
+    inc.add_argument("--lsh-rows", type=int, default=None)
+    inc.set_defaults(fn=cmd_incremental)
 
     inf = sub.add_parser("infer", help="documents parquet → model language predictions")
     inf.add_argument("--input", required=True)

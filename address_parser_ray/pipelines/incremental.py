@@ -55,6 +55,37 @@ from address_parser_ray.stages.fingerprint import fingerprint_stage
 from address_parser_ray.stages.scoring import match_edges
 
 
+def load_result(checkpoint_dir: str) -> DedupResult:
+    """Rebuild a completed run's :class:`DedupResult` from its
+    checkpoint directory (the ``incremental`` CLI path: yesterday's run
+    is on disk, not in memory). Needs the ``exact_dedup`` and
+    ``assignments`` stages; scored pairs come from ``rescored_pairs``
+    when the run had content-rescore on, else ``scored_pairs``."""
+    from address_parser_ray.state import Checkpointer
+
+    ck = Checkpointer(checkpoint_dir)
+    for stage in ("exact_dedup", "assignments"):
+        if not ck.is_done(stage):
+            raise FileNotFoundError(
+                f"checkpoint {checkpoint_dir!r} has no completed "
+                f"{stage!r} stage — run the full pipeline with "
+                f"--checkpoint-dir first"
+            )
+    scored_name = (
+        "rescored_pairs" if ck.is_done("rescored_pairs") else "scored_pairs"
+    )
+    scored = (
+        ray.data.read_parquet(f"{checkpoint_dir}/{scored_name}")
+        if ck.is_done(scored_name)
+        else None
+    )
+    return DedupResult(
+        assignments=ray.data.read_parquet(f"{checkpoint_dir}/assignments"),
+        scored_pairs=scored,
+        fingerprints=ray.data.read_parquet(f"{checkpoint_dir}/exact_dedup"),
+    )
+
+
 def _collect_ids(ds: ray.data.Dataset) -> np.ndarray:
     """Sorted id array of the increment — the incremental contract is
     that the NEW batch is small relative to the corpus, so its id set

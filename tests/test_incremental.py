@@ -106,6 +106,43 @@ def test_incremental_attaches_exact_duplicates(ray_session, tmp_path):
     assert list(sizes) == [1, 2]
 
 
+def test_incremental_from_checkpoint_matches_in_memory(
+    ray_session, fixture_corpus, split_dirs, tmp_path
+):
+    """The CLI path: the previous run is reloaded from its checkpoint
+    directory (load_result) instead of living in memory — assignments
+    must be identical either way."""
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.pipelines.incremental import (
+        incremental_dedup,
+        load_result,
+    )
+    from address_parser_ray.sources import read_corpus
+    from address_parser_ray.state import Checkpointer
+
+    old_dir, new_dir = split_dirs
+    ckdir = str(tmp_path / "ck")
+    dedup_pipeline(read_corpus(old_dir), checkpointer=Checkpointer(ckdir))
+
+    prev = load_result(ckdir)
+    inc = incremental_dedup(
+        prev, read_corpus(new_dir), old_corpus=read_corpus(old_dir)
+    )
+    in_mem = incremental_dedup(
+        dedup_pipeline(read_corpus(old_dir)),
+        read_corpus(new_dir),
+        old_corpus=read_corpus(old_dir),
+    )
+    pd.testing.assert_frame_equal(_assign_df(inc), _assign_df(in_mem))
+
+
+def test_load_result_refuses_incomplete_checkpoint(ray_session, tmp_path):
+    from address_parser_ray.pipelines.incremental import load_result
+
+    with pytest.raises(FileNotFoundError, match="exact_dedup"):
+        load_result(str(tmp_path / "nope"))
+
+
 def test_incremental_requires_old_corpus_for_rescore(ray_session, split_dirs):
     from address_parser_ray.pipelines.dedup import dedup_pipeline
     from address_parser_ray.pipelines.incremental import incremental_dedup
