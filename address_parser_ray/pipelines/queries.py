@@ -2251,6 +2251,47 @@ def q_media_resize(sf_dir: str):
     )
 
 
+def q_cluster_canonical(sf_dir: str):
+    """Survivorship / golden-record extraction: one canonical row per
+    entity cluster from the full near-dup pipeline — rep = min doc_id
+    (the deterministic "first wins" of reference J5 pick-best),
+    plus merged metadata (member count, char extremes). The ER engine's
+    user-facing output shape: a deduplicated master table. Rows-only
+    (cluster membership comes from LSH + scoring, non-SQL)."""
+    res = _dedup_documents(sf_dir)
+
+    def meta(t: pa.Table) -> pa.Table:
+        # fingerprints carry the synthesized path "docs/doc_{id}.txt"
+        # (sources._docs_to_corpus); recover doc_id without re-reading
+        # the documents table.
+        doc_ids = np.array(
+            [int(p.rsplit("_", 1)[1].split(".")[0]) for p in t["path"].to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "rid": t["record_id"],
+                "doc_id": pa.array(doc_ids),
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            }
+        )
+
+    fp = res.fingerprints.map_batches(
+        meta, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = pinned_join(res.assignments, fp, on="record_id", right_on="rid")
+    return (
+        joined.groupby("cluster_id")
+        .aggregate(
+            Count(alias_name="n_members"),
+            Min("doc_id", alias_name="rep_doc_id"),
+            Max("n_chars", alias_name="max_chars"),
+            Sum("n_chars", alias_name="total_chars"),
+        )
+        .drop_columns(["cluster_id"])
+    )
+
+
 def q_incremental_dedup_check(sf_dir: str):
     """Incremental linkage equivalence (rows-only): split the documents
     corpus 80/20 by doc_id, dedup the 80, attach the 20 with
@@ -2361,4 +2402,5 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "media_resize": q_media_resize,
     "incremental_dedup_check": q_incremental_dedup_check,
+    "cluster_canonical": q_cluster_canonical,
 }

@@ -137,6 +137,7 @@ ROWS_ONLY = [
     "winnow_dup_pairs",
     "media_resize",
     "incremental_dedup_check",
+    "cluster_canonical",
 ]
 
 
