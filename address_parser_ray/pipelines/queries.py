@@ -2251,6 +2251,93 @@ def q_media_resize(sf_dir: str):
     )
 
 
+_BPE_MERGES = 20
+_BPE_VOCAB_GATE = 5_000_000  # driver-panel gate: distinct words
+
+
+def q_bpe_train_merges(sf_dir: str):
+    """BPE tokenizer TRAINING (completes the spec's "BPE-ish" token
+    story: `vocab_stats` counts with a trained-style pre-tokenizer;
+    this trains the merges themselves). Distributed part = the corpus →
+    (word, count) vocabulary panel (partial counts per batch, one
+    groupby — the shuffle is bounded by vocabulary, not token
+    occurrences). The merge loop then runs on the compacted panel: BPE
+    pair counts depend ONLY on (word spelling, word count), which is
+    how production trainers (HF tokenizers) do it too. Panel collect is
+    gated at ``_BPE_VOCAB_GATE`` distinct words — above it, raise
+    (a panel-resident iterative shuffle would take over at true web
+    vocab; out of scope). Deterministic: ties on pair count break
+    lexicographically. Non-SQL (iterative merges). Output: one row per
+    merge rule (rank, left, right, n_occurrences)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c = Counter()
+        for text in df["text"]:
+            c.update(_ws_tokens(text))
+        return pd.DataFrame(
+            {
+                "word": list(c.keys()),
+                "part_n": np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+            }
+        )
+
+    vocab = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("word")
+        .aggregate(Sum("part_n", alias_name="n"))
+        .materialize()
+    )
+    n_words = vocab.count()
+    if n_words > _BPE_VOCAB_GATE:
+        raise NotImplementedError(
+            f"vocabulary panel has {n_words} distinct words "
+            f"(> {_BPE_VOCAB_GATE}); the driver merge loop is gated — "
+            "a panel-resident distributed merge loop is the scale path"
+        )
+    panel = vocab.to_pandas()
+    words = [tuple(w) + ("</w>",) for w in panel["word"]]
+    counts = panel["n"].to_numpy(np.int64)
+
+    merges = []
+    for rank in range(_BPE_MERGES):
+        from collections import Counter
+
+        pair_counts: Counter = Counter()
+        for w, n in zip(words, counts):
+            for i in range(len(w) - 1):
+                pair_counts[(w[i], w[i + 1])] += int(n)
+        if not pair_counts:
+            break
+        # max count, ties broken lexicographically (deterministic)
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), n_occ = best
+        merges.append(
+            {
+                "rank": np.int64(rank),
+                "left": left,
+                "right": right,
+                "n_occurrences": np.int64(n_occ),
+            }
+        )
+        fused = left + right
+        new_words = []
+        for w in words:
+            out, i = [], 0
+            while i < len(w):
+                if i + 1 < len(w) and w[i] == left and w[i + 1] == right:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            new_words.append(tuple(out))
+        words = new_words
+    return pd.DataFrame(merges)
+
+
 def q_cluster_canonical(sf_dir: str):
     """Survivorship / golden-record extraction: one canonical row per
     entity cluster from the full near-dup pipeline — rep = min doc_id
@@ -2403,4 +2490,5 @@ QUERIES = {
     "media_resize": q_media_resize,
     "incremental_dedup_check": q_incremental_dedup_check,
     "cluster_canonical": q_cluster_canonical,
+    "bpe_train_merges": q_bpe_train_merges,
 }

@@ -138,6 +138,7 @@ ROWS_ONLY = [
     "media_resize",
     "incremental_dedup_check",
     "cluster_canonical",
+    "bpe_train_merges",
 ]
 
 
@@ -160,6 +161,32 @@ def test_rows_only_queries_run_and_deterministic(ray_session, name):
     d2 = _canon(_to_df(QUERIES[name](SF)))
     assert len(d1) > 0
     pd.testing.assert_frame_equal(d1, d2)
+
+
+def test_bpe_train_merges_hand_computed(ray_session, tmp_path):
+    """Classic BPE on 'low low lower': merge ranks are ('l','o') (ties
+    on count 3 with ('o','w') break lexicographically), then
+    ('lo','w'), then ('low','</w>') with 2 occurrences."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], type=pa.int64()),
+            "text": ["low low lower"],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": pa.array([13], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    df = QUERIES["bpe_train_merges"](str(tmp_path))
+    got = list(zip(df["left"], df["right"]))[:3]
+    assert got == [("l", "o"), ("lo", "w"), ("low", "</w>")], df.to_string()
+    assert df["n_occurrences"].iloc[0] == 3
+    assert df["n_occurrences"].iloc[2] == 2
 
 
 def test_simhash_degenerate_band_bounded(ray_session, tmp_path):
