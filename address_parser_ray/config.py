@@ -95,6 +95,14 @@ class PipelineConfig:
     rescore_margin: float = 0.08
     #: 4-gram shingle width of the fine (rename-robust) sketch.
     fine_shingle_k: int = 4
+    #: poison-row bound: sketches (MinHash/SimHash/token hashes) are
+    #: computed over at most this many bytes of NORMALIZED content — a
+    #: single multi-GB row must not stall a fingerprint worker with an
+    #: 8 B/char shingle-hash allocation. ``content_sha256`` (the per-row
+    #: invariant) is ALWAYS over the full raw content. 4 MiB covers
+    #: >99.9% of real source files; near-dup evidence from a 4 MiB
+    #: prefix is standard practice at web scale. Deterministic.
+    max_sketch_bytes: int = 4 << 20
     #: band pair count at or below which the band's id set is pulled to
     #: the driver and broadcast as a semi-join filter (16 B/pair → ≤32 MB
     #: at the gate); above it, the full bucketed content join runs.

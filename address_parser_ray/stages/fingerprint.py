@@ -130,7 +130,11 @@ class Fingerprinter:
             rid[i] = stable_id64(repo[i] or "", path[i] or "", commit[i] or "")
             if want_sha:
                 shas.append(hashlib.sha256(raw_views[i]).hexdigest())
-            arr = norm_views[i].astype(np.uint64)  # ONE conversion per row
+            # poison-row bound: sketch at most max_sketch_bytes of the
+            # normalized content (the sha above is always full-content)
+            arr = norm_views[i][: cfg.max_sketch_bytes].astype(
+                np.uint64
+            )  # ONE conversion per row
             # wide shingles keep unique() — the sorted prefix IS the
             # deterministic min-k sample SimHash draws from
             if want_mh or want_sh:

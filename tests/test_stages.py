@@ -45,6 +45,47 @@ def test_fingerprinter_sha_invariant():
     assert out["minhash"].to_pylist()[0] == out2["minhash"].to_pylist()[0]
 
 
+def test_fingerprinter_poison_row_sketch_cap():
+    """A pathological giant row must not blow up sketching: sketches are
+    computed on at most max_sketch_bytes of NORMALIZED content while the
+    sha invariant stays over the FULL raw content. With the cap, the
+    giant row's sketches equal those of its normalized prefix."""
+    import dataclasses
+
+    from address_parser_ray.stages.fingerprint import Fingerprinter
+
+    cap = 1 << 12
+    cfg = dataclasses.replace(CFG, max_sketch_bytes=cap)
+    body = ("x = 1\n" * 40000)  # ~240 KB, normalization-stable
+    giant = pa.table(
+        {
+            "repo": ["r"], "path": ["big.py"], "commit": ["c"],
+            "lang": ["python"], "content": [body],
+        }
+    )
+    out = Fingerprinter(cfg)(giant)
+    assert out["content_sha256"].to_pylist() == [
+        hashlib.sha256(body.encode()).hexdigest()
+    ]
+    # prefix property: two giants sharing the first >cap bytes of
+    # normalized content must sketch identically under the cap, even
+    # though their full contents (and shas) differ
+    giant2 = pa.table(
+        {
+            "repo": ["r"], "path": ["big.py"], "commit": ["c"],
+            "lang": ["python"],
+            "content": [body + "tail_that_differs = 999\n" * 1000],
+        }
+    )
+    out2 = Fingerprinter(cfg)(giant2)
+    for col in ("minhash", "token_minhash", "fine_minhash", "simhash"):
+        assert out[col].to_pylist() == out2[col].to_pylist(), col
+    assert out["content_sha256"].to_pylist() != out2["content_sha256"].to_pylist()
+    # and without the cap the tails make the sketches differ (cap bit)
+    full, full2 = Fingerprinter(CFG)(giant), Fingerprinter(CFG)(giant2)
+    assert full["minhash"].to_pylist() != full2["minhash"].to_pylist()
+
+
 def test_exact_dedup_min_wins(ray_session):
     import ray.data
     from address_parser_ray.stages.exact_dedup import (
