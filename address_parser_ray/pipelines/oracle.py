@@ -571,6 +571,13 @@ ORACLE_SQL = {
                (m.lang_obs IS NULL) AS inferred
         FROM m LEFT JOIN best b ON m.source = b.source AND b.rn = 1
     """,
+    "dup_ratio_by_source": """
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT sha256(COALESCE(text, ''))) AS BIGINT)
+                   AS n_distinct
+        FROM documents GROUP BY source
+    """,
     # Sequence packing: batch boundary = tokens_before // capacity,
     # a pure window prefix-sum partitioned by doc_id % 16 (the same
     # bucket fan-out the Ray side scans independently).

@@ -2251,6 +2251,83 @@ def q_media_resize(sf_dir: str):
     )
 
 
+def q_dup_ratio_by_source(sf_dir: str):
+    """Dedup-rate diagnostics per source group: how duplicated is each
+    crawl/source? n_docs vs distinct content hashes. Two-level groupby:
+    (source, sha) first (the shuffle carries one row per distinct pair),
+    then the per-source rollup."""
+
+    def add_sha(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "sha": pa.array(
+                    sha256_hex(t["text"].to_pylist()), type=pa.string()
+                ),
+            }
+        )
+
+    per_sha = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(add_sha, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "sha"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"source": t["source"].to_pylist(), "n": np.asarray(t["n"])}
+        )
+        g = df.groupby("source", sort=False, as_index=False).agg(
+            part_docs=("n", "sum"), part_distinct=("n", "size")
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], type=pa.string()),
+                "part_docs": pa.array(g["part_docs"].to_numpy(np.int64)),
+                "part_distinct": pa.array(g["part_distinct"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        per_sha.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("part_docs", alias_name="n_docs"),
+            Sum("part_distinct", alias_name="n_distinct"),
+        )
+    )
+
+
+def q_block_size_histogram(sf_dir: str):
+    """Skew diagnostic: histogram of blocking-key block sizes over the
+    documents corpus — the observability an operator needs to tune
+    salting/caps (reference T4's candidate caps are the blind version).
+    Rows-only (band keys are MinHash-derived)."""
+    from address_parser_ray.config import DEFAULT_CONFIG as _cfg
+    from address_parser_ray.stages.blocking import emit_keys
+    from address_parser_ray.stages.exact_dedup import (
+        exact_dedup_stage,
+        representatives,
+    )
+    from address_parser_ray.stages.fingerprint import fingerprint_stage
+    from address_parser_ray.sources import documents_as_corpus
+
+    fp = fingerprint_stage(documents_as_corpus(sf_dir), _cfg)
+    reps = representatives(exact_dedup_stage(fp)).select_columns(
+        ["record_id", "minhash", "lang", "basename"]
+    )
+    keys = reps.map_batches(
+        emit_keys, fn_kwargs={"cfg": _cfg}, batch_format="pyarrow", batch_size=1024
+    )
+    sizes = keys.groupby("block_key").aggregate(Count(alias_name="block_size"))
+    return (
+        sizes.groupby("block_size")
+        .aggregate(Count(alias_name="n_blocks"))
+        .sort("block_size")
+    )
+
+
 _BPE_MERGES = 20
 _BPE_VOCAB_GATE = 5_000_000  # driver-panel gate: distinct words
 
@@ -2491,4 +2568,6 @@ QUERIES = {
     "incremental_dedup_check": q_incremental_dedup_check,
     "cluster_canonical": q_cluster_canonical,
     "bpe_train_merges": q_bpe_train_merges,
+    "dup_ratio_by_source": q_dup_ratio_by_source,
+    "block_size_histogram": q_block_size_histogram,
 }

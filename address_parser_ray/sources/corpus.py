@@ -48,18 +48,57 @@ def read_corpus(
     path: str,
     columns: list[str] | None = None,
     file_format: str | None = None,
+    tolerant: bool = False,
 ) -> ray.data.Dataset:
     """Read a corpus directory/file with column pruning. Parquet prunes
     AT the read (only the needed columns leave storage); JSONL cannot —
     it is parsed then projected, so Parquet is the 100-TB format and
-    JSONL the ingestion/interchange one (reference S1/S4 readers)."""
+    JSONL the ingestion/interchange one (reference S1/S4 readers).
+
+    ``tolerant=True`` (JSONL only) skips malformed/blank lines instead
+    of failing the read — the reference S4 contract
+    (``build_real_dataset.py:46-57`` drops lines that do not parse);
+    real crawl dumps always contain a few."""
     cols = columns or CORPUS_COLUMNS
     fmt = file_format or detect_format(path)
     if fmt == "parquet":
         return ray.data.read_parquet(path, columns=cols)
+    if tolerant:
+        return _read_jsonl_tolerant(path, cols)
     from address_parser_ray.rayutil import project
 
     return project(ray.data.read_json(path), {c: c for c in cols})
+
+
+def _read_jsonl_tolerant(path: str, cols: list[str]) -> ray.data.Dataset:
+    """Line-level JSONL parse that SKIPS malformed lines (per-row poison
+    handling, SURVEY §4): read_text streams lines, each batch parses
+    with json.loads and drops failures — no single bad line can fail a
+    100-TB ingest."""
+    import json as _json
+
+    def parse(t: pa.Table) -> pa.Table:
+        rows = []
+        for line in t["text"].to_pylist():
+            line = (line or "").strip()
+            if not line:
+                continue
+            try:
+                obj = _json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(obj, dict):
+                rows.append(obj)
+        return pa.table(
+            {
+                c: pa.array(
+                    [r.get(c) for r in rows], type=pa.string()
+                )
+                for c in cols
+            }
+        )
+
+    return ray.data.read_text(path).map_batches(parse, batch_format="pyarrow")
 
 
 def write_jsonl(ds: ray.data.Dataset, path: str) -> None:

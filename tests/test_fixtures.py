@@ -152,3 +152,34 @@ def test_jsonl_roundtrip_and_sniffer(ray_session, tmp_path):
     back = back.sort_values(key).reset_index(drop=True)[orig.columns]
     orig = orig.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(back, orig)
+
+
+def test_tolerant_jsonl_skips_malformed_lines(ray_session, tmp_path):
+    """read_corpus(tolerant=True) must drop malformed/blank JSONL lines
+    (reference S4 contract) and keep every valid record; the strict
+    reader fails on the same file."""
+    import json
+
+    import pytest
+
+    from address_parser_ray.sources import read_corpus
+
+    jdir = tmp_path / "jl"
+    jdir.mkdir()
+    good = [
+        {"repo": "r", "path": f"f{i}.py", "commit": "c",
+         "lang": "python", "content": f"x = {i}\n"}
+        for i in range(5)
+    ]
+    lines = [json.dumps(good[0]), "{broken json", "", json.dumps(good[1]),
+             "[1, 2, 3]", json.dumps(good[2]), "   ",
+             json.dumps(good[3]), json.dumps(good[4])]
+    (jdir / "part.jsonl").write_text("\n".join(lines) + "\n")
+
+    ds = read_corpus(str(jdir), tolerant=True)
+    df = ds.to_pandas().sort_values("path").reset_index(drop=True)
+    assert len(df) == 5
+    assert df["content"].tolist() == [f"x = {i}\n" for i in range(5)]
+
+    with pytest.raises(Exception):
+        read_corpus(str(jdir)).to_pandas()

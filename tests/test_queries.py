@@ -81,6 +81,7 @@ SQL_CHECKED = [
     "props_k_stats",
     "pivot_event_hours",
     "embedding_centroids",
+    "dup_ratio_by_source",
 ]
 
 
@@ -139,6 +140,7 @@ ROWS_ONLY = [
     "incremental_dedup_check",
     "cluster_canonical",
     "bpe_train_merges",
+    "block_size_histogram",
 ]
 
 
