@@ -571,6 +571,20 @@ ORACLE_SQL = {
                (m.lang_obs IS NULL) AS inferred
         FROM m LEFT JOIN best b ON m.source = b.source AND b.rn = 1
     """,
+    # HDR-style log histogram: bucket = bit_length(cents), pure-integer
+    # on both sides (length of the binary string == bit length).
+    "event_value_log_hist": """
+        WITH x AS (
+            SELECT event_type,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT event_type,
+               CAST(CASE WHEN cents <= 0 THEN 0
+                    ELSE length(bin(cents)) END AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM x GROUP BY 1, 2
+    """,
     "dup_ratio_by_source": """
         SELECT source,
                CAST(count(*) AS BIGINT) AS n_docs,

@@ -2251,6 +2251,36 @@ def q_media_resize(sf_dir: str):
     )
 
 
+def q_event_value_log_hist(sf_dir: str):
+    """HDR-style log-bucketed value histogram per event type — the
+    bounded-memory quantile sketch for UNBOUNDED value domains that
+    ``event_value_percentiles`` (exact, domain-bounded histogram)
+    documents as its scale swap-in. Bucket = bit_length(value_cents)
+    (0 for ≤0): deterministic pure-integer rule, mergeable per-batch
+    partials, relative value error ≤ 2× per bucket, sketch size
+    O(types × 64) regardless of event volume — and, like the KMV
+    sketch, bit-checkable by SQL (``length(bin(cents))``)."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy() * 100.0).astype(np.int64)
+        # bit_length of positive ints via frexp (exact for < 2^53)
+        bucket = np.where(
+            cents <= 0, 0, np.frexp(np.maximum(cents, 1).astype(np.float64))[1]
+        ).astype(np.int64)
+        g = pd.DataFrame({"event_type": df["event_type"], "bucket": bucket}).groupby(
+            ["event_type", "bucket"], sort=False, as_index=False
+        ).agg(part_n=("bucket", "size"))
+        g["part_n"] = g["part_n"].astype(np.int64)
+        return g
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("part_n", alias_name="n"))
+    )
+
+
 def q_dup_ratio_by_source(sf_dir: str):
     """Dedup-rate diagnostics per source group: how duplicated is each
     crawl/source? n_docs vs distinct content hashes. Two-level groupby:
@@ -2570,4 +2600,5 @@ QUERIES = {
     "bpe_train_merges": q_bpe_train_merges,
     "dup_ratio_by_source": q_dup_ratio_by_source,
     "block_size_histogram": q_block_size_histogram,
+    "event_value_log_hist": q_event_value_log_hist,
 }

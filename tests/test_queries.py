@@ -82,6 +82,7 @@ SQL_CHECKED = [
     "pivot_event_hours",
     "embedding_centroids",
     "dup_ratio_by_source",
+    "event_value_log_hist",
 ]
 
 
