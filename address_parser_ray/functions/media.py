@@ -62,6 +62,38 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     raise ValueError("unrecognized image payload")
 
 
+def synth_video_from_bytes(
+    data: bytes, n_frames: int = 12, width: int = 32, height: int = 32
+) -> bytes:
+    """Deterministic multi-frame payload ("video"): ``n_frames``
+    concatenated binary-PGM frames derived from the byte stream, frame i
+    phase-shifted by i bytes — stands in for real video containers while
+    keeping the frame-parse path real."""
+    n = width * height
+    src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
+    reps = -(-(n + n_frames) // max(1, len(src)))
+    tiled = np.tile(src, reps)
+    return b"".join(
+        encode_pgm(tiled[i : i + n].reshape(height, width))
+        for i in range(n_frames)
+    )
+
+
+def iter_video_frames(payload: bytes):
+    """Parse a concatenated-PGM payload frame by frame (streaming — no
+    whole-video raster materialization)."""
+    off = 0
+    while off < len(payload):
+        if payload[off : off + 2] != b"P5":
+            raise ValueError(f"bad frame magic at offset {off}")
+        parts = payload[off:].split(b"\n", 3)
+        w, h = (int(x) for x in parts[1].split())
+        header_len = len(parts[0]) + len(parts[1]) + len(parts[2]) + 3
+        frame_end = off + header_len + w * h
+        yield decode_image(payload[off:frame_end])
+        off = frame_end
+
+
 def raster_features(raster: np.ndarray) -> dict:
     """Vectorized per-image features (ints only → robust comparison):
     mean/std gray (1e4-scaled), nonzero-pixel count, horizontal edge

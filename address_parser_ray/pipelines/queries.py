@@ -2251,6 +2251,54 @@ def q_media_resize(sf_dir: str):
     )
 
 
+class FrameSampler:
+    """Actor-pool video stage: parse a multi-frame binary payload
+    (concatenated PGM frames — a real container parse, streamed frame by
+    frame) and keep every k-th frame, the standard video→training-frames
+    sampling op. Emits per-sampled-frame rows (``flat_map`` shape: more
+    rows out than docs in)."""
+
+    STRIDE = 4
+
+    def __init__(self):
+        from address_parser_ray.functions.media import (
+            iter_video_frames,
+            raster_features,
+            synth_video_from_bytes,
+        )
+
+        self._synth = synth_video_from_bytes
+        self._frames = iter_video_frames
+        self._features = raster_features
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_ids, frame_idx, feats = [], [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            video = self._synth((x or "").encode("utf-8"))
+            for i, (_w, _h, raster) in enumerate(self._frames(video)):
+                if i % self.STRIDE:
+                    continue
+                doc_ids.append(d)
+                frame_idx.append(i)
+                feats.append(self._features(raster))
+        cols = {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "frame_idx": pa.array(frame_idx, type=pa.int64()),
+        }
+        for k in ("mean_gray_1e4", "nonzero_px"):
+            cols[k] = pa.array([f[k] for f in feats], type=pa.int64())
+        return pa.table(cols)
+
+
+def q_media_frame_sample(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
 def q_event_value_log_hist(sf_dir: str):
     """HDR-style log-bucketed value histogram per event type — the
     bounded-memory quantile sketch for UNBOUNDED value domains that
@@ -2601,4 +2649,5 @@ QUERIES = {
     "dup_ratio_by_source": q_dup_ratio_by_source,
     "block_size_histogram": q_block_size_histogram,
     "event_value_log_hist": q_event_value_log_hist,
+    "media_frame_sample": q_media_frame_sample,
 }

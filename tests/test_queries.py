@@ -142,6 +142,7 @@ ROWS_ONLY = [
     "cluster_canonical",
     "bpe_train_merges",
     "block_size_histogram",
+    "media_frame_sample",
 ]
 
 
