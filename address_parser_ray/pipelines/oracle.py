@@ -691,4 +691,56 @@ ORACLE_SQL = {
         )
         GROUP BY label, gs
     """,
+    # 32-bit md5 prefixes (8 hex chars) fold exactly into BIGINT; the
+    # rate rule and the row gate are both pure hashes of their keys, so
+    # the "random" mixture is bit-identical in both engines.
+    "mixture_sample": """
+        WITH g AS (
+            SELECT source, n_chars,
+                   100 + list_reduce(
+                       list_transform(
+                           split(substr(md5(source), 1, 8), ''),
+                           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                       (a, b) -> a * 16 + b) % 800 AS rate_permille,
+                   list_reduce(
+                       list_transform(
+                           split(substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+                           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                       (a, b) -> a * 16 + b) % 1000 AS gate
+            FROM documents
+        )
+        SELECT source,
+               CAST(max(rate_permille) AS BIGINT) AS rate_permille,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN gate < rate_permille THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN gate < rate_permille THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS kept_chars
+        FROM g GROUP BY 1
+    """,
+    # same pure-integer rank rule as event_value_percentiles; n_kept
+    # rolls up from the same histogram the threshold came from
+    "quality_quantile_filter": """
+        WITH h AS (
+            SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2
+        ), c AS (
+            SELECT lang, n_chars, n,
+                   sum(n) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+                   sum(n) OVER (PARTITION BY lang) AS total
+            FROM h
+        ), t AS (
+            SELECT lang,
+                   min(CASE WHEN cum >= (50 * total + 99) // 100
+                            THEN n_chars END) AS thr,
+                   max(total) AS total
+            FROM c GROUP BY 1
+        )
+        SELECT h.lang,
+               CAST(max(t.thr) AS BIGINT) AS p50_chars,
+               CAST(max(t.total) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN h.n_chars >= t.thr THEN h.n ELSE 0 END)
+                    AS BIGINT) AS n_kept
+        FROM h JOIN t ON h.lang = t.lang GROUP BY 1
+    """,
 }

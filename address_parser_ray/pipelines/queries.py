@@ -2582,6 +2582,115 @@ def q_incremental_dedup_check(sf_dir: str):
     )
 
 
+def q_mixture_sample(sf_dir: str):
+    """Source-mixture weighted sampling — the data-mixing op of a
+    pretraining pipeline: each source (crawl/domain) gets a deterministic
+    sampling rate derived from its name (``100 + md5(source)[:8] % 800``
+    permille) and rows are kept by an independent per-row hash gate
+    (``md5('mix:'+doc_id)[:8] % 1000 < rate``). Pure hash of the row key
+    → reproducible across runs and cluster sizes (same discipline as the
+    T6 hash split / stratified sample). Per-batch partials bound the
+    shuffle to sources x batches rows; 32-bit md5 prefixes are exact in
+    both engines (int64 / BIGINT)."""
+    import hashlib
+
+    docs = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rate_of = {
+            s: 100 + int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 800
+            for s in df["source"].unique()
+        }
+        rate = df["source"].map(rate_of).to_numpy(dtype=np.int64)
+        gate = np.fromiter(
+            (
+                int(hashlib.md5(f"mix:{int(d)}".encode()).hexdigest()[:8], 16)
+                % 1000
+                for d in df["doc_id"]
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        keep = gate < rate
+        g = pd.DataFrame(
+            {
+                "source": df["source"],
+                "rate_permille": rate,
+                "kept": keep.astype(np.int64),
+                "kept_chars": np.where(
+                    keep, df["n_chars"].to_numpy(dtype=np.int64), 0
+                ),
+            }
+        )
+        out = g.groupby(["source", "rate_permille"], as_index=False).agg(
+            part_total=("kept", "size"),
+            part_kept=("kept", "sum"),
+            part_chars=("kept_chars", "sum"),
+        )
+        for c in ("part_total", "part_kept", "part_chars"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Max("rate_permille", alias_name="rate_permille"),
+            Sum("part_total", alias_name="n_total"),
+            Sum("part_kept", alias_name="n_kept"),
+            Sum("part_chars", alias_name="kept_chars"),
+        )
+    )
+
+
+def q_quality_quantile_filter(sf_dir: str):
+    """Per-group quantile-threshold pruning — the quality-filter shape
+    used in pretraining data curation (keep docs at or above their
+    language's median length). Two logical passes, ONE data pass: the
+    per-batch partial (lang, n_chars) counts compact the corpus into a
+    value histogram, and both the threshold (pure-integer rank rule
+    ``(50*n+99)//100``, same as q_event_value_percentiles) and the
+    kept-count roll up from that panel — the corpus itself is never
+    re-read. Panel is bounded by langs x distinct lengths, not corpus
+    size."""
+    docs = _docs(sf_dir, ["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "lang": g["lang"],
+                "n_chars": g["n_chars"].astype(np.int64),
+                "part_n": g["size"].astype(np.int64),
+            }
+        )
+
+    hist = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("part_n", alias_name="n"))
+    )
+
+    def threshold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("n_chars", kind="stable")
+        counts = g["n"].to_numpy(dtype=np.int64)
+        values = g["n_chars"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        thr = int(values[np.searchsorted(cum, (50 * total + 99) // 100)])
+        kept = int(counts[values >= thr].sum())
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "p50_chars": np.array([thr], dtype=np.int64),
+                "n_total": np.array([total], dtype=np.int64),
+                "n_kept": np.array([kept], dtype=np.int64),
+            }
+        )
+
+    return hist.groupby("lang").map_groups(threshold, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2650,4 +2759,6 @@ QUERIES = {
     "block_size_histogram": q_block_size_histogram,
     "event_value_log_hist": q_event_value_log_hist,
     "media_frame_sample": q_media_frame_sample,
+    "mixture_sample": q_mixture_sample,
+    "quality_quantile_filter": q_quality_quantile_filter,
 }

@@ -40,13 +40,23 @@ def _sf_of(path: str) -> float:
 
 
 SF = _sf_of(SF_DIR)
-N_SEEDS = int(
-    os.environ.get("APR_BENCH_SEEDS", max(50, min(48000, int(480000 * SF))))
-)
-# file_scale=4 → ~9-10 KB files (realistic source-file sizes); per-file
-# fingerprint compute then dominates fixed per-row shuffle costs.
-FILE_SCALE = int(os.environ.get("APR_BENCH_FILE_SCALE", "4"))
-CORPUS_CACHE = f"/tmp/apr_bench_corpus_s{N_SEEDS}_f{FILE_SCALE}"
+
+
+def _corpus_cfg() -> tuple[int, int, int, str]:
+    """Corpus knobs, read at call time so --dense can set them in main."""
+    n_seeds = int(
+        os.environ.get("APR_BENCH_SEEDS", max(50, min(48000, int(480000 * SF))))
+    )
+    # file_scale=4 → ~9-10 KB files (realistic source-file sizes); per-file
+    # fingerprint compute then dominates fixed per-row shuffle costs.
+    file_scale = int(os.environ.get("APR_BENCH_FILE_SCALE", "4"))
+    # variants_per_seed=8 → ~28% duplicate rows (web-crawl-like); raising it
+    # produces a duplicate-DENSE corpus (larger clusters → quadratically more
+    # candidate pairs per byte read) where pairwise-scoring compute dominates
+    # the scan — the "compute-dominated corpus" regime for --scaling --dense.
+    variants = int(os.environ.get("APR_BENCH_VARIANTS", "8"))
+    cache = f"/tmp/apr_bench_corpus_s{n_seeds}_f{file_scale}_v{variants}"
+    return n_seeds, file_scale, variants, cache
 
 BENCH_QUERIES = [
     "exact_dedup_groups",
@@ -80,8 +90,10 @@ def main() -> None:
     from address_parser_ray.pipelines.queries import QUERIES
     from address_parser_ray.sources import read_corpus
 
+    n_seeds, file_scale, variants, corpus_cache = _corpus_cfg()
     corpus_dir, _ = write_corpus_ray(
-        CORPUS_CACHE, n_seeds=N_SEEDS, file_scale=FILE_SCALE
+        corpus_cache, n_seeds=n_seeds, file_scale=file_scale,
+        variants_per_seed=variants,
     )
 
     # warm the page cache AND the Ray worker/actor pools with an untimed
@@ -242,10 +254,13 @@ def scaling(lo: int = 8, hi: int = 32, reps: int = 3) -> None:
     r_lo["runs"] = [r["value"] for r in runs_lo]
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     hw = _hw_probe(lo, hi)
+    dense = os.environ.get("APR_BENCH_VARIANTS", "8") != "8"
     result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "corpus_regime": "duplicate-dense" if dense else "default",
+        "variants_per_seed": int(os.environ.get("APR_BENCH_VARIANTS", "8")),
         "cpus_lo": lo,
         "cpus_hi": hi,
         f"sec_{lo}": r_lo["value"],
@@ -263,7 +278,7 @@ def scaling(lo: int = 8, hi: int = 32, reps: int = 3) -> None:
     marker = "## Measured (bench.py --scaling)"
     with open(path) as f:
         text = f.read()
-    if (lo, hi) == (8, 32):
+    if (lo, hi) == (8, 32) and not dense:
         # the canonical measurement replaces any previous measured block
         if marker in text:
             text = text[: text.index(marker)].rstrip() + "\n"
@@ -286,12 +301,21 @@ def scaling(lo: int = 8, hi: int = 32, reps: int = 3) -> None:
             f"nodes.\n"
         )
     else:
-        # supplementary leg pairs (e.g. 4→16) append, never replace
+        # supplementary leg pairs (e.g. 4→16, --dense) append, never replace
+        regime = (
+            f"duplicate-dense corpus, variants_per_seed="
+            f"{os.environ.get('APR_BENCH_VARIANTS')}, "
+            if dense
+            else ""
+        )
         text = text.rstrip() + (
-            f"\n\nSupplementary --scaling run ({lo}→{hi} cpus, same 4× ratio, "
-            f"min of {reps}): efficiency **{round(eff, 3)}** "
+            f"\n\nSupplementary --scaling run ({lo}→{hi} cpus, same "
+            f"{hi // lo}× ratio, {regime}min of {reps}): efficiency "
+            f"**{round(eff, 3)}** "
             f"(sec_{lo}={r_lo['value']} {r_lo['runs']}, "
             f"sec_{hi}={r_hi['value']} {r_hi['runs']}, "
+            f"pairs/sec {r_lo['scored_pairs_per_sec']}→"
+            f"{r_hi['scored_pairs_per_sec']}, "
             f"compute ceiling {hw['compute_weak_eff']}, memory ceiling "
             f"{hw['memory_weak_eff']}, corpus_rows={r_hi['corpus_rows']}, "
             f"sf={SF}).\n"
@@ -307,6 +331,12 @@ def _arg(name: str, default: int) -> int:
 
 
 if __name__ == "__main__":
+    if "--dense" in sys.argv:
+        # duplicate-dense regime: fewer seeds, much larger clusters — same
+        # pipeline, but candidate-pair scoring (pure compute) dominates the
+        # content scan, emulating a heavily-duplicated web crawl.
+        os.environ.setdefault("APR_BENCH_VARIANTS", "40")
+        os.environ.setdefault("APR_BENCH_SEEDS", "12000")
     if "--scaling" in sys.argv:
         scaling(lo=_arg("--lo", 8), hi=_arg("--hi", 32), reps=_arg("--reps", 3))
     else:

@@ -83,6 +83,8 @@ SQL_CHECKED = [
     "embedding_centroids",
     "dup_ratio_by_source",
     "event_value_log_hist",
+    "mixture_sample",
+    "quality_quantile_filter",
 ]
 
 
