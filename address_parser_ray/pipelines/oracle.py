@@ -603,8 +603,9 @@ ORACLE_SQL = {
             FROM documents
         ), packed AS (
             SELECT bucket, n_tokens,
-                   (sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-                        ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS batch_id
+                   (CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 512
+                       AS batch_id
             FROM t
         )
         SELECT bucket, batch_id,
