@@ -744,4 +744,56 @@ ORACLE_SQL = {
                     AS BIGINT) AS n_kept
         FROM h JOIN t ON h.lang = t.lang GROUP BY 1
     """,
+    # md5 of each chunk's joined tokens verifies chunk CONTENT, not just
+    # the window arithmetic; list_slice is 1-indexed inclusive, matching
+    # toks[i*24 : i*24+32]. Empty docs produce no chunks on either side.
+    "doc_chunks": """
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS toks,
+                   len(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')) AS n
+            FROM documents
+            WHERE length(trim(COALESCE(text, ''))) > 0
+        ), c AS (
+            SELECT doc_id, toks, n,
+                   unnest(generate_series(
+                       0,
+                       CASE WHEN n <= 32 THEN 0
+                            ELSE (n - 32 + 23) // 24 END)) AS chunk_idx
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(len(list_slice(toks, chunk_idx * 24 + 1,
+                                   least(chunk_idx * 24 + 32, n))) AS BIGINT)
+                   AS n_tokens,
+               md5(array_to_string(
+                   list_slice(toks, chunk_idx * 24 + 1,
+                              least(chunk_idx * 24 + 32, n)), ' ')) AS chunk_md5
+        FROM c
+    """,
+    # strictly-later semantics on both sides: each stage's anchor is the
+    # MIN ts of qualifying events after, and within 24 h of, the
+    # previous stage's anchor
+    "funnel_counts": """
+        WITH v AS (
+            SELECT user_id, min(ts) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS t1
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t0
+              AND e.ts <= v.t0 + INTERVAL 24 HOUR
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t1
+              AND e.ts <= c.t1 + INTERVAL 24 HOUR
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_view_click,
+               (SELECT count(*) FROM p) AS n_full_funnel
+    """,
 }

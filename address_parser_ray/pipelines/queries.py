@@ -2691,6 +2691,127 @@ def q_quality_quantile_filter(sf_dir: str):
     return hist.groupby("lang").map_groups(threshold, batch_format="pandas")
 
 
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+def q_doc_chunks(sf_dir: str):
+    """Training-shard chunking (flat-map): every doc splits into
+    fixed-size token windows (size 32, stride 24 — overlapping, the
+    standard LM pre-training chunking; reference M17's one-row-to-many
+    flat-map shape, ``ner/build_standard_dataset.py:952-978``). Each
+    chunk row carries its token count AND an md5 signature of the joined
+    chunk text, so oracle parity verifies the actual chunk CONTENT, not
+    just the window arithmetic. Stateless map, no shuffle; at 100 TB
+    this is a pure streaming pass whose output is ~size/stride x the
+    input rows."""
+    import hashlib
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids: list[int] = []
+        idxs: list[int] = []
+        ntoks: list[int] = []
+        sigs: list[str] = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = _ws_tokens(text)
+            n = len(toks)
+            if n == 0:
+                continue
+            n_chunks = (
+                1
+                if n <= _CHUNK_SIZE
+                else 1 + (n - _CHUNK_SIZE + _CHUNK_STRIDE - 1) // _CHUNK_STRIDE
+            )
+            for i in range(n_chunks):
+                chunk = toks[i * _CHUNK_STRIDE : i * _CHUNK_STRIDE + _CHUNK_SIZE]
+                doc_ids.append(int(doc_id))
+                idxs.append(i)
+                ntoks.append(len(chunk))
+                sigs.append(hashlib.md5(" ".join(chunk).encode()).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(doc_ids, dtype=np.int64),
+                "chunk_idx": np.array(idxs, dtype=np.int64),
+                "n_tokens": np.array(ntoks, dtype=np.int64),
+                "chunk_md5": sigs,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+def q_funnel_counts(sf_dir: str):
+    """Ordered-funnel conversion (view → click → purchase): a user
+    advances a stage only with an event STRICTLY LATER than, and within
+    a 24 h attribution window of, the first qualifying event of the
+    previous stage — per-key ordered-sequence matching, the analytics
+    sibling of sessionization. Users are hash-bucketed (same
+    partitioning contract as q_user_sessions); each bucket runs one
+    vectorized pass (lexsort + masked ``np.minimum.reduceat`` per
+    stage), emitting 3 partial counters — the driver reduces a
+    bucket-count-sized panel, never event rows."""
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    ev = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+        )
+        .filter(
+            expr=(
+                "event_type == 'view' or event_type == 'click' "
+                "or event_type == 'purchase'"
+            )
+        )
+        .map_batches(_add_user_bucket(nparts), batch_format="pyarrow")
+    )
+
+    INF = np.iinfo(np.int64).max
+    WINDOW_US = 24 * 3_600_000_000  # 24 h attribution window
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        tsi = g["ts"].to_numpy().view("i8")  # µs since epoch
+        typ = g["event_type"].to_numpy()
+        order = np.lexsort((tsi, uid))
+        uid, tsi, typ = uid[order], tsi[order], typ[order]
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        starts = np.flatnonzero(first)
+        seg = np.cumsum(first) - 1  # row → per-user index
+
+        def next_stage(anchor: np.ndarray, stage: str) -> np.ndarray:
+            # anchor[seg] == INF ⇒ anchor + WINDOW overflows; guard by
+            # masking on the anchor first (users who missed a stage
+            # never qualify for the next)
+            a = anchor[seg]
+            ok = (typ == stage) & (a < INF) & (tsi > a) & (tsi - a <= WINDOW_US)
+            return np.minimum.reduceat(np.where(ok, tsi, INF), starts)
+
+        t_view = np.minimum.reduceat(np.where(typ == "view", tsi, INF), starts)
+        t_click = next_stage(t_view, "click")
+        t_buy = next_stage(t_click, "purchase")
+        return pd.DataFrame(
+            {
+                "part_view": np.array([(t_view < INF).sum()], dtype=np.int64),
+                "part_click": np.array([(t_click < INF).sum()], dtype=np.int64),
+                "part_buy": np.array([(t_buy < INF).sum()], dtype=np.int64),
+            }
+        )
+
+    panel = (
+        ev.groupby("bucket")
+        .map_groups(funnel_bucket, batch_format="pandas")
+        .to_pandas()  # one row per bucket — structurally tiny
+    )
+    return pd.DataFrame(
+        {
+            "n_view": np.array([panel["part_view"].sum()], dtype=np.int64),
+            "n_view_click": np.array([panel["part_click"].sum()], dtype=np.int64),
+            "n_full_funnel": np.array([panel["part_buy"].sum()], dtype=np.int64),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2761,4 +2882,6 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "mixture_sample": q_mixture_sample,
     "quality_quantile_filter": q_quality_quantile_filter,
+    "doc_chunks": q_doc_chunks,
+    "funnel_counts": q_funnel_counts,
 }

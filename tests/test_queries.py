@@ -85,6 +85,8 @@ SQL_CHECKED = [
     "event_value_log_hist",
     "mixture_sample",
     "quality_quantile_filter",
+    "doc_chunks",
+    "funnel_counts",
 ]
 
 
