@@ -772,6 +772,36 @@ ORACLE_SQL = {
                               least(chunk_idx * 24 + 32, n)), ' ')) AS chunk_md5
         FROM c
     """,
+    # same 16-seed-row hyperplane rule as ann_lsh_buckets, then exact
+    # cosine within each bucket; the ≥0.30 gate and the output compare
+    # the same floor(cos*1e4) basis points on both sides. The engine's
+    # 2048-member bucket cap never binds at test scales.
+    "embedding_near_dup": """
+        WITH s AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS v,
+                   row_number() OVER (ORDER BY vec_id) - 1 AS rn
+            FROM embeddings ORDER BY vec_id LIMIT 16
+        ), planes AS (
+            SELECT a.rn // 2 AS j, a.v AS av, b.v AS bv
+            FROM s a JOIN s b ON b.rn = a.rn + 1
+            WHERE a.rn % 2 = 0
+        ), bits AS (
+            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+                   sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.av)
+                              > list_inner_product(CAST(e.embedding AS DOUBLE[]), p.bv)
+                        THEN CAST(1 AS BIGINT) << CAST(p.j AS INT)
+                        ELSE CAST(0 AS BIGINT) END) AS bucket
+            FROM embeddings e CROSS JOIN planes p
+            GROUP BY e.vec_id, v
+        ), pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(floor(list_cosine_similarity(a.v, b.v) * 10000)
+                        AS BIGINT) AS cos_bp
+            FROM bits a JOIN bits b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cos_bp FROM pairs WHERE cos_bp >= 3000
+    """,
     # strictly-later semantics on both sides: each stage's anchor is the
     # MIN ts of qualifying events after, and within 24 h of, the
     # previous stage's anchor

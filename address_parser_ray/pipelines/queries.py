@@ -1804,26 +1804,37 @@ def q_residual_tokens(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
-    """Embedding-cosine near-dup: LSH-bucket candidates (random
-    hyperplanes) verified by exact cosine ≥ 0.30 within each bucket (the
-    testdata embeddings are near-orthogonal random vectors; real
-    embedding near-dup would sit at ≥0.95) — the 5th dedup flavor.
-    Degenerate buckets (many near-identical vectors hashing together)
-    are capped at 2048 members in deterministic min-vec_id order, the
-    same bounded-recall trade as the blocking pair caps. Non-SQL."""
-    from address_parser_ray.functions.hashing import rng_for
+    """Embedding-cosine near-dup: LSH-bucket candidates verified by
+    exact cosine ≥ 0.30 within each bucket (the testdata embeddings are
+    near-orthogonal random vectors; real embedding near-dup would sit at
+    ≥0.95) — the 5th dedup flavor. Hyperplanes follow the same
+    seed-row-difference rule as q_ann_lsh_buckets (bit j is
+    ``dot(e, A_j) > dot(e, B_j)`` over the 16 smallest-vec_id rows),
+    which makes the WHOLE flavor SQL-checkable; at 100 TB the seed rows
+    come from a driver-side sample, broadcast once. Similarity is
+    emitted as integer basis points (``floor(cos·1e4)``) and the ≥0.30
+    gate compares the same floored value on both sides. Degenerate
+    buckets are capped at 2048 members in deterministic min-vec_id
+    order (bounded-recall trade, same as the blocking pair caps; the
+    cap never binds on the test data, so oracle parity holds)."""
+    import pyarrow.parquet as pq
 
     MAX_BUCKET = 2048
 
-    dim = 64
-    planes = rng_for(42, "ann_planes").standard_normal((dim, 8))
-    planes_ref = ray.put(planes)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vids = np.asarray(t["vec_id"], dtype=np.int64)
+    order = np.argsort(vids)[:16]
+    seeds = np.stack(
+        [np.asarray(t["embedding"][i].as_py(), dtype=np.float64) for i in order]
+    )
+    A, B = seeds[0::2], seeds[1::2]  # (8, dim) each
+    planes_ref = ray.put((A, B))
 
     def bucketize(t: pa.Table) -> pa.Table:
-        pl = ray.get(planes_ref)
+        a_m, b_m = ray.get(planes_ref)
         emb = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64)
         emb = emb.reshape(len(t), -1)
-        bits = (emb @ pl) > 0
+        bits = (emb @ a_m.T) > (emb @ b_m.T)
         code = (bits * (1 << np.arange(8))).sum(axis=1).astype(np.int64)
         return pa.table(
             {
@@ -1838,7 +1849,7 @@ def q_embedding_near_dup(sf_dir: str):
             return pd.DataFrame(
                 {"id_a": pd.Series([], dtype="int64"),
                  "id_b": pd.Series([], dtype="int64"),
-                 "cos_sim": pd.Series([], dtype="float64")}
+                 "cos_bp": pd.Series([], dtype="int64")}
             )
         g = g.sort_values("vec_id").head(MAX_BUCKET)
         ids = g["vec_id"].to_numpy()
@@ -1848,12 +1859,13 @@ def q_embedding_near_dup(sf_dir: str):
         emb = emb / norms[:, None]
         cos = emb @ emb.T
         iu = np.triu_indices(len(ids), k=1)
-        keep = cos[iu] >= 0.30
+        bp = np.floor(cos[iu] * 1e4).astype(np.int64)
+        keep = bp >= 3000
         return pd.DataFrame(
             {
                 "id_a": ids[iu[0]][keep],
                 "id_b": ids[iu[1]][keep],
-                "cos_sim": np.floor(cos[iu][keep] * 1e4) / 1e4,
+                "cos_bp": bp[keep],
             }
         )
 

@@ -87,6 +87,7 @@ SQL_CHECKED = [
     "quality_quantile_filter",
     "doc_chunks",
     "funnel_counts",
+    "embedding_near_dup",
 ]
 
 
