@@ -2707,6 +2707,17 @@ _CHUNK_SIZE = 32
 _CHUNK_STRIDE = 24
 
 
+def _chunk_spans(n: int, size: int = _CHUNK_SIZE, stride: int = _CHUNK_STRIDE):
+    """Token-window spans for a doc of ``n`` tokens: ``[(start, stop)...]``.
+    One window when n ≤ size; else enough strided windows that the last
+    one reaches the end (overlap = size − stride). Pure kernel —
+    property-tested against coverage/monotonicity invariants."""
+    if n <= 0:
+        return []
+    n_chunks = 1 if n <= size else 1 + (n - size + stride - 1) // stride
+    return [(i * stride, min(i * stride + size, n)) for i in range(n_chunks)]
+
+
 def q_doc_chunks(sf_dir: str):
     """Training-shard chunking (flat-map): every doc splits into
     fixed-size token windows (size 32, stride 24 — overlapping, the
@@ -2726,16 +2737,8 @@ def q_doc_chunks(sf_dir: str):
         sigs: list[str] = []
         for doc_id, text in zip(df["doc_id"], df["text"]):
             toks = _ws_tokens(text)
-            n = len(toks)
-            if n == 0:
-                continue
-            n_chunks = (
-                1
-                if n <= _CHUNK_SIZE
-                else 1 + (n - _CHUNK_SIZE + _CHUNK_STRIDE - 1) // _CHUNK_STRIDE
-            )
-            for i in range(n_chunks):
-                chunk = toks[i * _CHUNK_STRIDE : i * _CHUNK_STRIDE + _CHUNK_SIZE]
+            for i, (lo, hi) in enumerate(_chunk_spans(len(toks))):
+                chunk = toks[lo:hi]
                 doc_ids.append(int(doc_id))
                 idxs.append(i)
                 ntoks.append(len(chunk))
@@ -2750,6 +2753,41 @@ def q_doc_chunks(sf_dir: str):
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+_FUNNEL_WINDOW_US = 24 * 3_600_000_000  # 24 h attribution window
+
+
+def _funnel_anchors(
+    uid: np.ndarray, tsi: np.ndarray, typ: np.ndarray, window_us: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-user funnel anchors (µs; INT64_MAX = stage not reached):
+    first view, first click strictly after + within ``window_us`` of it,
+    first purchase strictly after + within ``window_us`` of the click.
+    One vectorized pass (lexsort + masked ``minimum.reduceat``); inputs
+    may be unsorted. Pure kernel — property-tested against a per-user
+    brute force."""
+    INF = np.iinfo(np.int64).max
+    if uid.size == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty, empty
+    order = np.lexsort((tsi, uid))
+    uid, tsi, typ = uid[order], tsi[order], np.asarray(typ)[order]
+    first = np.concatenate([[True], uid[1:] != uid[:-1]])
+    starts = np.flatnonzero(first)
+    seg = np.cumsum(first) - 1  # row → per-user index
+
+    def next_stage(anchor: np.ndarray, stage: str) -> np.ndarray:
+        # anchor[seg] == INF ⇒ anchor + window overflows; mask on the
+        # anchor first (users who missed a stage never qualify)
+        a = anchor[seg]
+        ok = (typ == stage) & (a < INF) & (tsi > a) & (tsi - a <= window_us)
+        return np.minimum.reduceat(np.where(ok, tsi, INF), starts)
+
+    t_view = np.minimum.reduceat(np.where(typ == "view", tsi, INF), starts)
+    t_click = next_stage(t_view, "click")
+    t_buy = next_stage(t_click, "purchase")
+    return t_view, t_click, t_buy
 
 
 def q_funnel_counts(sf_dir: str):
@@ -2778,30 +2816,14 @@ def q_funnel_counts(sf_dir: str):
         .map_batches(_add_user_bucket(nparts), batch_format="pyarrow")
     )
 
-    INF = np.iinfo(np.int64).max
-    WINDOW_US = 24 * 3_600_000_000  # 24 h attribution window
-
     def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        uid = g["user_id"].to_numpy(dtype=np.int64)
-        tsi = g["ts"].to_numpy().view("i8")  # µs since epoch
-        typ = g["event_type"].to_numpy()
-        order = np.lexsort((tsi, uid))
-        uid, tsi, typ = uid[order], tsi[order], typ[order]
-        first = np.concatenate([[True], uid[1:] != uid[:-1]])
-        starts = np.flatnonzero(first)
-        seg = np.cumsum(first) - 1  # row → per-user index
-
-        def next_stage(anchor: np.ndarray, stage: str) -> np.ndarray:
-            # anchor[seg] == INF ⇒ anchor + WINDOW overflows; guard by
-            # masking on the anchor first (users who missed a stage
-            # never qualify for the next)
-            a = anchor[seg]
-            ok = (typ == stage) & (a < INF) & (tsi > a) & (tsi - a <= WINDOW_US)
-            return np.minimum.reduceat(np.where(ok, tsi, INF), starts)
-
-        t_view = np.minimum.reduceat(np.where(typ == "view", tsi, INF), starts)
-        t_click = next_stage(t_view, "click")
-        t_buy = next_stage(t_click, "purchase")
+        t_view, t_click, t_buy = _funnel_anchors(
+            g["user_id"].to_numpy(dtype=np.int64),
+            g["ts"].to_numpy().view("i8"),  # µs since epoch
+            g["event_type"].to_numpy(),
+            _FUNNEL_WINDOW_US,
+        )
+        INF = np.iinfo(np.int64).max
         return pd.DataFrame(
             {
                 "part_view": np.array([(t_view < INF).sum()], dtype=np.int64),

@@ -90,3 +90,77 @@ def test_simhash_identical_text_identical_hash(a, b):
     sb = simhash64(char_shingle_hashes(b, 4))
     if a == b:
         assert sa == sb
+
+
+# --- pure query kernels (no Ray) -------------------------------------------
+
+events_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),          # user_id
+        st.integers(min_value=0, max_value=100),        # ts (µs)
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    max_size=80,
+)
+
+
+@given(events_st, st.integers(min_value=1, max_value=50))
+@settings(max_examples=120, deadline=None)
+def test_funnel_anchors_match_bruteforce(events, window):
+    """The vectorized masked-reduceat funnel equals a per-user brute
+    force for every random event log and window width."""
+    from address_parser_ray.pipelines.queries import _funnel_anchors
+
+    uid = np.array([e[0] for e in events], dtype=np.int64)
+    tsi = np.array([e[1] for e in events], dtype=np.int64)
+    typ = np.array([e[2] for e in events], dtype=object)
+    tv, tc, tb = _funnel_anchors(uid, tsi, typ, window)
+
+    INF = np.iinfo(np.int64).max
+    users = sorted(set(uid.tolist()))
+    assert len(users) == len(tv) == len(tc) == len(tb)
+    for k, u in enumerate(users):
+        rows = [(t, y) for i, (t, y) in enumerate(zip(tsi, typ)) if uid[i] == u]
+        t0 = min((t for t, y in rows if y == "view"), default=INF)
+        t1 = (
+            min((t for t, y in rows
+                 if y == "click" and t > t0 and t - t0 <= window), default=INF)
+            if t0 < INF else INF
+        )
+        t2 = (
+            min((t for t, y in rows
+                 if y == "purchase" and t > t1 and t - t1 <= window), default=INF)
+            if t1 < INF else INF
+        )
+        assert (tv[k], tc[k], tb[k]) == (t0, t1, t2), (u, rows)
+
+
+@given(
+    st.integers(min_value=0, max_value=5000),
+    st.integers(min_value=2, max_value=64),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_chunk_spans_invariants(n, size, stride):
+    """Chunk windows tile the doc: full coverage, strictly increasing
+    starts, every span non-empty and ≤ size, last span ends at n, and
+    with stride < size consecutive spans overlap by size − stride
+    (except possibly the clamped last one)."""
+    from address_parser_ray.pipelines.queries import _chunk_spans
+
+    stride = min(stride, size)  # stride > size would skip tokens
+    spans = _chunk_spans(n, size, stride)
+    if n == 0:
+        assert spans == []
+        return
+    assert spans[0][0] == 0 and spans[-1][1] == n
+    covered = 0
+    for j, (lo, hi) in enumerate(spans):
+        assert lo < hi <= n and hi - lo <= size
+        assert lo <= covered  # no gap
+        covered = max(covered, hi)
+        if j:
+            assert lo == spans[j - 1][0] + stride
+    assert covered == n
+    if n <= size:
+        assert len(spans) == 1
