@@ -1282,9 +1282,17 @@ def q_event_value_percentiles(sf_dir: str):
     volume (same shape as the sliding window's hourly panel). Rank rule
     is pure-integer on both sides (``rank_p = (p*n + 99) // 100``,
     answer = smallest cents with cumulative count >= rank) so parity
-    does not depend on float quantile semantics. At 100 TB this is the
-    scale path for exact quantiles over bounded-domain values; unbounded
-    domains would swap the histogram for a t-digest sketch."""
+    does not depend on float quantile semantics.
+
+    Shuffle note: the partials are combined inside the SAME per-type
+    ``map_groups`` that selects the quantiles — ONE single-key shuffle.
+    (Ray 2.49's composite-key sort-aggregate on (event_type, cents) was
+    measured pathologically slow: 22 s for a 98 k-row partial panel vs
+    ~3 s for this shape.) Per-type fan-in is bounded by distinct cents ×
+    upstream blocks — the value DOMAIN, not event volume. At 100 TB this
+    is the scale path for exact quantiles over bounded-domain values;
+    unbounded domains swap the histogram for the log-bucketed sketch
+    (``q_event_value_log_hist``)."""
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
@@ -1301,16 +1309,12 @@ def q_event_value_percentiles(sf_dir: str):
         g["part_n"] = g["part_n"].astype(np.int64)
         return g
 
-    hist = (
-        ev.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "cents"])
-        .aggregate(Sum("part_n", alias_name="n"))
-    )
+    parts = ev.map_batches(partial, batch_format="pandas")
 
     def quantiles(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("cents").reset_index(drop=True)
-        cents = g["cents"].to_numpy(dtype=np.int64)
-        cum = np.cumsum(g["n"].to_numpy(dtype=np.int64))
+        h = g.groupby("cents", as_index=False, sort=True)["part_n"].sum()
+        cents = h["cents"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(h["part_n"].to_numpy(dtype=np.int64))
         total = int(cum[-1])
         out = {"event_type": [g["event_type"].iloc[0]], "n": [total]}
         for p in (50, 90, 99):
@@ -1318,7 +1322,7 @@ def q_event_value_percentiles(sf_dir: str):
             out[f"p{p}_cents"] = [int(cents[np.searchsorted(cum, rank, side="left")])]
         return pd.DataFrame(out)
 
-    return hist.groupby("event_type").map_groups(quantiles, batch_format="pandas")
+    return parts.groupby("event_type").map_groups(quantiles, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
