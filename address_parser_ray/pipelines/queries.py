@@ -519,15 +519,13 @@ def q_tfidf_top_terms(sf_dir: str):
         g["part_n"] = g["part_n"].astype(np.int64)
         return g
 
-    counts = (
-        docs.map_batches(partial, batch_format="pandas")
-        .groupby(["lang", "token"])
-        .aggregate(Sum("part_n", alias_name="tf"))
-    )
-
     # df + scoring is bucketed by token HASH (one Python call per bucket,
     # vectorized inside — the per-key map_groups trap avoided), because a
-    # real vocabulary has millions of tokens
+    # real vocabulary has millions of tokens. The (lang, token) partial
+    # combine folds into the SAME bucket pass (a token's rows all land in
+    # its bucket), replacing the pathological composite-key
+    # sort-aggregate (see q_event_value_percentiles) — one shuffle total
+    # before the per-lang top-k.
     from address_parser_ray.rayutil import default_num_partitions
 
     nparts = default_num_partitions()
@@ -541,6 +539,8 @@ def q_tfidf_top_terms(sf_dir: str):
         return df
 
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["lang", "token"], as_index=False)["part_n"].sum()
+        g = g.rename(columns={"part_n": "tf"})
         df_count = g.groupby("token")["lang"].transform("size").to_numpy()
         idf_int = (n_langs * 1000) // df_count
         out = g[["lang", "token", "tf"]].copy()
@@ -548,7 +548,8 @@ def q_tfidf_top_terms(sf_dir: str):
         return out
 
     scored = (
-        counts.map_batches(add_bucket, batch_format="pandas")
+        docs.map_batches(partial, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
         .groupby("tb")
         .map_groups(score_bucket, batch_format="pandas")
     )
@@ -1429,25 +1430,27 @@ def q_vocab_stats(sf_dir: str):
         g["part_n"] = g["part_n"].astype(np.int64)
         return g
 
-    counts = (
-        docs.map_batches(partial, batch_format="pandas")
-        .groupby(["lang", "token"])
-        .aggregate(Sum("part_n", alias_name="n"))
-    )
+    parts = docs.map_batches(partial, batch_format="pandas")
 
+    # partials combine INSIDE the per-lang map_groups — one single-key
+    # shuffle (Ray 2.49's composite-key sort-aggregate is pathologically
+    # slow; see q_event_value_percentiles). Per-lang fan-in is bounded
+    # by that lang's vocabulary × upstream blocks, the same bound the
+    # composite panel had.
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        top = g.sort_values(["n", "token"], ascending=[False, True]).iloc[0]
+        h = g.groupby("token", as_index=False)["part_n"].sum()
+        top = h.sort_values(["part_n", "token"], ascending=[False, True]).iloc[0]
         return pd.DataFrame(
             {
                 "lang": [g["lang"].iloc[0]],
-                "vocab_size": np.array([len(g)], dtype=np.int64),
-                "n_tokens": np.array([int(g["n"].sum())], dtype=np.int64),
+                "vocab_size": np.array([len(h)], dtype=np.int64),
+                "n_tokens": np.array([int(h["part_n"].sum())], dtype=np.int64),
                 "top_token": [top["token"]],
-                "top_token_n": np.array([int(top["n"])], dtype=np.int64),
+                "top_token_n": np.array([int(top["part_n"])], dtype=np.int64),
             }
         )
 
-    return counts.groupby("lang").map_groups(final, batch_format="pandas")
+    return parts.groupby("lang").map_groups(final, batch_format="pandas")
 
 
 def q_stratified_sample(sf_dir: str):
