@@ -194,7 +194,42 @@ def q_simhash_hamming_pairs(sf_dir: str):
         )
 
     cand = exploded.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+    # cross-band dedup (min hamming per pair) via a pair-hash bucket +
+    # one vectorized reduceat pass per bucket — the blocking stage's
+    # _dedup_pairs_bucket_fn shape. (A composite-key
+    # groupby(["id_a","id_b"]).aggregate() is pathologically slow in Ray
+    # 2.49 and would sort the full pair stream; see
+    # q_event_value_percentiles.)
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["id_a"]).astype(np.int64)
+        b = np.asarray(t["id_b"]).astype(np.int64)
+        pb = (
+            splitmix64(splitmix64(a.view(np.uint64)) ^ b.view(np.uint64))
+            % np.uint64(nparts)
+        ).astype(np.int64)
+        return t.append_column("pb", pa.array(pb))
+
+    def min_per_pair(g: pa.Table) -> pa.Table:
+        a = np.asarray(g["id_a"], dtype=np.int64)
+        b = np.asarray(g["id_b"], dtype=np.int64)
+        d = np.asarray(g["hamming"], dtype=np.int64)
+        order = np.lexsort((d, b, a))
+        a, b, d = a[order], b[order], d[order]
+        first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        return pa.table(
+            {
+                "id_a": pa.array(a[first]),
+                "id_b": pa.array(b[first]),
+                "hamming": pa.array(d[first]),  # sorted → first is min
+            }
+        )
+
+    return (
+        cand.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(min_per_pair, batch_format="pyarrow")
+    )
 
 
 def q_ngram_jaccard_stats(sf_dir: str):
