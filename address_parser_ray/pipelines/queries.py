@@ -698,13 +698,22 @@ def q_events_hourly(sf_dir: str):
         g["part_n"] = g["part_n"].astype(np.int64)
         return g
 
+    # partials combine inside a per-type map_groups (one single-key
+    # shuffle; composite-key aggregates are pathological in Ray 2.49 —
+    # see q_event_value_percentiles). Per-type fan-in = hours × blocks.
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby("hour", as_index=False).agg(
+            n_events=("part_n", "sum"), sum_value_cents=("part_sum", "sum")
+        )
+        h.insert(0, "event_type", g["event_type"].iloc[0])
+        h["n_events"] = h["n_events"].astype(np.int64)
+        h["sum_value_cents"] = h["sum_value_cents"].astype(np.int64)
+        return h
+
     return (
         ev.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "hour"])
-        .aggregate(
-            Sum("part_n", alias_name="n_events"),
-            Sum("part_sum", alias_name="sum_value_cents"),
-        )
+        .groupby("event_type")
+        .map_groups(combine, batch_format="pandas")
     )
 
 
@@ -727,27 +736,29 @@ def q_events_sliding_3h(sf_dir: str):
         g["part_n"] = g["part_n"].astype(np.int64)
         return g
 
-    hourly = (
-        ev.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "hour"])
-        .aggregate(Sum("part_n", alias_name="n"))
-    )
-
+    # hourly combine folds into the same per-type map_groups as the
+    # window pass — one single-key shuffle total (see events_hourly)
     def window(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].iloc[0]
+        g = g.groupby("hour", as_index=False)["part_n"].sum()
         g = g.sort_values("hour").reset_index(drop=True)
         h = g["hour"].to_numpy().astype("datetime64[h]").astype(np.int64)
-        n = g["n"].to_numpy(dtype=np.int64)
+        n = g["part_n"].to_numpy(dtype=np.int64)
         pre = np.concatenate([[0], np.cumsum(n)])
         lo = np.searchsorted(h, h - 2, side="left")
         return pd.DataFrame(
             {
-                "event_type": g["event_type"],
+                "event_type": et,
                 "hour": g["hour"],
                 "n_3h": pre[np.arange(1, len(h) + 1)] - pre[lo],
             }
         )
 
-    return hourly.groupby("event_type").map_groups(window, batch_format="pandas")
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(window, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -986,13 +997,45 @@ def q_winnow_dup_pairs(sf_dir: str):
     exploded = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fingerprint, batch_format="pyarrow", zero_copy_batch=True
     )
-    shared = (
-        exploded.groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_shared"))
+    cand = exploded.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow"
     )
-    return shared.filter(expr=f"n_shared >= {MIN_SHARED}")
+
+    # shared-fingerprint count per pair via a pair-hash bucket + one
+    # vectorized run-length pass per bucket (composite-key aggregates
+    # sort the whole pair stream in Ray 2.49 — see
+    # q_event_value_percentiles)
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["id_a"]).astype(np.int64)
+        b = np.asarray(t["id_b"]).astype(np.int64)
+        pb = (
+            splitmix64(splitmix64(a.view(np.uint64)) ^ b.view(np.uint64))
+            % np.uint64(nparts)
+        ).astype(np.int64)
+        return t.append_column("pb", pa.array(pb))
+
+    def count_shared(g: pa.Table) -> pa.Table:
+        a = np.asarray(g["id_a"], dtype=np.int64)
+        b = np.asarray(g["id_b"], dtype=np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        starts = np.flatnonzero(first)
+        n = np.diff(np.concatenate([starts, [a.size]]))
+        keep = n >= MIN_SHARED
+        return pa.table(
+            {
+                "id_a": pa.array(a[starts][keep]),
+                "id_b": pa.array(b[starts][keep]),
+                "n_shared": pa.array(n[keep].astype(np.int64)),
+            }
+        )
+
+    return (
+        cand.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(count_shared, batch_format="pyarrow")
+    )
 
 
 def q_shuffle_split_write(sf_dir: str):
@@ -2385,44 +2428,57 @@ def q_event_value_log_hist(sf_dir: str):
 
 def q_dup_ratio_by_source(sf_dir: str):
     """Dedup-rate diagnostics per source group: how duplicated is each
-    crawl/source? n_docs vs distinct content hashes. Two-level groupby:
-    (source, sha) first (the shuffle carries one row per distinct pair),
-    then the per-source rollup."""
+    crawl/source? n_docs vs distinct content hashes. The (source, sha)
+    combine rides a sha-hash bucket (all copies of a sha colocate, so a
+    bucket counts its distinct pairs exactly; a composite-key aggregate
+    would sort the corpus-sized pair stream — see
+    q_event_value_percentiles); per-batch pre-compaction bounds the
+    shuffle to one row per distinct (source, sha) per batch; the final
+    per-source rollup sums a sources × buckets panel."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
 
     def add_sha(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "source": t["source"],
-                "sha": pa.array(
-                    sha256_hex(t["text"].to_pylist()), type=pa.string()
-                ),
-            }
-        )
-
-    per_sha = (
-        _docs(sf_dir, ["source", "text"])
-        .map_batches(add_sha, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["source", "sha"])
-        .aggregate(Count(alias_name="n"))
-    )
-
-    def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
-            {"source": t["source"].to_pylist(), "n": np.asarray(t["n"])}
-        )
-        g = df.groupby("source", sort=False, as_index=False).agg(
-            part_docs=("n", "sum"), part_distinct=("n", "size")
-        )
-        return pa.table(
             {
-                "source": pa.array(g["source"], type=pa.string()),
-                "part_docs": pa.array(g["part_docs"].to_numpy(np.int64)),
-                "part_distinct": pa.array(g["part_distinct"].to_numpy(np.int64)),
+                "source": t["source"].to_pylist(),
+                "sha": sha256_hex(t["text"].to_pylist()),
             }
         )
+        g = df.groupby(["source", "sha"], sort=False, as_index=False).size()
+        sb = (
+            splitmix64(
+                np.array(
+                    [int(s[:15], 16) for s in g["sha"]], dtype=np.int64
+                ).view(np.uint64)
+            )
+            % np.uint64(nparts)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "sb": pa.array(sb),
+                "source": pa.array(g["source"], type=pa.string()),
+                "sha": pa.array(g["sha"], type=pa.string()),
+                "part_n": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def bucket_partial(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby(["source", "sha"], as_index=False)["part_n"].sum()
+        out = h.groupby("source", as_index=False).agg(
+            part_docs=("part_n", "sum"), part_distinct=("part_n", "size")
+        )
+        out["part_docs"] = out["part_docs"].astype(np.int64)
+        out["part_distinct"] = out["part_distinct"].astype(np.int64)
+        return out
 
     return (
-        per_sha.map_batches(partial, batch_format="pyarrow")
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(add_sha, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("sb")
+        .map_groups(bucket_partial, batch_format="pandas")
         .groupby("source")
         .aggregate(
             Sum("part_docs", alias_name="n_docs"),
