@@ -2290,13 +2290,23 @@ def q_embedding_centroids(sf_dir: str):
             }
         )
 
+    # per-label combine of the dim partials in one single-key shuffle
+    # (composite-key aggregates sort the batches × labels × dims stream;
+    # see q_event_value_percentiles). Per-label fan-in = dims × blocks.
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby("dim", as_index=False).agg(
+            n_vecs=("part_n", "sum"), sum_milli=("part_sum", "sum")
+        )
+        h.insert(0, "label", g["label"].iloc[0])
+        h["dim"] = h["dim"].astype(np.int64)
+        h["n_vecs"] = h["n_vecs"].astype(np.int64)
+        h["sum_milli"] = h["sum_milli"].astype(np.int64)
+        return h
+
     return (
         emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["label", "dim"])
-        .aggregate(
-            Sum("part_n", alias_name="n_vecs"),
-            Sum("part_sum", alias_name="sum_milli"),
-        )
+        .groupby("label")
+        .map_groups(combine, batch_format="pandas")
     )
 
 
