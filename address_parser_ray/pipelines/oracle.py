@@ -802,6 +802,33 @@ ORACLE_SQL = {
         )
         SELECT id_a, id_b, cos_bp FROM pairs WHERE cos_bp >= 3000
     """,
+    # exact df over distinct (token, doc) pairs; posting list = the 5
+    # smallest doc_ids per token, comma-joined in numeric order (CAST to
+    # VARCHAR matches Python str(int))
+    "inverted_index": """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(
+                       COALESCE(text, ''),
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS token
+            FROM documents
+        ), d AS (
+            SELECT DISTINCT doc_id, token FROM tok
+        ), r AS (
+            SELECT token, doc_id,
+                   row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+            FROM d
+        ), dfq AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS df FROM d GROUP BY 1
+        ), tp AS (
+            SELECT token,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                       AS top_docs
+            FROM r WHERE rn <= 5 GROUP BY 1
+        )
+        SELECT dfq.token, dfq.df, tp.top_docs
+        FROM dfq JOIN tp ON dfq.token = tp.token
+    """,
     # strictly-later semantics on both sides: each stage's anchor is the
     # MIN ts of qualifying events after, and within 24 h of, the
     # previous stage's anchor

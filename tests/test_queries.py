@@ -88,6 +88,7 @@ SQL_CHECKED = [
     "doc_chunks",
     "funnel_counts",
     "embedding_near_dup",
+    "inverted_index",
 ]
 
 
