@@ -802,6 +802,19 @@ ORACLE_SQL = {
         )
         SELECT id_a, id_b, cos_bp FROM pairs WHERE cos_bp >= 3000
     """,
+    # the bloom is a prefilter only — the exact join removes its false
+    # positives, so plain semi-join SQL is the oracle
+    "bloom_semijoin_revenue": """
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders o
+        WHERE o.o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        )
+        GROUP BY 1
+    """,
     # exact df over distinct (token, doc) pairs; posting list = the 5
     # smallest doc_ids per token, comma-joined in numeric order (CAST to
     # VARCHAR matches Python str(int))

@@ -164,3 +164,23 @@ def test_chunk_spans_invariants(n, size, stride):
     assert covered == n
     if n <= size:
         assert len(spans) == 1
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=200),
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=200),
+)
+@settings(max_examples=80, deadline=None)
+def test_bloom_no_false_negatives(members, probes):
+    """Every inserted key must probe positive (the exactness of the
+    bloom-prefiltered semi-join rests on zero false negatives)."""
+    from address_parser_ray.functions.bloom import bloom_build, bloom_probe
+
+    keys = np.array(members, dtype=np.int64)
+    words, m, k = bloom_build(keys)
+    assert bloom_probe(words, m, k, keys).all()
+    # false-positive rate sanity on disjoint probes (16 bits/key, k=4
+    # → theoretical ~0.2%; assert a loose 10% bound, not exactness)
+    others = np.array([p for p in probes if p not in set(members)], dtype=np.int64)
+    if others.size >= 50:
+        assert bloom_probe(words, m, k, others).mean() <= 0.10

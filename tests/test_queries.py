@@ -89,6 +89,7 @@ SQL_CHECKED = [
     "funnel_counts",
     "embedding_near_dup",
     "inverted_index",
+    "bloom_semijoin_revenue",
 ]
 
 
