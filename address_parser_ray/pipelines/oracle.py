@@ -802,6 +802,11 @@ ORACLE_SQL = {
         )
         SELECT id_a, id_b, cos_bp FROM pairs WHERE cos_bp >= 3000
     """,
+    # table profiler: one UNION ALL block per column; KMV distinct uses
+    # the same md5-fold idiom as distinct_kmv over CAST(col AS VARCHAR)
+    # (== Python str(int) for ints, identity for strings); min/max are
+    # numeric-only with a -1 sentinel elsewhere (matches the engine)
+    "table_profile": None,  # filled below by _build_table_profile_sql()
     # the bloom is a prefilter only — the exact join removes its false
     # positives, so plain semi-join SQL is the oracle
     "bloom_semijoin_revenue": """
@@ -867,3 +872,51 @@ ORACLE_SQL = {
                (SELECT count(*) FROM p) AS n_full_funnel
     """,
 }
+
+
+def _build_table_profile_sql() -> str:
+    """One UNION ALL block per profiled column. Kept generated (the five
+    blocks differ only in the column expression) so the KMV idiom stays
+    in one place."""
+    hash_expr = (
+        "list_reduce(list_transform(split(substr(md5({expr}), 1, 15), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+    blocks = []
+    for col, numeric in (
+        ("doc_id", True),
+        ("lang", False),
+        ("source", False),
+        ("n_chars", True),
+        ("text", False),
+    ):
+        expr = f"CAST({col} AS VARCHAR)" if numeric else col
+        mn = f"CAST(COALESCE(min({col}), -1) AS BIGINT)" if numeric else "CAST(-1 AS BIGINT)"
+        mx = f"CAST(COALESCE(max({col}), -1) AS BIGINT)" if numeric else "CAST(-1 AS BIGINT)"
+        hv = hash_expr.format(expr=expr)
+        blocks.append(f"""
+        SELECT '{col}' AS "column",
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,
+               {mn} AS min_val,
+               {mx} AS max_val,
+               (WITH h AS (
+                    SELECT DISTINCT {hv} AS hv
+                    FROM documents WHERE {col} IS NOT NULL
+                ), r AS (
+                    SELECT hv,
+                           row_number() OVER (ORDER BY hv) AS rk,
+                           count(*) OVER () AS nd
+                    FROM h
+                )
+                SELECT CAST(COALESCE(CASE WHEN max(nd) >= 64
+                    THEN (CAST(63 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+                         // max(CASE WHEN rk = 64 THEN hv END)
+                    ELSE max(nd) END, 0) AS BIGINT)
+                FROM r) AS est_distinct
+        FROM documents""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+ORACLE_SQL["table_profile"] = _build_table_profile_sql()

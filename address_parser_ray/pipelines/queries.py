@@ -3090,6 +3090,89 @@ def q_bloom_semijoin_revenue(sf_dir: str):
     )
 
 
+_PROFILE_NUMERIC = ("doc_id", "n_chars")
+_PROFILE_COLS = ("doc_id", "lang", "source", "n_chars", "text")
+_PROFILE_EMPTY_MIN = 1 << 62   # absorbing under min()
+_PROFILE_EMPTY_MAX = -(1 << 62)  # absorbing under max()
+
+
+def q_table_profile(sf_dir: str):
+    """ANALYZE-style table profiler — the stats pass every engine runs
+    before planning: per column → row count, null count, min/max
+    (numeric columns; -1 sentinel elsewhere so the schema stays
+    non-nullable) and a KMV distinct-count estimate (same mergeable
+    sketch + exact-integer estimator as ``q_distinct_kmv``). Each batch
+    emits ≤ k sketch rows per column with the count/min/max partials
+    riding the first row; one single-key (column) shuffle combines.
+    Sketch state is O(columns × k) regardless of table size. Full SQL
+    oracle (UNION ALL per column, KMV via the md5-fold idiom)."""
+    docs = _docs(sf_dir, list(_PROFILE_COLS))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for col in _PROFILE_COLS:
+            s = df[col]
+            n_null = int(s.isna().sum())
+            vals = s.dropna()
+            if col in _PROFILE_NUMERIC:
+                v = vals.to_numpy(dtype=np.int64)
+                # empty-batch sentinels are absorbing for min/max
+                mn = int(v.min()) if v.size else _PROFILE_EMPTY_MIN
+                mx = int(v.max()) if v.size else _PROFILE_EMPTY_MAX
+                reprs = [str(int(x)) for x in v]  # == CAST(x AS VARCHAR)
+            else:
+                mn = _PROFILE_EMPTY_MIN
+                mx = _PROFILE_EMPTY_MAX
+                reprs = vals.tolist()
+            h = np.unique(_md5_60bit(reprs))[:_KMV_K]
+            k = max(1, len(h))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "column": col,
+                        "h": h if len(h) else np.array([-1], dtype=np.int64),
+                        "part_n": np.r_[len(s), np.zeros(k - 1)].astype(np.int64),
+                        "part_null": np.r_[n_null, np.zeros(k - 1)].astype(np.int64),
+                        "part_min": np.r_[mn, np.full(k - 1, -1)].astype(np.int64),
+                        "part_max": np.r_[mx, np.full(k - 1, -1)].astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        col = g["column"].iloc[0]
+        first = g["part_n"].to_numpy() > 0
+        u = np.unique(g.loc[g["h"] >= 0, "h"].to_numpy(dtype=np.int64))
+        if len(u) >= _KMV_K:
+            est = ((_KMV_K - 1) << 60) // int(u[_KMV_K - 1])
+        else:
+            est = len(u)
+        if col in _PROFILE_NUMERIC:
+            mn = int(g.loc[first, "part_min"].min())
+            mx = int(g.loc[first, "part_max"].max())
+            if mn == _PROFILE_EMPTY_MIN:  # every batch was all-null
+                mn, mx = -1, -1
+        else:
+            mn = mx = -1
+        return pd.DataFrame(
+            {
+                "column": [col],
+                "n_rows": np.array([g["part_n"].sum()], dtype=np.int64),
+                "n_nulls": np.array([g["part_null"].sum()], dtype=np.int64),
+                "min_val": np.array([mn], dtype=np.int64),
+                "max_val": np.array([mx], dtype=np.int64),
+                "est_distinct": np.array([est], dtype=np.int64),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("column")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3164,4 +3247,5 @@ QUERIES = {
     "funnel_counts": q_funnel_counts,
     "inverted_index": q_inverted_index,
     "bloom_semijoin_revenue": q_bloom_semijoin_revenue,
+    "table_profile": q_table_profile,
 }

@@ -90,6 +90,7 @@ SQL_CHECKED = [
     "embedding_near_dup",
     "inverted_index",
     "bloom_semijoin_revenue",
+    "table_profile",
 ]
 
 
