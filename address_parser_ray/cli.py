@@ -165,6 +165,23 @@ def cmd_incremental(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Small-file compaction with row-count + xor verification."""
+    ray = _ray_up()
+
+    from address_parser_ray.state.compact import compact_parquet_dir
+
+    summary = compact_parquet_dir(
+        args.input,
+        args.output,
+        target_rows_per_file=args.target_rows_per_file,
+        verify_column=args.verify_column,
+    )
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="address_parser_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -218,6 +235,18 @@ def main(argv=None) -> int:
     inf.add_argument("--output", required=True)
     inf.add_argument("--num-gpus", type=float, default=0)
     inf.set_defaults(fn=cmd_infer)
+
+    cp = sub.add_parser(
+        "compact",
+        help="merge a parquet dir's small part files into ~target-size files "
+             "(verified: row count + optional invariant-column xor)",
+    )
+    cp.add_argument("--input", required=True)
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--target-rows-per-file", type=int, default=1_000_000)
+    cp.add_argument("--verify-column", default=None,
+                    help="hex-string column to xor-audit (e.g. content_sha256)")
+    cp.set_defaults(fn=cmd_compact)
     args = p.parse_args(argv)
     return args.fn(args)
 

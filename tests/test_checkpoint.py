@@ -118,3 +118,48 @@ def test_pipeline_resume_identical(ray_session, fixture_corpus, tmp_path):
     r3 = dedup_pipeline(read_corpus(corpus_dir), checkpointer=ck)
     a3 = r3.assignments.to_pandas().sort_values("record_id").reset_index(drop=True)
     assert a1.equals(a3)
+
+
+def test_compact_parquet_dir(ray_session, tmp_path):
+    """Compaction merges a fragmented parquet dir into few files while
+    preserving rows bit-for-bit (content + xor audit), and refuses to
+    clobber an existing target."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from address_parser_ray.state.compact import compact_parquet_dir
+
+    src = tmp_path / "frag"
+    src.mkdir()
+    n = 500
+    for i in range(20):  # 20 tiny files
+        lo, hi = i * 25, (i + 1) * 25
+        t = pa.table(
+            {
+                "record_id": pa.array(range(lo, hi), type=pa.int64()),
+                "content_sha256": [
+                    hashlib.sha256(str(x).encode()).hexdigest()
+                    for x in range(lo, hi)
+                ],
+            }
+        )
+        pq.write_table(t, str(src / f"part-{i:05d}.parquet"))
+
+    out = tmp_path / "compacted"
+    summary = compact_parquet_dir(
+        str(src), str(out),
+        target_rows_per_file=200, verify_column="content_sha256",
+    )
+    assert summary["rows"] == n
+    assert summary["files_in"] == 20
+    assert summary["files_out"] <= 4
+    a = pd.read_parquet(src).sort_values("record_id").reset_index(drop=True)
+    b = pd.read_parquet(out).sort_values("record_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # refuses to clobber
+    with _pytest.raises(FileExistsError):
+        compact_parquet_dir(str(src), str(out))
