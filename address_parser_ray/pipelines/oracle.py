@@ -807,6 +807,23 @@ ORACLE_SQL = {
     # (== Python str(int) for ints, identity for strings); min/max are
     # numeric-only with a -1 sentinel elsewhere (matches the engine)
     "table_profile": None,  # filled below by _build_table_profile_sql()
+    # MERGE INTO semantics: delta (every 7th doc, version 1, +1000
+    # chars, source 'delta') wins over base version 0
+    "upsert_latest": """
+        WITH u AS (
+            SELECT doc_id, source, n_chars, CAST(0 AS BIGINT) AS version
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'delta', n_chars + 1000, CAST(1 AS BIGINT)
+            FROM documents WHERE doc_id % 7 = 0
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY version DESC) AS rn
+            FROM u
+        )
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, version
+        FROM r WHERE rn = 1
+    """,
     # the bloom is a prefilter only — the exact join removes its false
     # positives, so plain semi-join SQL is the oracle
     "bloom_semijoin_revenue": """

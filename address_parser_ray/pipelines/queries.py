@@ -3173,6 +3173,67 @@ def q_table_profile(sf_dir: str):
     )
 
 
+def q_upsert_latest(sf_dir: str):
+    """CDC upsert / MERGE INTO (last-writer-wins by version): a delta
+    batch (every 7th doc re-ingested with version 1 and bumped length —
+    synthesized deterministically from the base so the op is
+    self-contained) merges into the base table; one row per key
+    survives, the highest version winning. Keys are hash-bucketed and
+    each bucket resolves winners in one vectorized lexsort pass — the
+    same single-key shuffle discipline as every dedup stage (exact
+    dedup's "min-id wins" generalized to "max-version wins"). At 100 TB
+    the delta side is small by contract; the union streams and only
+    (key, version)-bounded buckets shuffle. Full SQL oracle
+    (row_number over version DESC)."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    base = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def as_base(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "version", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        )
+
+    def as_delta(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        keep = ids % 7 == 0
+        t = t.filter(pa.array(keep))
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": pa.array(["delta"] * n, type=pa.string()),
+                "n_chars": pc.add(t["n_chars"], 1000),
+                "version": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    unioned = base.map_batches(as_base, batch_format="pyarrow").union(
+        base.map_batches(as_delta, batch_format="pyarrow")
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        kb = (splitmix64(ids.view(np.uint64)) % np.uint64(nparts)).astype(np.int64)
+        return t.append_column("kb", pa.array(kb))
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "version"], kind="stable")
+        last = g["doc_id"].ne(g["doc_id"].shift(-1)).to_numpy()
+        out = g.loc[last, ["doc_id", "source", "n_chars", "version"]]
+        return out.astype(
+            {"doc_id": np.int64, "n_chars": np.int64, "version": np.int64}
+        )
+
+    return (
+        unioned.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(latest, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3248,4 +3309,5 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "bloom_semijoin_revenue": q_bloom_semijoin_revenue,
     "table_profile": q_table_profile,
+    "upsert_latest": q_upsert_latest,
 }

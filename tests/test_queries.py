@@ -91,6 +91,7 @@ SQL_CHECKED = [
     "inverted_index",
     "bloom_semijoin_revenue",
     "table_profile",
+    "upsert_latest",
 ]
 
 
