@@ -807,6 +807,34 @@ ORACLE_SQL = {
     # (== Python str(int) for ints, identity for strings); min/max are
     # numeric-only with a -1 sentinel elsewhere (matches the engine)
     "table_profile": None,  # filled below by _build_table_profile_sql()
+    # one Lloyd iteration: IVF's assignment rule (cos desc, cid asc)
+    # feeds the centroids' milli-grid sum rule
+    "kmeans_update": """
+        WITH cent AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings ORDER BY vec_id LIMIT 16
+        ), assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]), c.cv) DESC, c.cid
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ), x AS (
+            SELECT a.cid,
+                   unnest(e.embedding) AS val,
+                   generate_subscripts(e.embedding, 1) AS gs
+            FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+        )
+        SELECT cid, CAST(gs AS BIGINT) AS dim,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000) AS BIGINT))
+                    AS BIGINT) AS sum_milli
+        FROM x GROUP BY 1, 2
+    """,
     # MERGE INTO semantics: delta (every 7th doc, version 1, +1000
     # chars, source 'delta') wins over base version 0
     "upsert_latest": """

@@ -3234,6 +3234,70 @@ def q_upsert_latest(sf_dir: str):
     )
 
 
+def q_kmeans_update(sf_dir: str):
+    """One distributed Lloyd (k-means) iteration — the iterative-ML
+    training-step shape: ASSIGN each vector to its nearest of K=16 seed
+    centroids (cosine, ties → smaller centroid id — the IVF assignment
+    rule, `q_ann_ivf_topk`), then UPDATE by summing member vectors per
+    (cluster, dim) on the integer milli-grid (the `q_embedding_centroids`
+    exactness rule). New centroid = sum_milli / n_vecs, derivable
+    exactly from the output. Assignment is one matmul per batch against
+    the broadcast centroid matrix; update partials are (K × dims)-sized
+    per batch and combine in a single-key per-cluster map_groups. At
+    100 TB the loop re-broadcasts K·dims floats per round — centroids
+    never shuffle. Full SQL oracle."""
+    import pyarrow.parquet as pq
+
+    K = 16
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vids = np.asarray(t["vec_id"], dtype=np.int64)
+    order = np.argsort(vids)[:K]
+    C = np.stack([np.asarray(t["embedding"][i].as_py(), dtype=np.float64) for i in order])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cids = vids[order]  # ascending → argmax first-max tie == smallest cid
+    state = ray.put((C, cids))
+
+    def assign_partial(t: pa.Table) -> pa.Table:
+        C_m, cids_m = ray.get(state)
+        emb = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64)
+        emb = emb.reshape(len(t), -1)
+        d = emb.shape[1]
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (emb / norms[:, None]) @ C_m.T
+        cid = cids_m[np.argmax(cos, axis=1)]
+        milli = np.floor(emb * 1000.0).astype(np.int64)
+        uniq, inv = np.unique(cid, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, milli)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "cid": pa.array(np.repeat(uniq, d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq))),
+                "part_n": pa.array(np.repeat(counts, d)),
+                "part_sum": pa.array(sums.reshape(-1)),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby("dim", as_index=False).agg(
+            n_vecs=("part_n", "sum"), sum_milli=("part_sum", "sum")
+        )
+        h.insert(0, "cid", np.int64(g["cid"].iloc[0]))
+        return h.astype(
+            {"cid": np.int64, "dim": np.int64, "n_vecs": np.int64,
+             "sum_milli": np.int64}
+        )
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .map_batches(assign_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cid")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3310,4 +3374,5 @@ QUERIES = {
     "bloom_semijoin_revenue": q_bloom_semijoin_revenue,
     "table_profile": q_table_profile,
     "upsert_latest": q_upsert_latest,
+    "kmeans_update": q_kmeans_update,
 }

@@ -92,6 +92,7 @@ SQL_CHECKED = [
     "bloom_semijoin_revenue",
     "table_profile",
     "upsert_latest",
+    "kmeans_update",
 ]
 
 
