@@ -255,3 +255,25 @@ def test_pinned_join_left_anti(ray_session):
         left, empty, on="k", right_on="rk", join_type="left anti"
     ).to_pandas()
     assert sorted(out3["k"].tolist()) == [1, 2, 3, 4, 5]
+
+
+def test_kmeans_fit_monotone_objective(ray_session):
+    """Spherical k-means over the embeddings table: the cosine objective
+    must be non-decreasing across Lloyd iterations (the property that
+    makes the loop a fit, not a walk), centroids unit-norm, and the fit
+    deterministic across runs."""
+    import numpy as np
+    import ray.data
+
+    from address_parser_ray.pipelines.kmeans import kmeans_fit
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    C1, h1 = kmeans_fit(ds, k=8, iters=4)
+    assert len(h1) == 4
+    assert all(h1[i + 1] >= h1[i] - 1e-9 for i in range(len(h1) - 1)), h1
+    assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)
+    C2, h2 = kmeans_fit(ds, k=8, iters=4)
+    assert np.array_equal(C1, C2) and h1 == h2
