@@ -3298,6 +3298,67 @@ def q_kmeans_update(sf_dir: str):
     )
 
 
+def q_semantic_dedup(sf_dir: str):
+    """Semantic dedup (SemDeDup, Abbas et al. 2023 — public): the 7th
+    dedup flavor. k-means clusters the embedding space (the distributed
+    spherical fit from ``pipelines.kmeans``), then WITHIN each cluster a
+    vector is dropped when an earlier (smaller vec_id) member sits at
+    cosine ≥ τ — near-duplicate semantics without any cross-cluster
+    pair generation. τ = 0.30 here because the testdata embeddings are
+    near-orthogonal random vectors (same calibration note as
+    ``q_embedding_near_dup``; real semantic dedup sits at ≥0.95). Per-cluster work is one cos matrix over a
+    deterministically capped membership (min-vec_id order, same
+    bounded-recall trade as the other flavors). Output is the per-cluster
+    keep panel. Rows-only (the trained centroids are float-iterative —
+    no SQL twin); determinism is pinned by the rows-only re-run test."""
+    from address_parser_ray.pipelines.kmeans import kmeans_fit
+
+    MAX_CLUSTER, TAU = 2048, 0.30
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    C, _ = kmeans_fit(ds, k=16, iters=3)
+    cref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        C_m = ray.get(cref)
+        emb = np.asarray(
+            t["embedding"].combine_chunks().flatten(), dtype=np.float64
+        ).reshape(t.num_rows, -1)
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        a = np.argmax((emb / norms[:, None]) @ C_m.T, axis=1).astype(np.int64)
+        return pa.table(
+            {"cluster": pa.array(a), "vec_id": t["vec_id"], "embedding": t["embedding"]}
+        )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").head(MAX_CLUSTER)
+        emb = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        unit = emb / norms[:, None]
+        cos = unit @ unit.T
+        m = len(g)
+        # dropped ⇔ some EARLIER member is ≥ τ similar (vec_id order)
+        earlier = np.tril(cos, k=-1)
+        dropped = (earlier >= TAU).any(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": np.array([int(g["cluster"].iloc[0])], dtype=np.int64),
+                "n_vectors": np.array([m], dtype=np.int64),
+                "n_kept": np.array([int(m - dropped.sum())], dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3375,4 +3436,5 @@ QUERIES = {
     "table_profile": q_table_profile,
     "upsert_latest": q_upsert_latest,
     "kmeans_update": q_kmeans_update,
+    "semantic_dedup": q_semantic_dedup,
 }

@@ -160,6 +160,7 @@ ROWS_ONLY = [
     "bpe_train_merges",
     "block_size_histogram",
     "media_frame_sample",
+    "semantic_dedup",
 ]
 
 
