@@ -94,6 +94,38 @@ def q_minhash_lsh_clusters(sf_dir: str):
     return hist.sort("cluster_size")
 
 
+def q_score_histogram(sf_dir: str):
+    """Match-score distribution of the flagship scorer over the
+    documents corpus — the calibration diagnostic an ER operator reads
+    before picking ``match_threshold`` (and the observability twin of
+    ``q_block_size_histogram``): scores bucket into 5%-wide integer bins
+    (``floor(score·20)``), counted with per-batch partials. A healthy
+    corpus shows the bimodal gap the threshold sits in; a collapsing gap
+    is the signal to re-tune gates. Rows-only (scores are
+    sketch-derived); panel is ≤ 21 rows regardless of pair volume."""
+    res = _dedup_documents(sf_dir)
+    if res.scored_pairs is None:
+        return pd.DataFrame({"score_bin": pd.Series([], dtype="int64"),
+                             "n_pairs": pd.Series([], dtype="int64")})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.clip(
+            np.floor(df["score"].to_numpy(dtype=np.float64) * 20).astype(np.int64),
+            0, 20,
+        )
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame(
+            {"score_bin": u, "part_n": c.astype(np.int64)}
+        )
+
+    return (
+        res.scored_pairs.map_batches(partial, batch_format="pandas")
+        .groupby("score_bin")
+        .aggregate(Sum("part_n", alias_name="n_pairs"))
+        .sort("score_bin")
+    )
+
+
 _SIMHASH_PAIR_SCHEMA = pa.schema(
     [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())]
 )
@@ -3437,4 +3469,5 @@ QUERIES = {
     "upsert_latest": q_upsert_latest,
     "kmeans_update": q_kmeans_update,
     "semantic_dedup": q_semantic_dedup,
+    "score_histogram": q_score_histogram,
 }

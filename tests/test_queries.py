@@ -161,6 +161,7 @@ ROWS_ONLY = [
     "block_size_histogram",
     "media_frame_sample",
     "semantic_dedup",
+    "score_histogram",
 ]
 
 
