@@ -807,6 +807,22 @@ ORACLE_SQL = {
     # (== Python str(int) for ints, identity for strings); min/max are
     # numeric-only with a -1 sentinel elsewhere (matches the engine)
     "table_profile": None,  # filled below by _build_table_profile_sql()
+    # gap multiset depends only on each user's sorted ts sequence →
+    # tie order is irrelevant and the lag window is exact
+    "event_gap_histogram": """
+        WITH g AS (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+            FROM events
+        ), d AS (
+            SELECT date_diff('microsecond', prev, ts) AS gap
+            FROM g WHERE prev IS NOT NULL
+        )
+        SELECT CAST(CASE WHEN gap <= 0 THEN 0
+                    ELSE length(bin(gap)) END AS BIGINT) AS gap_bucket,
+               CAST(count(*) AS BIGINT) AS n_gaps
+        FROM d GROUP BY 1
+    """,
     # one Lloyd iteration: IVF's assignment rule (cos desc, cid asc)
     # feeds the centroids' milli-grid sum rule
     "kmeans_update": """

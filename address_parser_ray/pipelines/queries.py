@@ -3391,6 +3391,47 @@ def q_semantic_dedup(sf_dir: str):
     )
 
 
+def q_event_gap_histogram(sf_dir: str):
+    """Inter-event gap distribution — the LAG-window analytics shape:
+    per user, consecutive event-timestamp gaps (µs) land in log2 buckets
+    (``bit_length``; 0 for zero gaps), counted globally. The gap
+    MULTISET depends only on each user's sorted timestamp sequence, so
+    the result is independent of tie order — which is what makes the
+    LAG oracle exact despite arbitrary same-ts ordering. Users are
+    hash-bucketed (sessionization's partitioning contract); one
+    lexsort + diff + ``np.frexp`` pass per bucket (frexp's exponent IS
+    bit_length — no float-log rounding); per-bucket partial counts roll
+    up over a ≤64-row panel. Full SQL oracle (lag window +
+    ``length(bin(gap))``)."""
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(_add_user_bucket(nparts), batch_format="pyarrow")
+
+    def gaps_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        tsi = g["ts"].to_numpy().view("i8")
+        order = np.lexsort((tsi, uid))
+        uid, tsi = uid[order], tsi[order]
+        same = uid[1:] == uid[:-1]
+        gap = (tsi[1:] - tsi[:-1])[same]
+        b = np.zeros(len(gap), dtype=np.int64)
+        pos = gap > 0
+        b[pos] = np.frexp(gap[pos].astype(np.float64))[1]  # == bit_length
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"gap_bucket": u, "part_n": c.astype(np.int64)})
+
+    return (
+        ev.groupby("bucket")
+        .map_groups(gaps_bucket, batch_format="pandas")
+        .groupby("gap_bucket")
+        .aggregate(Sum("part_n", alias_name="n_gaps"))
+        .sort("gap_bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3470,4 +3511,5 @@ QUERIES = {
     "kmeans_update": q_kmeans_update,
     "semantic_dedup": q_semantic_dedup,
     "score_histogram": q_score_histogram,
+    "event_gap_histogram": q_event_gap_histogram,
 }

@@ -93,6 +93,7 @@ SQL_CHECKED = [
     "table_profile",
     "upsert_latest",
     "kmeans_update",
+    "event_gap_histogram",
 ]
 
 
