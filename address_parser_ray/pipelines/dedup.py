@@ -87,14 +87,84 @@ def dedup_pipeline(
             print(f"[stage {name}: {_time.time() - t0:.1f}s]", file=_sys.stderr)
         return out
 
-    fingerprints = ck("fingerprints", lambda: fingerprint_stage(corpus, cfg))
+    # --- stage 0: the ONE content scan -----------------------------------
+    # With content_rescore on, the fingerprint pass also keeps the
+    # normalized text (norm_text column): the rescore band later re-reads
+    # text BY ID from this side table instead of re-reading +
+    # re-normalizing the corpus parquet — the second full-corpus scan was
+    # the measured bandwidth floor (BASELINE.md Amdahl F ≈ 53 s).
+    # norm_text is dropped before the first shuffle; only ids + sketches
+    # ever cross an exchange.
+    norm_texts = None
+    fresh_fingerprints = checkpointer is None or not checkpointer.is_done(
+        "fingerprints"
+    )
+    if cfg.content_rescore and fresh_fingerprints:
+        t0 = _time.time()
+        combined = fingerprint_stage(
+            corpus, cfg, keep_norm_text=True
+        ).materialize()
+        if _timing:
+            print(f"[stage fingerprints: {_time.time() - t0:.1f}s]", file=_sys.stderr)
+        if checkpointer is None:
+            fingerprints = combined.drop_columns(["norm_text"])
+            norm_texts = combined
+        else:
+            # persist BOTH views: sketches for every downstream stage,
+            # and the (record_id, lang, norm_text) side table a resumed
+            # run's rescore can re-read by id without a corpus scan.
+            fingerprints = ck(
+                "fingerprints", lambda: combined.drop_columns(["norm_text"])
+            )
+            norm_texts = ck(
+                "norm_texts",
+                lambda: combined.select_columns(
+                    ["record_id", "lang", "norm_text"]
+                ),
+            )
+    else:
+        fingerprints = ck("fingerprints", lambda: fingerprint_stage(corpus, cfg))
+        if (
+            cfg.content_rescore
+            and checkpointer is not None
+            and checkpointer.is_done("norm_texts")
+        ):
+            norm_texts = checkpointer.stage("norm_texts", lambda: None)
     deduped = ck("exact_dedup", lambda: exact_dedup_stage(fingerprints))
     # reps feeds the hot-key probe, key emission and two feature joins —
     # pin it once.
     reps = representatives(deduped).materialize()
     dup_edges = duplicate_edges(deduped)
 
-    pairs = ck("candidate_pairs", lambda: blocking_stage(reps, cfg))
+    if checkpointer is None:
+        pairs = ck("candidate_pairs", lambda: blocking_stage(reps, cfg))
+    else:
+        # checkpointing runs persist the salted exploded band index
+        # (block_key, record_id) plus the hot-key map it was salted with
+        # — the posting-list side table a later INCREMENT probes by key
+        # instead of re-emitting bands over every old sketch
+        # (pipelines/incremental.py). The full run itself pays nothing
+        # extra beyond the parquet write: pair generation reads the same
+        # exploded relation back (which also makes blocking resumable).
+        from address_parser_ray.stages.blocking import (
+            exploded_index,
+            pairs_from_exploded,
+            probe_hot_keys,
+        )
+
+        hot_raw = checkpointer.load_json("band_hot_keys")
+        if hot_raw is None or not checkpointer.is_done("band_index"):
+            light = reps.select_columns(
+                ["record_id", "minhash", "lang", "basename"]
+            )
+            hot = probe_hot_keys(light, cfg)
+            checkpointer.save_json(
+                "band_hot_keys", {str(k): v for k, v in hot.items()}
+            )
+        else:
+            hot = {int(k): int(v) for k, v in hot_raw.items()}
+        band = ck("band_index", lambda: exploded_index(reps, cfg, hot_keys=hot))
+        pairs = ck("candidate_pairs", lambda: pairs_from_exploded(band, cfg))
     n_pairs = pairs.count()
     from address_parser_ray.rayutil import partitions_for
 
@@ -139,7 +209,11 @@ def dedup_pipeline(
             scored = ck(
                 "rescored_pairs",
                 lambda: content_rescore_stage(
-                    scored, corpus, cfg, num_partitions=join_partitions
+                    scored,
+                    corpus,
+                    cfg,
+                    num_partitions=join_partitions,
+                    norm_texts=norm_texts,
                 ),
             )
         edges = match_edges(scored)

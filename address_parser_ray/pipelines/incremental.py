@@ -25,9 +25,23 @@ Shape:
 Determinism: labels are min-record-id, so an incremental run and a
 full-corpus run produce the SAME partition AND the same labels whenever
 they decide the same pairs (asserted by ``tests/test_incremental.py``).
-At true 100-TB scale the remaining cost is re-emitting band keys over
-old sketches (cheap, content never read); persisting the exploded band
-index would remove it at the price of a mutable index — out of scope.
+
+Band-index probe (removes the last corpus-wide pass): a checkpointing
+full run persists the salted exploded (block_key, record_id) index plus
+the hot-key map it was salted with (``dedup_pipeline`` stage
+``band_index``; reference analogue: the prebuilt inverted n-gram index
+reused across calls, ``fuzz/inexus_parser.py:886-889``). Pass it (or a
+checkpoint dir via :func:`load_band_index`) and the increment emits keys
+for its OWN reps only, probes the index for old members of touched
+blocks with a vectorized id-set filter (16 B/row scan, no minhash
+decode or band hashing), and feeds the union into pair generation —
+block membership for every touched key is identical to a full blocking
+run salted with the same hot map, so pairs (and labels) are unchanged.
+New-only hot keys that emerge INSIDE the increment are still bounded by
+the per-block pair caps. Without an index the legacy path recomputes
+bands over all reps (kept for index-less callers). At true scale the
+index would additionally be written sorted by key so row-group stats
+prune the probe's scan; here the probe is a streamed filter.
 """
 
 from __future__ import annotations
@@ -86,6 +100,23 @@ def load_result(checkpoint_dir: str) -> DedupResult:
     )
 
 
+def load_band_index(checkpoint_dir: str):
+    """→ (band_index Dataset, hot_keys dict) from a completed
+    checkpointing run, or (None, None) when the run predates the index
+    (legacy checkpoints still work — the increment just recomputes
+    bands)."""
+    from address_parser_ray.state import Checkpointer
+
+    ck = Checkpointer(checkpoint_dir)
+    if not ck.is_done("band_index"):
+        return None, None
+    hot_raw = ck.load_json("band_hot_keys") or {}
+    return (
+        ray.data.read_parquet(f"{checkpoint_dir}/band_index"),
+        {int(k): int(v) for k, v in hot_raw.items()},
+    )
+
+
 def _collect_ids(ds: ray.data.Dataset) -> np.ndarray:
     """Sorted id array of the increment — the incremental contract is
     that the NEW batch is small relative to the corpus, so its id set
@@ -122,12 +153,21 @@ def incremental_dedup(
     *,
     old_corpus: ray.data.Dataset | None = None,
     num_partitions: int | None = None,
+    band_index: ray.data.Dataset | None = None,
+    band_hot_keys: dict | None = None,
 ) -> DedupResult:
     """Link ``new_corpus`` against ``prev`` (a completed run's result).
 
     ``old_corpus`` is required when ``cfg.content_rescore`` is on: the
     rescore stage re-reads content BY ID for near-threshold pairs, and a
     new↔old pair needs the old side's text.
+
+    ``band_index`` / ``band_hot_keys`` (from :func:`load_band_index`):
+    the previous full run's persisted salted (block_key, record_id)
+    relation and its hot-key map. When given, band keys are emitted for
+    the increment's reps ONLY and old members of touched blocks come
+    from an id-set probe of the index — no band re-emission over old
+    sketches.
     """
     if cfg.content_rescore and old_corpus is None:
         raise ValueError(
@@ -138,22 +178,117 @@ def incremental_dedup(
     num_partitions = default_num_partitions(num_partitions)
 
     new_fp = fingerprint_stage(new_corpus, cfg).materialize()
-    new_ids_ref = ray.put(_collect_ids(new_fp))
+    new_ids = _collect_ids(new_fp)
+    new_ids_ref = ray.put(new_ids)
 
     old_fp = prev.fingerprints.drop_columns(["rep_id"])
     deduped = exact_dedup_stage(old_fp.union(new_fp)).materialize()
     reps = representatives(deduped).materialize()
     dup_edges = duplicate_edges(deduped)
 
-    pairs = (
-        blocking_stage(reps, cfg)
-        .map_batches(
-            _touching_filter(new_ids_ref),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+    if band_index is not None:
+        from address_parser_ray.stages.blocking import (
+            exploded_index,
+            pairs_from_exploded,
         )
-        .materialize()
-    )
+
+        # 1. keys for the increment's reps only (new records that are
+        #    exact dups of old rows dropped out of reps — their linkage
+        #    rides dup_edges), salted with the INDEX's hot map so old and
+        #    new emissions agree key-for-key.
+        def keep_new(t: pa.Table) -> pa.Table:
+            ids = ray.get(new_ids_ref)
+            if not ids.size:
+                return t.slice(0, 0)
+            x = np.asarray(t["record_id"]).astype(np.int64)
+            pos = np.clip(np.searchsorted(ids, x), 0, ids.size - 1)
+            return t.filter(pa.array(ids[pos] == x))
+
+        new_keys = exploded_index(
+            reps.map_batches(keep_new, batch_format="pyarrow", zero_copy_batch=True),
+            cfg,
+            hot_keys=band_hot_keys or {},
+        ).materialize()
+
+        # 2. the increment's distinct key set broadcasts (small by the
+        #    incremental contract: ~keys-per-record × |increment|)…
+        key_parts = [
+            np.asarray(b["block_key"]).astype(np.int64)
+            for b in new_keys.select_columns(["block_key"]).iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            )
+        ]
+        touched = (
+            np.unique(np.concatenate(key_parts))
+            if key_parts
+            else np.empty(0, dtype=np.int64)
+        )
+        touched_ref = ray.put(touched)
+
+        # Record ids are hashes, not monotone: a NEW record that exactly
+        # duplicates an old rep under a SMALLER id takes over as rep,
+        # demoting the old one — its index rows are stale (the combined
+        # run's blocks carry the new rep instead, whose keys new_keys
+        # already emits). The demoted set is bounded by the increment's
+        # sha groups, so it broadcasts; computed as a streamed filter
+        # over deduped (rep_id ∈ new ∧ record_id ∉ new).
+        def dem(t: pa.Table) -> pa.Table:
+            ids = ray.get(new_ids_ref)
+            out = t.select(["record_id", "rep_id"])
+            if not ids.size:
+                return out.slice(0, 0).select(["record_id"])
+            rid = np.asarray(out["record_id"]).astype(np.int64)
+            rep = np.asarray(out["rep_id"]).astype(np.int64)
+
+            def isin(x: np.ndarray) -> np.ndarray:
+                pos = np.clip(np.searchsorted(ids, x), 0, ids.size - 1)
+                return ids[pos] == x
+
+            return pa.table({"record_id": pa.array(rid[isin(rep) & ~isin(rid)])})
+
+        demoted = _collect_ids(
+            deduped.map_batches(dem, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        demoted_ref = ray.put(demoted)
+
+        # 3. …and probes the index: a streamed vectorized filter over
+        #    (block_key, record_id) rows — no sketch decode, no banding.
+        def probe(t: pa.Table) -> pa.Table:
+            keys = ray.get(touched_ref)
+            if not keys.size:
+                return t.slice(0, 0)
+            x = np.asarray(t["block_key"]).astype(np.int64)
+            pos = np.clip(np.searchsorted(keys, x), 0, keys.size - 1)
+            mask = keys[pos] == x
+            dem_ids = ray.get(demoted_ref)
+            if dem_ids.size:
+                r = np.asarray(t["record_id"]).astype(np.int64)
+                dpos = np.clip(np.searchsorted(dem_ids, r), 0, dem_ids.size - 1)
+                mask &= dem_ids[dpos] != r
+            return t.filter(pa.array(mask))
+
+        old_touched = band_index.map_batches(
+            probe, batch_format="pyarrow", zero_copy_batch=True
+        )
+        pairs = (
+            pairs_from_exploded(old_touched.union(new_keys), cfg)
+            .map_batches(
+                _touching_filter(new_ids_ref),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+    else:
+        pairs = (
+            blocking_stage(reps, cfg)
+            .map_batches(
+                _touching_filter(new_ids_ref),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
     n_pairs = pairs.count()
     join_partitions = partitions_for(n_pairs)
 

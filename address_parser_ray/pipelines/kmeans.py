@@ -30,24 +30,31 @@ import ray.data
 
 def _seed_centroids(ds: ray.data.Dataset, k: int) -> np.ndarray:
     """Deterministic init: the k smallest-vec_id vectors, L2-normalized
-    (the same seed-row rule as the IVF/LSH queries — at 100 TB swap in a
-    driver-side sample + k-means++ without touching the loop)."""
-    import heapq
+    (the same seed-row rule as the IVF/LSH queries).
 
-    heap: list = []  # max-heap by vec_id via negation, size ≤ k
-    for b in ds.select_columns(["vec_id", "embedding"]).iter_batches(
-        batch_size=4096, batch_format="pyarrow"
-    ):
-        vids = np.asarray(b["vec_id"], dtype=np.int64)
-        emb = np.asarray(b["embedding"].combine_chunks().flatten(), dtype=np.float64)
-        emb = emb.reshape(len(vids), -1)
-        for i in np.argsort(vids)[: k]:
-            item = (-int(vids[i]), emb[i].tolist())
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
-    seeds = np.array([v for _, v in sorted(heap, reverse=True)], dtype=np.float64)
+    Distributed min-k: each batch emits only its own k smallest-id rows
+    (a vectorized argpartition inside ``map_batches``), so the driver
+    combines a panel of at most (blocks × k) rows — NOT the whole
+    embedding table (the old form streamed every batch through the
+    driver; at 100 TB that is one process's bandwidth). Same idiom as
+    ``q_stratified_sample``'s per-batch top-k partials. Ties on a
+    duplicate vec_id resolve by first-seen order within the stable sort —
+    embeddings are never part of any comparison key."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vids = np.asarray(t["vec_id"], dtype=np.int64)
+        if len(vids) > k:
+            idx = np.argpartition(vids, k - 1)[:k]
+            t = t.take(pa.array(np.sort(idx)))
+        return t
+
+    panel = (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    panel = panel.sort_values("vec_id", kind="stable").head(k)
+    seeds = np.stack(panel["embedding"].to_numpy()).astype(np.float64)
     return seeds / np.maximum(np.linalg.norm(seeds, axis=1, keepdims=True), 1e-12)
 
 
@@ -58,7 +65,7 @@ def kmeans_fit(
     have ``vec_id`` and ``embedding`` columns."""
     C = _seed_centroids(ds, k)
     history: list[float] = []
-    emb_only = ds.select_columns(["embedding"])
+    panel_input = ds.select_columns(["vec_id", "embedding"])
 
     for _ in range(iters):
         cref = ray.put(C)
@@ -78,8 +85,16 @@ def kmeans_fit(
             sums = np.zeros((kk, d), dtype=np.float64)
             np.add.at(sums, a, unit)  # spherical: mean of unit vectors
             counts = np.bincount(a, minlength=kk).astype(np.int64)
+            # batch_key: the batch's min vec_id — a deterministic label
+            # for THIS partial, so the driver can fold partials in a
+            # fixed order (float addition is non-associative; block
+            # ARRIVAL order varies run to run and would otherwise wiggle
+            # the centroids' last ulps — observed as a determinism-test
+            # failure).
+            bk = int(np.min(np.asarray(t["vec_id"], dtype=np.int64)))
             return pa.table(
                 {
+                    "batch_key": pa.array(np.full(kk, bk, dtype=np.int64)),
                     "cluster": pa.array(np.arange(kk, dtype=np.int64)),
                     "n": pa.array(counts),
                     "obj": pa.array(np.r_[obj, np.zeros(kk - 1)]),
@@ -87,13 +102,17 @@ def kmeans_fit(
                 }
             )
 
-        panel = emb_only.map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
-        ).to_pandas()  # blocks × k rows of (k·d)-float panels — tiny
+        panel = (
+            panel_input.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .to_pandas()  # blocks × k rows of (k·d)-float panels — tiny
+            .sort_values(["cluster", "batch_key"], kind="stable")
+        )
 
-        history.append(float(panel["obj"].sum()))
+        history.append(float(panel.sort_values("batch_key", kind="stable")["obj"].sum()))
         new_C = C.copy()
-        g = panel.groupby("cluster")
+        g = panel.groupby("cluster", sort=True)
         for cid, grp in g:
             n = int(grp["n"].sum())
             if n == 0:

@@ -795,12 +795,54 @@ ORACLE_SQL = {
             GROUP BY e.vec_id, v
         ), pairs AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   CAST(floor(list_cosine_similarity(a.v, b.v) * 10000)
+                   CAST(floor(list_cosine_similarity(a.v, b.v) * 10000
+                              + 0.0000001)
                         AS BIGINT) AS cos_bp
             FROM bits a JOIN bits b
               ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         )
         SELECT id_a, id_b, cos_bp FROM pairs WHERE cos_bp >= 3000
+    """,
+    # score_histogram's bin arithmetic pinned on an exact content score:
+    # adjacent-doc-id pair fixture, distinct char-4-gram Jaccard, pure
+    # integer bins ((20*inter)//union — no float boundary). <4-char docs
+    # pad to one gram (same rule as ngram_jaccard_stats); pairs where
+    # both sides have zero grams are dropped.
+    "content_score_histogram": """
+        WITH d AS (
+            SELECT doc_id, COALESCE(text, '') AS t FROM documents
+        ), g AS (
+            SELECT doc_id, substr(t, CAST(i AS INT), 4) AS gram
+            FROM (
+                SELECT doc_id, t, unnest(range(1, length(t) - 2)) AS i
+                FROM d WHERE length(t) >= 4
+            )
+            UNION
+            SELECT doc_id, t || repeat(' ', 4 - length(t)) AS gram
+            FROM d WHERE length(t) > 0 AND length(t) < 4
+        ), n AS (
+            SELECT doc_id, count(*) AS n FROM g GROUP BY 1
+        ), p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        ), i AS (
+            SELECT ga.doc_id AS id_a, count(*) AS inter
+            FROM g ga JOIN g gb
+              ON gb.gram = ga.gram AND gb.doc_id = ga.doc_id + 1
+            GROUP BY 1
+        ), s AS (
+            SELECT p.id_a,
+                   COALESCE(na.n, 0) + COALESCE(nb.n, 0)
+                       - COALESCE(i.inter, 0) AS u,
+                   COALESCE(i.inter, 0) AS inter
+            FROM p LEFT JOIN n na ON na.doc_id = p.id_a
+                   LEFT JOIN n nb ON nb.doc_id = p.id_b
+                   LEFT JOIN i ON i.id_a = p.id_a
+        )
+        SELECT CAST((20 * inter) // u AS BIGINT) AS score_bin,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM s WHERE u > 0
+        GROUP BY 1 ORDER BY 1
     """,
     # table profiler: one UNION ALL block per column; KMV distinct uses
     # the same md5-fold idiom as distinct_kmv over CAST(col AS VARCHAR)
@@ -824,7 +866,11 @@ ORACLE_SQL = {
         FROM d GROUP BY 1
     """,
     # one Lloyd iteration: IVF's assignment rule (cos desc, cid asc)
-    # feeds the centroids' milli-grid sum rule
+    # feeds the centroids' milli-grid sum rule. KNOWN PRECISION EDGE: a
+    # near-TIE between two centroids' cosines (numpy argmax vs the SQL
+    # row_number order) could assign a vector differently and fail the
+    # hash on another corpus — if this row ever goes red, suspect a
+    # last-ulp tie, not logic (the testdata has no such ties).
     "kmeans_update": """
         WITH cent AS (
             SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
@@ -981,3 +1027,83 @@ def _build_table_profile_sql() -> str:
 
 
 ORACLE_SQL["table_profile"] = _build_table_profile_sql()
+
+
+def _build_winnow_sql() -> str:
+    """Full-fidelity SQL twin of ``q_winnow_dup_pairs``: the normalizer
+    (comment/docstring strip → whitespace fold → lower), the FNV-prime
+    polynomial 8-gram rolling hash, splitmix64 (64-bit wraparound
+    multiply emulated by 32-bit split products in HUGEINT — DuckDB
+    raises on overflow instead of wrapping), the winnowing window-16 min
+    (a ROWS window frame, valid starts only), the >64-doc boilerplate
+    drop, and the ≥5-shared-fingerprint pair rule. ASCII-corpus
+    assumption (``ascii()`` = UTF-8 byte), same as ngram_jaccard_stats.
+    Built by string-replace only because a Python literal cannot hold
+    triple-quote runs; the SQL itself is static. Macros are
+    CREATE OR REPLACE so repeated runs on one connection are safe."""
+    sql = r"""
+CREATE OR REPLACE MACRO xr(a, b) AS CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT);
+CREATE OR REPLACE MACRO shr(a, n) AS CAST(a AS HUGEINT) // (CAST(1 AS HUGEINT) << n);
+CREATE OR REPLACE MACRO mulmod64(a, b) AS (
+  ((a % 4294967296) * (b % 4294967296)
+   + (((a % 4294967296) * (b // 4294967296) + (a // 4294967296) * (b % 4294967296)) % 4294967296) * 4294967296
+  ) % 18446744073709551616);
+CREATE OR REPLACE MACRO smz1(x) AS mulmod64(xr(x, shr(x, 30)), CAST(13787848793156543929 AS HUGEINT));
+CREATE OR REPLACE MACRO smz2(x) AS mulmod64(xr(x, shr(x, 27)), CAST(10723151780598845931 AS HUGEINT));
+CREATE OR REPLACE MACRO smz3(x) AS xr(x, shr(x, 31));
+CREATE OR REPLACE MACRO sm64(x) AS smz3(smz2(smz1((CAST(x AS HUGEINT) + 11400714819323198485) % 18446744073709551616)));
+WITH norm AS (
+  SELECT doc_id,
+    lower(trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(COALESCE(text, ''), '(?s)/\*.*?\*/', '', 'g'),
+            $dq$(?s)@DQ@.*?@DQ@$dq$, '', 'g'),
+          $sq$(?s)@SQ@.*?@SQ@$sq$, '', 'g'),
+        '(#|//|--)[^\n]*', '', 'g'),
+      '\s+', ' ', 'g'))) AS t0
+  FROM documents
+), padded AS (
+  SELECT doc_id,
+         CASE WHEN length(t0) < 8 THEN t0 || repeat(' ', 8 - length(t0))
+              ELSE t0 END AS t
+  FROM norm WHERE length(t0) > 0
+), pos AS (
+  SELECT doc_id, t, unnest(range(1, greatest(length(t) - 6, 2))) AS i
+  FROM padded
+), h AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+    sm64((
+      ascii(substr(t, CAST(i AS INT), 1))     * CAST(14218562807570617051 AS HUGEINT) +
+      ascii(substr(t, CAST(i AS INT) + 1, 1)) * CAST(15895002104753931833 AS HUGEINT) +
+      ascii(substr(t, CAST(i AS INT) + 2, 1)) * CAST(913917546033277539 AS HUGEINT) +
+      ascii(substr(t, CAST(i AS INT) + 3, 1)) * CAST(11527715348014283921 AS HUGEINT) +
+      ascii(substr(t, CAST(i AS INT) + 4, 1)) * CAST(624165263380053675 AS HUGEINT) +
+      ascii(substr(t, CAST(i AS INT) + 5, 1)) * CAST(956575116354345 AS HUGEINT) +
+      ascii(substr(t, CAST(i AS INT) + 6, 1)) * CAST(1099511628211 AS HUGEINT) +
+      ascii(substr(t, CAST(i AS INT) + 7, 1))
+    ) % 18446744073709551616) AS hv
+  FROM pos
+), nsh AS (
+  SELECT doc_id, count(*) AS m FROM h GROUP BY 1
+), wm AS (
+  SELECT h.doc_id, h.i, nsh.m,
+         min(hv) OVER (PARTITION BY h.doc_id ORDER BY h.i
+                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS w
+  FROM h JOIN nsh USING (doc_id)
+), fps AS (
+  SELECT DISTINCT doc_id, w AS fp
+  FROM wm WHERE i <= greatest(m - 15, 1)
+), grp AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 64
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM fps a JOIN grp USING (fp) JOIN fps b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 5
+"""
+    return sql.replace("@DQ@", '"' * 3).replace("@SQ@", "'" * 3)
+
+
+ORACLE_SQL["winnow_dup_pairs"] = _build_winnow_sql()

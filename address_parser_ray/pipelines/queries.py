@@ -16,6 +16,8 @@ Determinism rules used throughout:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -126,6 +128,127 @@ def q_score_histogram(sf_dir: str):
     )
 
 
+def q_content_score_histogram(sf_dir: str):
+    """Oracle-checkable calibration twin of ``score_histogram``: the
+    same floor(score·20) bin arithmetic applied to an EXACT content
+    score — distinct char-4-gram Jaccard — over a pinned pair fixture
+    (adjacent doc ids d, d+1). ``score_histogram`` itself bins the
+    flagship sketch scorer (non-SQL by nature); this twin pins the bin
+    arithmetic and the content-score semantics against DuckDB with pure
+    integer math (bin = (20·|∩|)//|∪|, no float boundary).
+
+    Shape: one pass emits per-doc gram counts as two pair-keyed partial
+    rows (d is the right member of pair d-1 and the left member of pair
+    d); a second pass explodes distinct gram hashes, hash-bucketed, and
+    counts adjacent-id co-occurrences per bucket — the intersection.
+    One single-key groupby folds both streams; no composite keys, no
+    corpus-sized broadcast. Gram-hash equality stands in for gram
+    equality (64-bit, collision-free at corpus scale — same documented
+    assumption as ``ngram_jaccard_stats``)."""
+    from address_parser_ray.functions.hashing import (
+        char_shingle_hashes,
+        splitmix64,
+    )
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    PAIR_COLS = ("pair", "n_l", "n_r", "l_pres", "r_pres", "inter")
+
+    def _pair_table(**cols) -> pa.Table:
+        n = len(cols["pair"])
+        return pa.table(
+            {
+                c: pa.array(
+                    cols.get(c, np.zeros(n, dtype=np.int64)), type=pa.int64()
+                )
+                for c in PAIR_COLS
+            }
+        )
+
+    def counts(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        texts = t["text"].to_pylist()
+        n_g = np.array(
+            [np.unique(char_shingle_hashes(x or "", 4)).size for x in texts],
+            dtype=np.int64,
+        )
+        ones = np.ones(ids.size, dtype=np.int64)
+        left = _pair_table(pair=ids, n_l=n_g, l_pres=ones)
+        right = _pair_table(pair=ids - 1, n_r=n_g, r_pres=ones)
+        return pa.concat_tables([left, right])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        texts = t["text"].to_pylist()
+        hv_parts, id_parts = [], []
+        for d, x in zip(ids, texts):
+            hs = np.unique(char_shingle_hashes(x or "", 4))
+            hv_parts.append(hs)
+            id_parts.append(np.full(hs.size, d, dtype=np.int64))
+        hv = (
+            np.concatenate(hv_parts) if hv_parts else np.empty(0, np.uint64)
+        )
+        did = np.concatenate(id_parts) if id_parts else np.empty(0, np.int64)
+        bucket = (splitmix64(hv) % np.uint64(nparts)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "hv": pa.array(hv.view(np.int64)),
+                "doc_id": pa.array(did),
+            }
+        )
+
+    def bucket_inter(g: pa.Table) -> pa.Table:
+        hv = np.asarray(g["hv"], dtype=np.int64)
+        ids = np.asarray(g["doc_id"], dtype=np.int64)
+        order = np.lexsort((ids, hv))
+        hv, ids = hv[order], ids[order]
+        # adjacent-id co-occurrence within a gram run: ids sorted per hv,
+        # a (d, d+1) adjacency is consecutive after the sort
+        same_h = hv[1:] == hv[:-1]
+        adj = same_h & (ids[1:] == ids[:-1] + 1)
+        left = ids[:-1][adj]
+        if left.size == 0:
+            return _pair_table(pair=np.empty(0, dtype=np.int64))
+        u, c = np.unique(left, return_counts=True)
+        return _pair_table(pair=u, inter=c.astype(np.int64))
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    part_counts = docs.map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    part_inter = (
+        docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_inter, batch_format="pyarrow")
+    )
+    folded = part_counts.union(part_inter).groupby("pair").aggregate(
+        Sum("n_l", alias_name="n_l"),
+        Sum("n_r", alias_name="n_r"),
+        Sum("l_pres", alias_name="l_pres"),
+        Sum("r_pres", alias_name="r_pres"),
+        Sum("inter", alias_name="inter"),
+    )
+
+    def bins(df: pd.DataFrame) -> pd.DataFrame:
+        ok = (df["l_pres"] > 0) & (df["r_pres"] > 0)
+        u = (df["n_l"] + df["n_r"] - df["inter"]).to_numpy(np.int64)
+        ok &= u > 0
+        b = np.zeros(len(df), dtype=np.int64)
+        nz = ok.to_numpy()
+        b[nz] = (20 * df["inter"].to_numpy(np.int64)[nz]) // u[nz]
+        sel = b[nz]
+        uq, cq = np.unique(sel, return_counts=True)
+        return pd.DataFrame({"score_bin": uq, "part_n": cq.astype(np.int64)})
+
+    return (
+        folded.map_batches(bins, batch_format="pandas")
+        .groupby("score_bin")
+        .aggregate(Sum("part_n", alias_name="n_pairs"))
+        .sort("score_bin")
+    )
+
+
 _SIMHASH_PAIR_SCHEMA = pa.schema(
     [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())]
 )
@@ -158,7 +281,10 @@ def q_simhash_hamming_pairs(sf_dir: str):
         },
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=(2, 8),
+        # min 1: a floor of 2 exceeds the block count on fixture-scale
+        # inputs (Ray warns and idles an actor); the autoscaler still
+        # ramps to 8 when blocks are plentiful
+        concurrency=(1, 8),
     )
 
     def explode_bands(t: pa.Table) -> pa.Table:
@@ -684,15 +810,22 @@ def q_top_customers(sf_dir: str):
     import pyarrow.parquet as pq
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    names_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist())))
+    # broadcast-dim lookup as sorted arrays + searchsorted (the
+    # orders_by_nation idiom) — no per-row dict lookups in the map
+    ckeys = np.asarray(cust["c_custkey"].combine_chunks()).astype(np.int64)
+    corder = np.argsort(ckeys)
+    names_ref = ray.put(
+        (ckeys[corder], cust["c_name"].combine_chunks().take(pa.array(corder)))
+    )
 
     def attach_name(t: pa.Table) -> pa.Table:
-        names = ray.get(names_ref)
-        keys = t["o_custkey"].to_pylist()
+        keys_sorted, names = ray.get(names_ref)
+        k = np.asarray(t["o_custkey"]).astype(np.int64)
+        pos = np.searchsorted(keys_sorted, k)
         return pa.table(
             {
                 "c_custkey": t["o_custkey"],
-                "c_name": pa.array([names[k] for k in keys], type=pa.string()),
+                "c_name": names.take(pa.array(pos)),
                 "total_cents": t["total_cents"],
                 "n_orders": t["n_orders"],
             }
@@ -1976,7 +2109,10 @@ def q_embedding_near_dup(sf_dir: str):
         emb = emb / norms[:, None]
         cos = emb @ emb.T
         iu = np.triu_indices(len(ids), k=1)
-        bp = np.floor(cos[iu] * 1e4).astype(np.int64)
+        # +1e-7 before flooring (mirrored in the oracle SQL): a 1-ulp
+        # numpy-vs-DuckDB cosine difference exactly AT a basis-point
+        # boundary must not flip a bucket on one side only
+        bp = np.floor(cos[iu] * 1e4 + 1e-7).astype(np.int64)
         keep = bp >= 3000
         return pd.DataFrame(
             {
@@ -2122,10 +2258,18 @@ _CONTAM_N = 5  # token n-gram order
 _CONTAM_MOD = 97  # stand-in benchmark membership rule: doc_id % 97 == 0
 
 
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
+
 def _ws_tokens(text) -> list:
-    # parity with regexp_split_to_array(trim(x), '\s+') for n-gram
-    # purposes: both yield zero n-grams below _CONTAM_N tokens.
-    return (text or "").split()
+    # EXACT parity with the oracle's
+    # ``regexp_split_to_array(trim(COALESCE(text,'')), '\s+')`` (probed
+    # against DuckDB): trim strips ASCII space ONLY (not tabs), RE2 \s is
+    # ASCII-only (NBSP/EM-space do NOT split — str.split() would), and an
+    # empty string yields [''] (one empty token), not []. Test data is
+    # ASCII so the old str.split() happened to agree; this pins the edge
+    # cases too.
+    return _WS_ASCII.split((text or "").strip(" "))
 
 
 def q_contamination_5gram(sf_dir: str):
@@ -2559,23 +2703,149 @@ def q_block_size_histogram(sf_dir: str):
 
 
 _BPE_MERGES = 20
-_BPE_VOCAB_GATE = 5_000_000  # driver-panel gate: distinct words
+# above this many distinct words the merge loop runs over the
+# DISTRIBUTED vocabulary panel instead of a driver list (both paths are
+# tested identical; tests lower the gate to force the panel path)
+_BPE_PANEL_GATE = 200_000
+
+
+def _bpe_pair_counts(words, counts):
+    """Exact (left, right) → Σ word-count pair counts of a word list."""
+    from collections import Counter
+
+    pair_counts: Counter = Counter()
+    for w, n in zip(words, counts):
+        ni = int(n)
+        for i in range(len(w) - 1):
+            pair_counts[(w[i], w[i + 1])] += ni
+    return pair_counts
+
+
+def _bpe_apply_merge(words, left: str, right: str):
+    """Replace every non-overlapping (left, right) adjacency, left-to-
+    right, with the fused symbol — the canonical BPE update rule."""
+    fused = left + right
+    new_words = []
+    for w in words:
+        out, i = [], 0
+        while i < len(w):
+            if i + 1 < len(w) and w[i] == left and w[i + 1] == right:
+                out.append(fused)
+                i += 2
+            else:
+                out.append(w[i])
+                i += 1
+        new_words.append(tuple(out))
+    return new_words
+
+
+def _bpe_merge_loop_driver(words, counts, n_merges: int):
+    """Driver-resident merge loop (small-vocabulary fast path)."""
+    merges = []
+    for rank in range(n_merges):
+        pair_counts = _bpe_pair_counts(words, counts)
+        if not pair_counts:
+            break
+        # max count, ties broken lexicographically (deterministic)
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), n_occ = best
+        merges.append(
+            {
+                "rank": np.int64(rank),
+                "left": left,
+                "right": right,
+                "n_occurrences": np.int64(n_occ),
+            }
+        )
+        words = _bpe_apply_merge(words, left, right)
+    return pd.DataFrame(merges)
+
+
+def _bpe_merge_loop_panel(vocab, n_merges: int):
+    """Distributed merge loop: the (symbols, count) vocabulary stays a
+    Ray Dataset the whole time. Per round, each batch emits its partial
+    (left, right, part_n) pair counts; the driver folds ONLY that pair
+    panel — structurally tiny, because distinct pairs are bounded by
+    (alphabet + merges-so-far)², independent of vocabulary size — picks
+    the winner, and a second ``map_batches`` applies the merge to every
+    word in place. The vocabulary itself never passes through the driver
+    and never shuffles (pair counting is per-word, embarrassingly
+    parallel). ``materialize()`` per round pins the update so lineage
+    does not re-run all previous rounds.
+
+    Reference anchor for "iterative training over batched passes":
+    ``ner/ner_train.py:226-236``."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "symbols": [list(w) + ["</w>"] for w in df["word"]],
+                "n": df["n"].astype(np.int64),
+            }
+        )
+
+    ds = vocab.map_batches(explode, batch_format="pandas").materialize()
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pc = _bpe_pair_counts(df["symbols"], df["n"])
+        if not pc:
+            return pd.DataFrame(
+                {
+                    "left": pd.Series([], dtype=str),
+                    "right": pd.Series([], dtype=str),
+                    "part_n": pd.Series([], dtype=np.int64),
+                }
+            )
+        lefts, rights = zip(*pc.keys())
+        return pd.DataFrame(
+            {
+                "left": lefts,
+                "right": rights,
+                "part_n": np.fromiter(pc.values(), dtype=np.int64, count=len(pc)),
+            }
+        )
+
+    merges = []
+    for rank in range(n_merges):
+        panel = ds.map_batches(pair_partial, batch_format="pandas").to_pandas()
+        if panel.empty:
+            break
+        agg = panel.groupby(["left", "right"], sort=False)["part_n"].sum()
+        best = min(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), n_occ = best
+        merges.append(
+            {
+                "rank": np.int64(rank),
+                "left": left,
+                "right": right,
+                "n_occurrences": np.int64(n_occ),
+            }
+        )
+
+        def apply_merge(df: pd.DataFrame, left=left, right=right) -> pd.DataFrame:
+            df = df.copy()
+            df["symbols"] = list(_bpe_apply_merge(df["symbols"], left, right))
+            return df
+
+        ds = ds.map_batches(apply_merge, batch_format="pandas").materialize()
+    return pd.DataFrame(merges)
 
 
 def q_bpe_train_merges(sf_dir: str):
     """BPE tokenizer TRAINING (completes the spec's "BPE-ish" token
     story: `vocab_stats` counts with a trained-style pre-tokenizer;
-    this trains the merges themselves). Distributed part = the corpus →
-    (word, count) vocabulary panel (partial counts per batch, one
-    groupby — the shuffle is bounded by vocabulary, not token
-    occurrences). The merge loop then runs on the compacted panel: BPE
-    pair counts depend ONLY on (word spelling, word count), which is
-    how production trainers (HF tokenizers) do it too. Panel collect is
-    gated at ``_BPE_VOCAB_GATE`` distinct words — above it, raise
-    (a panel-resident iterative shuffle would take over at true web
-    vocab; out of scope). Deterministic: ties on pair count break
-    lexicographically. Non-SQL (iterative merges). Output: one row per
-    merge rule (rank, left, right, n_occurrences)."""
+    this trains the merges themselves). Stage 1 (always distributed) =
+    corpus → (word, count) vocabulary panel: partial counts per batch,
+    one groupby — the shuffle is bounded by vocabulary, not token
+    occurrences; pair counts depend ONLY on (word spelling, word count),
+    which is how production trainers (HF tokenizers) compact too. Stage
+    2 = the merge loop: below ``_BPE_PANEL_GATE`` distinct words it runs
+    on a driver list (fast path); above it, on the DISTRIBUTED panel
+    (``_bpe_merge_loop_panel`` — the vocabulary never leaves the
+    cluster; only the tiny per-round pair panel folds on the driver).
+    Both paths are deterministic and tested identical: ties on pair
+    count break lexicographically. Non-SQL (iterative merges). Output:
+    one row per merge rule (rank, left, right, n_occurrences)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         from collections import Counter
@@ -2597,52 +2867,12 @@ def q_bpe_train_merges(sf_dir: str):
         .aggregate(Sum("part_n", alias_name="n"))
         .materialize()
     )
-    n_words = vocab.count()
-    if n_words > _BPE_VOCAB_GATE:
-        raise NotImplementedError(
-            f"vocabulary panel has {n_words} distinct words "
-            f"(> {_BPE_VOCAB_GATE}); the driver merge loop is gated — "
-            "a panel-resident distributed merge loop is the scale path"
-        )
+    if vocab.count() > _BPE_PANEL_GATE:
+        return _bpe_merge_loop_panel(vocab, _BPE_MERGES)
     panel = vocab.to_pandas()
     words = [tuple(w) + ("</w>",) for w in panel["word"]]
     counts = panel["n"].to_numpy(np.int64)
-
-    merges = []
-    for rank in range(_BPE_MERGES):
-        from collections import Counter
-
-        pair_counts: Counter = Counter()
-        for w, n in zip(words, counts):
-            for i in range(len(w) - 1):
-                pair_counts[(w[i], w[i + 1])] += int(n)
-        if not pair_counts:
-            break
-        # max count, ties broken lexicographically (deterministic)
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        (left, right), n_occ = best
-        merges.append(
-            {
-                "rank": np.int64(rank),
-                "left": left,
-                "right": right,
-                "n_occurrences": np.int64(n_occ),
-            }
-        )
-        fused = left + right
-        new_words = []
-        for w in words:
-            out, i = [], 0
-            while i < len(w):
-                if i + 1 < len(w) and w[i] == left and w[i + 1] == right:
-                    out.append(fused)
-                    i += 2
-                else:
-                    out.append(w[i])
-                    i += 1
-            new_words.append(tuple(out))
-        words = new_words
-    return pd.DataFrame(merges)
+    return _bpe_merge_loop_driver(words, counts, _BPE_MERGES)
 
 
 def q_cluster_canonical(sf_dir: str):
@@ -3511,5 +3741,6 @@ QUERIES = {
     "kmeans_update": q_kmeans_update,
     "semantic_dedup": q_semantic_dedup,
     "score_histogram": q_score_histogram,
+    "content_score_histogram": q_content_score_histogram,
     "event_gap_histogram": q_event_gap_histogram,
 }

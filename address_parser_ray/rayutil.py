@@ -55,6 +55,36 @@ def default_concurrency(requested=None):
     return max(2, cpus - max(1, cpus // 4))
 
 
+def clamped_pool(pool, ds):
+    """Clamp an actor-pool size to the input's known block count.
+
+    On fixture-scale inputs a pool floor above the block count makes Ray
+    warn (``min concurrent actors ... received N input blocks``) and
+    spawn actors that never see a batch. For a MATERIALIZED input the
+    block count is free; for a checkpoint read the part-file count is a
+    lower bound (splits only raise it — under-clamping just lets the
+    autoscaler ramp). Lazy inputs pass through unchanged."""
+    nb = None
+    try:
+        import ray.data
+
+        if isinstance(ds, ray.data.dataset.MaterializedDataset):
+            nb = ds.num_blocks()
+        else:
+            files = ds.input_files()
+            nb = len(files) if files else None
+    except Exception:
+        return pool
+    if not isinstance(nb, int) or nb <= 0:
+        return pool
+    if isinstance(pool, tuple):
+        lo, hi = pool
+        return (max(1, min(lo, nb)), hi)
+    if nb < pool:
+        return (max(1, nb), pool)
+    return pool
+
+
 def default_num_partitions(requested=None) -> int:
     """Shuffle/bucket fan-out: one bucket per CPU (min 8). At 8 CPUs a
     fixed 32 starves nothing but a fixed 8 caps a 32-CPU run at 8-way

@@ -226,6 +226,25 @@ def find_hot_keys(exploded, cfg: PipelineConfig) -> dict[int, int]:
     return out
 
 
+def probe_hot_keys(key_input, cfg: PipelineConfig) -> dict[int, int]:
+    """Hot-key map from a 1/16 deterministic hash-sample of the records
+    (an extra key emission over the SAMPLE only). Split out of
+    :func:`blocking_stage` so a checkpointing run can persist the map
+    next to the band index it salted."""
+
+    def sample_records(t: pa.Table) -> pa.Table:
+        rid = np.asarray(t["record_id"]).astype(np.int64).view(_U64)
+        mask = (splitmix64(rid + _U64(0xA5A5A5A5)) % _U64(_HOT_SAMPLE_RATE)) == 0
+        return t.filter(pa.array(mask))
+
+    probe = key_input.map_batches(
+        sample_records, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        emit_keys, fn_kwargs={"cfg": cfg}, batch_format="pyarrow", batch_size=1024
+    )
+    return find_hot_keys(probe, cfg)
+
+
 _PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
 # pair-gen → dedup interchange: n_hits = how many block keys produced the
 # pair within one bucket (summed across buckets in the dedup pass)
@@ -329,17 +348,7 @@ def blocking_stage(
     key_input = reps.select_columns(light_cols)
 
     if not precomputed_hot and hot_keys is None:
-        def sample_records(t: pa.Table) -> pa.Table:
-            rid = np.asarray(t["record_id"]).astype(np.int64).view(_U64)
-            mask = (splitmix64(rid + _U64(0xA5A5A5A5)) % _U64(_HOT_SAMPLE_RATE)) == 0
-            return t.filter(pa.array(mask))
-
-        probe = key_input.map_batches(
-            sample_records, batch_format="pyarrow", zero_copy_batch=True
-        ).map_batches(
-            emit_keys, fn_kwargs={"cfg": cfg}, batch_format="pyarrow", batch_size=1024
-        )
-        hot_keys = find_hot_keys(probe, cfg)
+        hot_keys = probe_hot_keys(key_input, cfg)
 
     hot_ref = ray.put(hot_keys or {})
     n_buckets = default_num_partitions()
@@ -351,6 +360,39 @@ def blocking_stage(
         batch_size=1024,
         zero_copy_batch=True,
     )
+    return pairs_from_exploded(exploded, cfg, n_buckets=n_buckets)
+
+
+def add_key_bucket(t: pa.Table, n_buckets: int) -> pa.Table:
+    """Attach the deterministic shuffle bucket to exploded
+    (block_key, record_id) rows — hash of the key only, so the SAME key
+    lands in the same bucket regardless of which run emitted it (the
+    property the incremental band-index probe relies on)."""
+    k = np.asarray(t["block_key"]).astype(np.int64).view(_U64)
+    b = (splitmix64(k) % np.uint64(n_buckets)).astype(np.int64)
+    return t.append_column("bucket", pa.array(b))
+
+
+def pairs_from_exploded(
+    exploded,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    *,
+    n_buckets: int | None = None,
+):
+    """Exploded salted (block_key, record_id[, bucket]) rows → unique
+    candidate pairs (id_a < id_b). The second half of
+    :func:`blocking_stage`, split out so the incremental path can feed
+    it a UNION of the persisted band index's probed rows and the new
+    batch's freshly emitted keys. Adds the bucket column when absent
+    (bucket is a pure key hash, so union-of-runs buckets consistently)."""
+    n_buckets = n_buckets or default_num_partitions()
+    if "bucket" not in exploded.schema().names:
+        exploded = exploded.map_batches(
+            add_key_bucket,
+            fn_kwargs={"n_buckets": n_buckets},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
 
     pairs = exploded.groupby("bucket").map_groups(
         _make_pairs_bucket_fn(cfg.max_pairs_per_block), batch_format="pyarrow"
@@ -371,6 +413,25 @@ def blocking_stage(
         pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_dedup_pairs_bucket_fn(cfg.min_band_hits), batch_format="pyarrow")
+    )
+
+
+def exploded_index(reps, cfg: PipelineConfig = DEFAULT_CONFIG, *, hot_keys: dict):
+    """Salted exploded (block_key, record_id) relation WITHOUT the
+    bucket column — the persistable band index (SURVEY §4's posting-list
+    shape; reference analogue: the prebuilt inverted n-gram index reused
+    across calls, ``fuzz/inexus_parser.py:886-889``). A full run
+    checkpoints this table (16 B/row) so a later increment probes it by
+    key instead of re-emitting bands over every old sketch."""
+    hot_ref = ray.put(hot_keys or {})
+    light_cols = ["record_id", "minhash", "lang", "basename"]
+
+    def emit_salted(t: pa.Table) -> pa.Table:
+        out = KeyEmitter(cfg)(t)
+        return _salt_fn(hot_ref, cfg.max_block_records)(out)
+
+    return reps.select_columns(light_cols).map_batches(
+        emit_salted, batch_format="pyarrow", batch_size=1024, zero_copy_batch=True
     )
 
 

@@ -61,9 +61,13 @@ def fingerprint_schema(cfg: PipelineConfig) -> pa.Schema:
     )
 
 
-def fingerprint_batch(batch: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+def fingerprint_batch(
+    batch: pa.Table,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    keep_norm_text: bool = False,
+) -> pa.Table:
     """Plain-function form of the fingerprint stage."""
-    return Fingerprinter(cfg)(batch)
+    return Fingerprinter(cfg, keep_norm_text=keep_norm_text)(batch)
 
 
 class Fingerprinter:
@@ -82,10 +86,20 @@ class Fingerprinter:
         self,
         cfg: PipelineConfig = DEFAULT_CONFIG,
         outputs: frozenset | None = None,
+        keep_norm_text: bool = False,
     ):
         self.cfg = cfg
         self.outputs = self.ALL_OUTPUTS if outputs is None else frozenset(outputs)
         self.schema = fingerprint_schema(cfg)
+        #: also emit the normalized content as a ``norm_text`` column —
+        #: the content-rescore stage's text source. Keeping it makes the
+        #: fingerprint pass the ONLY content scan of the whole pipeline:
+        #: rescore re-reads text BY ID from this output instead of
+        #: re-reading + re-normalizing the corpus parquet (the second
+        #: full-corpus scan was the measured Amdahl floor F ≈ 53 s that
+        #: capped single-box scaling, BASELINE.md "Amdahl decomposition").
+        #: The column must be DROPPED before any shuffle.
+        self.keep_norm_text = keep_norm_text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
@@ -190,18 +204,30 @@ class Fingerprinter:
         # column order of the full schema is preserved for default runs
         if out == self.ALL_OUTPUTS:
             cols = {f.name: cols[f.name] for f in self.schema}
+        if self.keep_norm_text:
+            cols["norm_text"] = norm
         return pa.table(cols)
 
 
-def fingerprint_stage(ds, cfg: PipelineConfig = DEFAULT_CONFIG, *, concurrency=None):
+def fingerprint_stage(
+    ds,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    *,
+    concurrency=None,
+    keep_norm_text: bool = False,
+):
     """corpus Dataset → fingerprints Dataset (content dropped).
 
     Runs as stateless TASKS over warm workers: the per-process param
     cache gives actor-style state amortization while staying elastic
-    (no per-execution pool spawn)."""
+    (no per-execution pool spawn).
+
+    ``keep_norm_text=True`` additionally emits the normalized content as
+    a ``norm_text`` column (for the rescore stage's by-id text lookup) —
+    callers MUST drop it before any shuffle."""
     return ds.map_batches(
         fingerprint_batch,
-        fn_kwargs={"cfg": cfg},
+        fn_kwargs={"cfg": cfg, "keep_norm_text": keep_norm_text},
         batch_format="pyarrow",
         batch_size=cfg.fingerprint_batch_size,
         zero_copy_batch=True,

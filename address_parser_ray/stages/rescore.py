@@ -85,6 +85,35 @@ def corpus_norm_texts(corpus, cfg: PipelineConfig = DEFAULT_CONFIG, keep_ref=Non
     return corpus.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def filter_texts_by_id(norm_texts, keep_ref=None):
+    """(record_id, lang, norm_text) view of an ALREADY-NORMALIZED side
+    table (fingerprint output with ``keep_norm_text=True``), optionally
+    filtered to a broadcast sorted-id set.
+
+    This is the fast path that removes the pipeline's second full-corpus
+    scan: the mask is a vectorized searchsorted over the int64
+    ``record_id`` column (no per-row Python, no re-normalization, no
+    corpus parquet decode) and only the survivors' text bytes are ever
+    gathered — the Arrow ``select`` before ``filter`` is metadata-only,
+    so untouched columns cost nothing."""
+    import ray
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.select(["record_id", "lang", "norm_text"])
+        if keep_ref is None:
+            return t
+        keep = ray.get(keep_ref)
+        rid = np.asarray(t["record_id"]).astype(np.int64)
+        if len(keep):
+            pos = np.clip(np.searchsorted(keep, rid), 0, len(keep) - 1)
+            mask = keep[pos] == rid
+        else:
+            mask = np.zeros(len(rid), dtype=bool)
+        return t.filter(pa.array(mask))
+
+    return norm_texts.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class ContentRescorer:
     """Per-batch content scoring over joined (text_a, text_b) pairs.
     Shingle sets cached per distinct text hash within the batch."""
@@ -195,10 +224,18 @@ def content_rescore_stage(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     *,
     num_partitions: int | None = None,
+    norm_texts=None,
 ):
     """scored pairs → scored pairs with the uncertain band re-scored on
     content evidence. Schema unchanged; rows outside the band pass
     through untouched.
+
+    ``norm_texts``: an already-normalized (…, record_id, lang, norm_text)
+    side table from the fingerprint pass (``keep_norm_text=True``). When
+    given, the band's text comes from it by id — the corpus parquet is
+    NEVER read a second time (``corpus`` may then be ``None``). Without
+    it, the legacy fallback re-reads + re-normalizes the corpus (used by
+    checkpoint resumes that predate the side table).
 
     The band (``is_match == False``) includes pairs the P4 lang rule
     demoted in stage 2; lang travels with the content join and the rule
@@ -246,7 +283,11 @@ def content_rescore_stage(
         # ray.put and score without any join shuffle (two sort-shuffles
         # of wide text payloads measured 30 s on a 22k-pair band vs <1 s
         # for the broadcast lookup).
-        texts_ds = corpus_norm_texts(corpus, cfg, keep_ref=keep_ref).materialize()
+        texts_ds = (
+            filter_texts_by_id(norm_texts, keep_ref)
+            if norm_texts is not None
+            else corpus_norm_texts(corpus, cfg, keep_ref=keep_ref)
+        ).materialize()
         if texts_ds.size_bytes() <= cfg.broadcast_feats_max_bytes:
             batches = [
                 b
@@ -282,6 +323,8 @@ def content_rescore_stage(
             )
             return rest.union(rescored)
         texts = texts_ds
+    elif norm_texts is not None:
+        texts = filter_texts_by_id(norm_texts)
     else:
         texts = corpus_norm_texts(corpus, cfg, keep_ref=keep_ref)
     j = pinned_join(

@@ -217,13 +217,15 @@ def scoring_stage(pairs_with_features, cfg: PipelineConfig = DEFAULT_CONFIG):
         # the stage scale 1.3x from 8->32 cpus); keep headroom for the
         # upstream read/shuffle operators sharing the execution.
         pool = max(2, default_concurrency(None) // 2)
+    from address_parser_ray.rayutil import clamped_pool
+
     return pairs_with_features.map_batches(
         PairScorer,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.scorer_batch_size,
         zero_copy_batch=True,
-        concurrency=pool,
+        concurrency=clamped_pool(pool, pairs_with_features),
         num_cpus=1,
     )
 
@@ -240,13 +242,15 @@ def scoring_stage_broadcast(pairs, feats, cfg: PipelineConfig = DEFAULT_CONFIG):
     pool = cfg.scorer_concurrency
     if pool is None:
         pool = max(2, default_concurrency(None) // 2)
+    from address_parser_ray.rayutil import clamped_pool
+
     return pairs.map_batches(
         BroadcastPairScorer,
         fn_constructor_kwargs={"cfg": cfg, "feats_ref": feats_ref},
         batch_format="pyarrow",
         batch_size=cfg.scorer_batch_size,
         zero_copy_batch=True,
-        concurrency=pool,
+        concurrency=clamped_pool(pool, pairs),
         num_cpus=1,
     )
 

@@ -107,22 +107,48 @@ class Checkpointer:
         if os.path.exists(final):
             shutil.rmtree(final)
 
-    def invariant_xor(self, name: str, column: str = "content_sha256") -> int | None:
-        """Order-insensitive XOR fingerprint of ``column`` across every
-        part file of a checkpointed stage — the per-partition sha-xor of
-        SURVEY §4: two stages carrying the same row set must agree, so an
-        auditor can verify the invariant without recomputing the stage."""
+    def invariant_xor(self, name: str, column: str = "content_sha256"):
+        """Order-insensitive MULTISET fingerprint of ``column`` across
+        every part file of a checkpointed stage — the per-partition
+        sha-xor of SURVEY §4: two stages carrying the same row set must
+        agree, so an auditor can verify the invariant without recomputing
+        the stage. Returns the (xor, sum, n_null, n_rows) tuple of
+        ``state.compact.hex_multiset_fingerprint`` (vectorized; the sum
+        component breaks XOR's paired-duplicate cancellation), or None
+        if the stage is incomplete."""
+        from address_parser_ray.state.compact import hex_multiset_fingerprint
+
         path = self._dir(name)
         if not self.is_done(name):
             return None
-        acc = 0
+        acc = (0, 0, 0, 0)
         for fname in sorted(os.listdir(path)):
             if not fname.endswith(".parquet"):
                 continue
             t = pq.read_table(os.path.join(path, fname), columns=[column])
-            for v in t[column].to_pylist():
-                acc ^= int((v or "0" * 16)[:16], 16)
+            acc = hex_multiset_fingerprint(t[column], acc)
         return acc
+
+    def save_json(self, name: str, obj) -> None:
+        """Persist a small JSON sidecar payload (e.g. the hot-key map the
+        band index was salted with) atomically next to the stage dirs."""
+        p = os.path.join(self.root, f"{name}.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"context_key": self.context, "payload": obj}, f)
+        os.replace(tmp, p)
+
+    def load_json(self, name: str):
+        """Read a payload written by :meth:`save_json`; None when absent
+        or written under a different context (same rule as stages)."""
+        p = os.path.join(self.root, f"{name}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            rec = json.load(f)
+        if self.context is not None and rec.get("context_key") != self.context:
+            return None
+        return rec.get("payload")
 
     def lineage(self, name: str) -> dict | None:
         p = os.path.join(self._dir(name), "_lineage.json")

@@ -19,6 +19,9 @@ import math
 import os
 import shutil
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
@@ -35,16 +38,78 @@ def _dir_files(path: str) -> int:
     return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
 
 
-def _xor_column(path: str, column: str) -> int:
-    """Order-insensitive XOR fingerprint of a hex-string column across
-    every part file (same rule as ``Checkpointer.invariant_xor``)."""
-    acc = 0
+def _hex16_to_u64(arr: pa.StringArray) -> np.ndarray:
+    """Vectorized ``int(s[:16], 16)`` over a non-null Arrow string array:
+    slice to 16 code units, gather the UTF-8 bytes straight off the Arrow
+    buffers with one fancy-index, and fold nibbles with numpy — no
+    per-row Python. Rows shorter than 16 chars (never the case for
+    sha256 hex) take a tiny scalar fallback."""
+    h = pc.utf8_slice_codeunits(arr, 0, 16)
+    h = h.combine_chunks() if isinstance(h, pa.ChunkedArray) else h
+    off = np.frombuffer(h.buffers()[1], dtype=np.int32)[
+        h.offset : h.offset + len(h) + 1
+    ].astype(np.int64)
+    lens = np.diff(off)
+    data = np.frombuffer(h.buffers()[2], dtype=np.uint8)
+    out = np.zeros(len(h), dtype=np.uint64)
+    full = lens == 16
+    if full.any():
+        idx = off[:-1][full, None] + np.arange(16)[None, :]
+        d = data[idx].astype(np.int64)
+        v = d - 48 - (d >= 97) * 39 - (d >= 65) * 7  # '0'-'9','a'-'f','A'-'F'
+        by = ((v[:, 0::2] << 4) | v[:, 1::2]).astype(np.uint64)
+        u = np.zeros(int(full.sum()), dtype=np.uint64)
+        for k in range(8):
+            u = (u << np.uint64(8)) | by[:, k]
+        out[full] = u
+    if (~full).any():  # ragged stragglers: scalar path (rare by contract)
+        for i in np.flatnonzero(~full):
+            s = bytes(data[off[i] : off[i + 1]]).decode()
+            out[i] = np.uint64(int(s, 16) if s else 0)
+    return out
+
+
+def hex_multiset_fingerprint(col, acc: tuple = (0, 0, 0, 0)) -> tuple:
+    """Order-insensitive MULTISET fingerprint of a hex-string column:
+    ``(xor of splitmix64(v), sum of splitmix64(v) mod 2^64, n_null,
+    n_rows)`` folded into ``acc``. XOR alone cancels any even number of
+    identical values (``{a,a}`` and ``{c,c}`` both XOR to 0) and a
+    NULL-vs-zero-hash substitution under a sentinel — the modular SUM
+    component breaks the cancellation and NULLs are counted separately,
+    never encoded as a colliding value."""
+    from address_parser_ray.functions.hashing import splitmix64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    valid = col.drop_null()
+    n_null = n - len(valid)
+    x, s = np.uint64(0), np.uint64(0)
+    if len(valid):
+        m = splitmix64(_hex16_to_u64(valid))
+        x = np.bitwise_xor.reduce(m)
+        with np.errstate(over="ignore"):
+            s = np.add.reduce(m)
+    with np.errstate(over="ignore"):
+        return (
+            int(acc[0]) ^ int(x),
+            int((np.uint64(acc[1]) + s) & np.uint64(0xFFFFFFFFFFFFFFFF)),
+            acc[2] + n_null,
+            acc[3] + n,
+        )
+
+
+def _xor_column(path: str, column: str) -> tuple:
+    """Multiset fingerprint of ``column`` across every part file (same
+    rule as ``Checkpointer.invariant_xor``). Vectorized — the audit reads
+    both sides of a compaction, so per-row Python here would double-scan
+    the data through one interpreter."""
+    acc = (0, 0, 0, 0)
     for fname in sorted(os.listdir(path)):
         if not fname.endswith(".parquet"):
             continue
         t = pq.read_table(os.path.join(path, fname), columns=[column])
-        for v in t[column].to_pylist():
-            acc ^= int((v or "0" * 16)[:16], 16)
+        acc = hex_multiset_fingerprint(t[column], acc)
     return acc
 
 
@@ -79,7 +144,8 @@ def compact_parquet_dir(
         if xin != xout:
             shutil.rmtree(tmp, ignore_errors=True)
             raise RuntimeError(
-                f"compaction {verify_column} xor mismatch: {xin:x} != {xout:x}"
+                f"compaction {verify_column} fingerprint mismatch: "
+                f"{xin} != {xout}"
             )
     summary = {
         "rows": total,

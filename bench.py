@@ -113,10 +113,14 @@ def main() -> None:
     # at high parallelism, and the rescore stage re-reads the corpus
     dedup_pipeline(corpus.limit(512).materialize()).assignments.count()
 
-    # two timed runs, min reported: single-shot numbers on this sandbox
-    # swing ±20% with ambient load (BASELINE.md noise analysis)
+    # three timed runs (post-warm-up), min reported: single-shot numbers
+    # on this sandbox swing ±20% with ambient load (BASELINE.md noise
+    # analysis); min-of-3 after a warm-up estimates steady state.
+    # --scaling legs dial this down to 2 via the env var to bound the
+    # total wall-clock of 2 legs × reps.
+    n_timed = int(os.environ.get("APR_BENCH_E2E_RUNS", "3"))
     e2e_runs = []
-    for _ in range(2):
+    for _ in range(n_timed):
         t0 = time.time()
         result = dedup_pipeline(corpus)
         n_assigned = result.assignments.count()
@@ -230,6 +234,7 @@ def scaling(lo: int = 8, hi: int = 32, reps: int = 3) -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
             APR_BENCH_SKIP_QUERIES="1",
+            APR_BENCH_E2E_RUNS="2",
         )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],

@@ -163,3 +163,24 @@ def test_compact_parquet_dir(ray_session, tmp_path):
     # refuses to clobber
     with _pytest.raises(FileExistsError):
         compact_parquet_dir(str(src), str(out))
+
+
+def test_multiset_fingerprint_breaks_xor_cancellation():
+    """XOR alone cannot distinguish {a,a} from {b,b} (both fold to 0) or
+    a NULL from a zero hash under a sentinel — the (xor, sum, n_null,
+    n_rows) multiset fingerprint must separate all of those."""
+    import pyarrow as pa
+
+    from address_parser_ray.state.compact import hex_multiset_fingerprint
+
+    a, b, zero = "ab" * 32, "cd" * 32, "0" * 64
+    fp = lambda vals: hex_multiset_fingerprint(pa.array(vals, type=pa.string()))
+
+    pair_a, pair_b = fp([a, a]), fp([b, b])
+    assert pair_a[0] == 0 and pair_b[0] == 0  # XOR cancels...
+    assert pair_a != pair_b                   # ...the sum does not
+    assert fp([None]) != fp([zero])           # NULL is not a zero hash
+    assert fp([None])[2] == 1 and fp([zero])[2] == 0
+    # order-insensitive, fold-associative (per-file accumulation)
+    assert fp([a, b]) == fp([b, a])
+    assert hex_multiset_fingerprint(pa.array([b]), fp([a])) == fp([a, b])

@@ -136,6 +136,50 @@ def test_incremental_from_checkpoint_matches_in_memory(
     pd.testing.assert_frame_equal(_assign_df(inc), _assign_df(in_mem))
 
 
+def test_incremental_band_index_probe_matches_full_run(
+    ray_session, fixture_corpus, split_dirs, tmp_path
+):
+    """The persisted band index removes the corpus-wide band
+    re-emission: the increment emits keys for its OWN reps only and
+    probes the checkpointed (block_key, record_id) index for old members
+    of touched blocks. Labels must stay bit-identical to the full
+    combined run (and to the legacy no-index incremental path)."""
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.pipelines.incremental import (
+        incremental_dedup,
+        load_band_index,
+        load_result,
+    )
+    from address_parser_ray.sources import read_corpus
+    from address_parser_ray.state import Checkpointer
+
+    corpus_dir, _ = fixture_corpus
+    old_dir, new_dir = split_dirs
+    ckdir = str(tmp_path / "ck_band")
+    dedup_pipeline(read_corpus(old_dir), checkpointer=Checkpointer(ckdir))
+
+    band, hot = load_band_index(ckdir)
+    assert band is not None and band.count() > 0
+    assert isinstance(hot, dict)
+
+    inc = incremental_dedup(
+        load_result(ckdir),
+        read_corpus(new_dir),
+        old_corpus=read_corpus(old_dir),
+        band_index=band,
+        band_hot_keys=hot,
+    )
+    full = _assign_df(dedup_pipeline(read_corpus(corpus_dir)))
+    pd.testing.assert_frame_equal(_assign_df(inc), full)
+
+
+def test_load_band_index_absent_returns_none(ray_session, tmp_path):
+    from address_parser_ray.pipelines.incremental import load_band_index
+
+    band, hot = load_band_index(str(tmp_path / "nope"))
+    assert band is None and hot is None
+
+
 def test_load_result_refuses_incomplete_checkpoint(ray_session, tmp_path):
     from address_parser_ray.pipelines.incremental import load_result
 

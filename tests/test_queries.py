@@ -213,6 +213,44 @@ def test_bpe_train_merges_hand_computed(ray_session, tmp_path):
     assert df["n_occurrences"].iloc[2] == 2
 
 
+def test_bpe_panel_path_matches_driver(ray_session, monkeypatch):
+    """Above the vocabulary gate the merge loop runs DISTRIBUTED (the
+    vocabulary panel never leaves the cluster; only per-round pair-count
+    partials fold on the driver). Forcing the gate to 0 makes the real
+    corpus an above-gate vocabulary — the panel path must reproduce the
+    driver path's merges exactly (same deterministic tie-breaks)."""
+    import address_parser_ray.pipelines.queries as Q
+
+    driver_df = Q.QUERIES["bpe_train_merges"](SF)
+    monkeypatch.setattr(Q, "_BPE_PANEL_GATE", 0)
+    panel_df = Q.QUERIES["bpe_train_merges"](SF)
+    pd.testing.assert_frame_equal(panel_df, driver_df)
+
+
+def test_bpe_panel_path_hand_computed(ray_session, tmp_path, monkeypatch):
+    """The distributed merge loop on the classic 'low low lower' fixture
+    (gate forced to 0) gives the canonical merges."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import address_parser_ray.pipelines.queries as Q
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], type=pa.int64()),
+            "text": ["low low lower"],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": pa.array([13], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    monkeypatch.setattr(Q, "_BPE_PANEL_GATE", 0)
+    df = Q.QUERIES["bpe_train_merges"](str(tmp_path))
+    got = list(zip(df["left"], df["right"]))[:3]
+    assert got == [("l", "o"), ("lo", "w"), ("low", "</w>")], df.to_string()
+
+
 def test_simhash_degenerate_band_bounded(ray_session, tmp_path):
     """A corpus where EVERY doc shares one simhash (identical text) must
     stay bounded by the per-band pair cap instead of going O(m²)."""
