@@ -803,6 +803,55 @@ ORACLE_SQL = {
         )
         SELECT id_a, id_b, cos_bp FROM pairs WHERE cos_bp >= 3000
     """,
+    # M16 analogue: first-token type classification; tokens are the
+    # trim + ASCII-\s+ split with empties dropped (doc_chunks rule),
+    # [1] on an empty list is NULL -> ''. Ties impossible (pure CASE).
+    "type_prefix_counts": """
+        WITH f AS (
+            SELECT lang,
+                   lower(COALESCE(
+                       list_filter(
+                           regexp_split_to_array(trim(COALESCE(text, '')),
+                                                 '\\s+'),
+                           x -> x <> '')[1], '')) AS tok1
+            FROM documents
+        )
+        SELECT CASE
+                 WHEN tok1 IN ('scan','merge','hash','sort','join')
+                   THEN 'operator'
+                 WHEN tok1 IN ('table','column','row','index') THEN 'schema'
+                 WHEN tok1 IN ('customer','order','supplier','part')
+                   THEN 'entity'
+                 ELSE 'other'
+               END AS kind,
+               lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM f GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # G2 analogue: per-doc top-3 token frequencies, ties token-ascending
+    # (row_number mirrors Python's sorted key (-n, token))
+    "top_tokens_per_doc": """
+        WITH toks AS (
+            SELECT doc_id, lower(tok) AS token
+            FROM (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(trim(COALESCE(text, '')),
+                                                 '\\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents
+            )
+        ), c AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY 1, 2
+        ), r AS (
+            SELECT doc_id, token, n,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY n DESC, token ASC) AS rk
+            FROM c
+        )
+        SELECT doc_id, CAST(rk AS BIGINT) AS rank, token, n
+        FROM r WHERE rk <= 3
+    """,
     # score_histogram's bin arithmetic pinned on an exact content score:
     # adjacent-doc-id pair fixture, distinct char-4-gram Jaccard, pure
     # integer bins ((20*inter)//union — no float boundary). <4-char docs

@@ -411,6 +411,81 @@ def q_ngram_jaccard_stats(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+_TYPE_PREFIX_KINDS = (
+    ("operator", frozenset({"scan", "merge", "hash", "sort", "join"})),
+    ("schema", frozenset({"table", "column", "row", "index"})),
+    ("entity", frozenset({"customer", "order", "supplier", "part"})),
+)
+
+
+def q_type_prefix_counts(sf_dir: str):
+    """M16 full analogue (reference ``build_standard_dataset.py:420-436,
+    464-516``: infer_includes_type / detect_type_hint / extract_type_word
+    classify an entity name by its leading type word). Here each doc is
+    classified by its FIRST whitespace token against small keyword sets
+    (operator / schema / entity / other) — a pure vectorized map — and
+    counted per (kind, lang). The composite aggregate is domain-tiny
+    (≤ 4 kinds × langs after per-batch partials), the accepted regime."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        firsts = []
+        for text in df["text"]:
+            toks = [w for w in _ws_tokens(text) if w]
+            firsts.append(toks[0].lower() if toks else "")
+        kind = np.full(len(df), "other", dtype=object)
+        f = pd.Series(firsts)
+        for name, words in _TYPE_PREFIX_KINDS:
+            kind[f.isin(words).to_numpy()] = name
+        out = pd.DataFrame({"kind": kind, "lang": df["lang"].to_numpy()})
+        g = out.groupby(["kind", "lang"], sort=False, as_index=False).agg(
+            part_n=("kind", "size")
+        )
+        g["part_n"] = g["part_n"].astype(np.int64)
+        return g
+
+    return (
+        _docs(sf_dir, ["text", "lang"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["kind", "lang"])
+        .aggregate(Sum("part_n", alias_name="n_docs"))
+        .sort(["kind", "lang"])
+    )
+
+
+def q_top_tokens_per_doc(sf_dir: str):
+    """G2 full analogue (reference ``inexus_parser.py:147-154``: top-5
+    ngram frequency → partial_input heuristic): per-record top-3 most
+    frequent tokens, ties broken token-ascending — the in-map per-record
+    top-k shape (each doc lives in one row, so no shuffle at all).
+    Output: (doc_id, rank, token, n)."""
+    K = 3
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        ids, ranks, toks, ns = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            c = Counter(w.lower() for w in _ws_tokens(text) if w)
+            best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+            for r, (w, n) in enumerate(best, 1):
+                ids.append(doc_id)
+                ranks.append(r)
+                toks.append(w)
+                ns.append(n)
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "rank": np.asarray(ranks, dtype=np.int64),
+                "token": toks,
+                "n": np.asarray(ns, dtype=np.int64),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        topk, batch_format="pandas"
+    )
+
+
 def q_lang_counts(sf_dir: str):
     """G-family grouped count (reference run counters,
     ``ner/build_real_dataset.py:176-244``)."""
@@ -3742,5 +3817,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "score_histogram": q_score_histogram,
     "content_score_histogram": q_content_score_histogram,
+    "type_prefix_counts": q_type_prefix_counts,
+    "top_tokens_per_doc": q_top_tokens_per_doc,
     "event_gap_histogram": q_event_gap_histogram,
 }
