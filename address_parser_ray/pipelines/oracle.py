@@ -803,6 +803,45 @@ ORACLE_SQL = {
         )
         SELECT id_a, id_b, cos_bp FROM pairs WHERE cos_bp >= 3000
     """,
+    # Exact-substring (Lee et al. ExactSubstr at token-8-gram
+    # granularity): gram = 8 consecutive tokens (trim + ASCII-\s+ split,
+    # lowered); duplicated = present in >= 2 distinct docs. Grouping by
+    # the raw gram string equals the Ray side's 128-bit blake2b keys
+    # (collision-free at any realistic scale). <8-token docs are zeros
+    # via the LEFT JOIN.
+    "dup_span_stats": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(trim(COALESCE(text, '')),
+                                             '\\s+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   lower(array_to_string(tk[i:i+7], ' ')) AS gram
+            FROM (
+                SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+                FROM toks WHERE len(tk) >= 8
+            )
+        ), df AS (
+            SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1
+        ), per AS (
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dup_positions,
+                   CAST(count(DISTINCT CASE WHEN nd >= 2 THEN g.gram END)
+                        AS BIGINT) AS dup_grams
+            FROM g JOIN df USING (gram) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(dup_positions, 0) AS BIGINT) AS dup_positions,
+               CAST(COALESCE(dup_grams, 0) AS BIGINT) AS dup_grams
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY d.doc_id
+    """,
     # M16 analogue: first-token type classification; tokens are the
     # trim + ASCII-\s+ split with empties dropped (doc_chunks rule),
     # [1] on an empty list is NULL -> ''. Ties impossible (pure CASE).
@@ -1156,3 +1195,103 @@ GROUP BY 1, 2 HAVING count(*) >= 5
 
 
 ORACLE_SQL["winnow_dup_pairs"] = _build_winnow_sql()
+
+
+def _build_simhash_sql() -> str:
+    """Full-fidelity SQL twin of ``q_simhash_hamming_pairs``: the SAME
+    normalizer as the fingerprint stage, the FNV-prime polynomial
+    12-gram rolling hash + splitmix64 (macros shared with the winnow
+    oracle), the unique-sorted min-2048 shingle sample, per-bit majority
+    vote with ``simhash64``'s byte-view bit order (result bit ``b``
+    reads source bit ``8*(7 - b//8) + b%8`` — the unpackbits/packbits/
+    from_bytes('big') round trip is a byte swap of positions, verified
+    against the numpy implementation), and the exhaustive Hamming ≤ 3
+    self-join. The banded Ray plan emits exactly this set: Hamming ≤ 3
+    over 64 bits guarantees ≥ 1 identical 16-bit band (pigeonhole), and
+    the per-block pair caps need a >91-member identical-simhash run to
+    bite. Empty-after-normalization docs get simhash 0 (LEFT JOIN).
+    ASCII-corpus assumption, same as the winnow oracle."""
+    # coefficients: 1099511628211^(11-i) mod 2^64 for the 12-gram poly
+    coefs = [
+        3510945102848213515, 1775861927039214153, 10622396531520239123,
+        2232315406967589409, 14218562807570617051, 15895002104753931833,
+        913917546033277539, 11527715348014283921, 624165263380053675,
+        956575116354345, 1099511628211, 1,
+    ]
+    poly = " +\n      ".join(
+        f"ascii(substr(t, CAST(i AS INT){f' + {j}' if j else ''}, 1)) "
+        f"* CAST({c} AS HUGEINT)"
+        for j, c in enumerate(coefs)
+    )
+    sql = r"""
+CREATE OR REPLACE MACRO xr(a, b) AS CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT);
+CREATE OR REPLACE MACRO shr(a, n) AS CAST(a AS HUGEINT) // (CAST(1 AS HUGEINT) << n);
+CREATE OR REPLACE MACRO mulmod64(a, b) AS (
+  ((a % 4294967296) * (b % 4294967296)
+   + (((a % 4294967296) * (b // 4294967296) + (a // 4294967296) * (b % 4294967296)) % 4294967296) * 4294967296
+  ) % 18446744073709551616);
+CREATE OR REPLACE MACRO smz1(x) AS mulmod64(xr(x, shr(x, 30)), CAST(13787848793156543929 AS HUGEINT));
+CREATE OR REPLACE MACRO smz2(x) AS mulmod64(xr(x, shr(x, 27)), CAST(10723151780598845931 AS HUGEINT));
+CREATE OR REPLACE MACRO smz3(x) AS xr(x, shr(x, 31));
+CREATE OR REPLACE MACRO sm64(x) AS smz3(smz2(smz1((CAST(x AS HUGEINT) + 11400714819323198485) % 18446744073709551616)));
+WITH norm AS (
+  SELECT doc_id,
+    lower(trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(COALESCE(text, ''), '(?s)/\*.*?\*/', '', 'g'),
+            $dq$(?s)@DQ@.*?@DQ@$dq$, '', 'g'),
+          $sq$(?s)@SQ@.*?@SQ@$sq$, '', 'g'),
+        '(#|//|--)[^\n]*', '', 'g'),
+      '\s+', ' ', 'g'))) AS t0
+  FROM documents
+), padded AS (
+  SELECT doc_id,
+         CASE WHEN length(t0) < 12 THEN t0 || repeat(' ', 12 - length(t0))
+              ELSE t0 END AS t
+  FROM norm WHERE length(t0) > 0
+), pos AS (
+  SELECT doc_id, t, unnest(range(1, greatest(length(t) - 10, 2))) AS i
+  FROM padded
+), h AS (
+  SELECT DISTINCT doc_id,
+    sm64((
+      @POLY@
+    ) % 18446744073709551616) AS hv
+  FROM pos
+), rk AS (
+  SELECT doc_id, hv,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hv) AS rk
+  FROM h
+), samp AS (
+  SELECT doc_id, hv FROM rk WHERE rk <= 2048
+), cnt AS (
+  SELECT doc_id, count(*) AS m FROM samp GROUP BY 1
+), bits AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN shr(hv, 8*(7 - b.b // 8) + (b.b % 8)) % 2 = 1
+                  THEN 1 ELSE 0 END) AS c
+  FROM samp CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+  GROUP BY 1, 2
+), sim AS (
+  SELECT bits.doc_id,
+         sum(CASE WHEN 2 * c >= m THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS sh
+  FROM bits JOIN cnt USING (doc_id) GROUP BY 1
+), allsim AS (
+  SELECT d.doc_id, CAST(COALESCE(sim.sh, 0) AS UBIGINT) AS sh
+  FROM documents d LEFT JOIN sim ON d.doc_id = sim.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM allsim a JOIN allsim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+    return (
+        sql.replace("@DQ@", '"' * 3)
+        .replace("@SQ@", "'" * 3)
+        .replace("@POLY@", poly)
+    )
+
+
+ORACLE_SQL["simhash_hamming_pairs"] = _build_simhash_sql()

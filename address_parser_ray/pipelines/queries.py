@@ -262,7 +262,11 @@ def q_simhash_hamming_pairs(sf_dir: str):
     and pair emission per band is capped at max_pairs_per_block in
     deterministic sorted-id order — a degenerate band (all-boilerplate /
     empty docs sharing one simhash) stays bounded instead of going
-    O(m²). Non-SQL-expressible."""
+    O(m²). Pairs are in doc_id space (Fingerprinter passthrough), so the
+    whole flavor is oracle-checkable: Hamming ≤ 3 over 64-bit simhash
+    guarantees ≥ 1 identical 16-bit band (pigeonhole), hence the banded
+    candidate set equals the exhaustive one whenever the per-block pair
+    caps don't bite (they need a >91-member identical band run)."""
     from address_parser_ray.functions.hashing import splitmix64
     from address_parser_ray.rayutil import default_num_partitions
     from address_parser_ray.sources import documents_as_corpus
@@ -278,6 +282,7 @@ def q_simhash_hamming_pairs(sf_dir: str):
         fn_constructor_kwargs={
             "cfg": DEFAULT_CONFIG,
             "outputs": frozenset({"simhash"}),
+            "passthrough": ("doc_id",),
         },
         batch_format="pyarrow",
         batch_size=512,
@@ -289,7 +294,7 @@ def q_simhash_hamming_pairs(sf_dir: str):
 
     def explode_bands(t: pa.Table) -> pa.Table:
         sh = np.asarray(t["simhash"], dtype=np.uint64)
-        doc = np.asarray(t["record_id"], dtype=np.int64)
+        doc = np.asarray(t["doc_id"], dtype=np.int64)
         n = len(sh)
         bands = np.empty((n, 4), dtype=np.int64)
         for b in range(4):
@@ -483,6 +488,125 @@ def q_top_tokens_per_doc(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         topk, batch_format="pandas"
+    )
+
+
+def q_dup_span_stats(sf_dir: str):
+    """Exact-substring dedup, 8th flavor (Lee et al. 2022 ExactSubstr,
+    bounded to token-8-gram granularity — the suffix-array generalizes
+    the window, the distributed shape is identical): a SPAN is
+    duplicated when the same 8-token window occurs in ≥ 2 distinct docs.
+    Output per doc: (doc_id, n_grams, dup_positions, dup_grams) — total
+    windows, window positions whose gram is corpus-duplicated, distinct
+    duplicated grams; <8-token docs surface as zeros.
+
+    Shape: ONE content pass emits hashed window postings (16-byte
+    blake2b keys: at 10^12 grams a 64-bit key takes birthday collisions,
+    128-bit does not) pre-counted per (doc, gram) and hash-bucketed by
+    key; document-frequency + per-doc partials are one vectorized pandas
+    pass per bucket; a single-key groupby(doc_id) Sum combines. A
+    zero-count marker row per doc rides the same postings stream
+    (bucketed by doc id, key=b''), so zero-gram docs surface without a
+    doc-table join. Reference analogue: the n-gram posting index of
+    ``fuzz/inexus_parser.py:468-889`` inverted to corpus-level df."""
+    import hashlib
+    from collections import Counter
+
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    W = 8
+    nparts = default_num_partitions()
+
+    def emit_postings(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        docs, keys, cnts = [], [], []
+        for d, text in zip(doc_ids, texts):
+            toks = [w.lower() for w in _ws_tokens(text) if w]
+            c = Counter(
+                hashlib.blake2b(
+                    " ".join(toks[i : i + W]).encode(), digest_size=16
+                ).digest()
+                for i in range(len(toks) - W + 1)
+            )
+            docs.append(d)  # marker row: presence with zero grams
+            keys.append(b"")
+            cnts.append(0)
+            for k, n in c.items():
+                docs.append(d)
+                keys.append(k)
+                cnts.append(n)
+        key_arr = pa.array(keys, type=pa.binary())
+        doc_arr = np.asarray(docs, dtype=np.int64)
+        # gram rows bucket by key prefix; marker rows by doc id so the
+        # constant b'' key can never become a hot bucket
+        pref = np.array(
+            [
+                int.from_bytes(k[:8], "little") if k else 0
+                for k in keys
+            ],
+            dtype=np.uint64,
+        )
+        is_marker = np.array([not k for k in keys], dtype=bool)
+        mixed = np.where(is_marker, doc_arr.view(np.uint64), pref)
+        bucket = (splitmix64(mixed) % np.uint64(nparts)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "key": key_arr,
+                "doc_id": pa.array(doc_arr),
+                "cnt": pa.array(np.asarray(cnts, dtype=np.int64)),
+            }
+        )
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        marker = g["key"].str.len() == 0
+        grams = g[~marker]
+        parts = [
+            pd.DataFrame(
+                {
+                    "doc_id": g.loc[marker, "doc_id"].to_numpy(np.int64),
+                    "part_n": np.int64(0),
+                    "part_dp": np.int64(0),
+                    "part_dg": np.int64(0),
+                }
+            )
+        ]
+        if len(grams):
+            nd = grams.groupby("key")["doc_id"].transform("nunique")
+            dup = (nd >= 2).to_numpy()
+            cnt = grams["cnt"].to_numpy(np.int64)
+            per = (
+                pd.DataFrame(
+                    {
+                        "doc_id": grams["doc_id"].to_numpy(np.int64),
+                        "part_n": cnt,
+                        "part_dp": np.where(dup, cnt, 0),
+                        "part_dg": dup.astype(np.int64),
+                    }
+                )
+                .groupby("doc_id", sort=False, as_index=False)
+                .sum()
+            )
+            parts.append(per)
+        out = pd.concat(parts, ignore_index=True)
+        for c in ("part_n", "part_dp", "part_dg"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(emit_postings, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("part_n", alias_name="n_grams"),
+            Sum("part_dp", alias_name="dup_positions"),
+            Sum("part_dg", alias_name="dup_grams"),
+        )
+        .sort("doc_id")
     )
 
 
@@ -3819,5 +3943,6 @@ QUERIES = {
     "content_score_histogram": q_content_score_histogram,
     "type_prefix_counts": q_type_prefix_counts,
     "top_tokens_per_doc": q_top_tokens_per_doc,
+    "dup_span_stats": q_dup_span_stats,
     "event_gap_histogram": q_event_gap_histogram,
 }

@@ -87,10 +87,15 @@ class Fingerprinter:
         cfg: PipelineConfig = DEFAULT_CONFIG,
         outputs: frozenset | None = None,
         keep_norm_text: bool = False,
+        passthrough: tuple = (),
     ):
         self.cfg = cfg
         self.outputs = self.ALL_OUTPUTS if outputs is None else frozenset(outputs)
         self.schema = fingerprint_schema(cfg)
+        #: extra input columns copied verbatim onto the output (e.g. the
+        #: driver testdata's ``doc_id``, so sketch queries stay comparable
+        #: to SQL oracles without a blake2b id round-trip)
+        self.passthrough = tuple(passthrough)
         #: also emit the normalized content as a ``norm_text`` column —
         #: the content-rescore stage's text source. Keeping it makes the
         #: fingerprint pass the ONLY content scan of the whole pipeline:
@@ -206,6 +211,9 @@ class Fingerprinter:
             cols = {f.name: cols[f.name] for f in self.schema}
         if self.keep_norm_text:
             cols["norm_text"] = norm
+        for name in self.passthrough:
+            if name in batch.column_names:
+                cols[name] = batch[name]
         return pa.table(cols)
 
 

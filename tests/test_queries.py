@@ -94,6 +94,10 @@ SQL_CHECKED = [
     "upsert_latest",
     "kmeans_update",
     "event_gap_histogram",
+    "type_prefix_counts",
+    "top_tokens_per_doc",
+    "dup_span_stats",
+    "simhash_hamming_pairs",
 ]
 
 
@@ -149,7 +153,6 @@ def test_query_matches_oracle(ray_session, con, name):
 ROWS_ONLY = [
     "media_features",
     "model_langid",
-    "simhash_hamming_pairs",
     "synthetic_corpus_stats",
     "ngram_jaccard_pairs",
     "embedding_near_dup",
@@ -296,6 +299,9 @@ NULL_SAFE = [
     "quality_scores",
     "langid_pred",
     "ngram_jaccard_stats",
+    "dup_span_stats",
+    "type_prefix_counts",
+    "top_tokens_per_doc",
 ]
 
 
