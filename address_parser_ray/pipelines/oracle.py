@@ -842,6 +842,62 @@ ORACLE_SQL = {
         FROM documents d LEFT JOIN per USING (doc_id)
         ORDER BY d.doc_id
     """,
+    # Novelty attribution (dual of dup_span_stats): a doc's novel grams
+    # are those whose min-doc_id owner it is. Distinct grams per doc.
+    "gram_novelty": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(trim(COALESCE(text, '')),
+                                             '\\s+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id,
+                   lower(array_to_string(tk[i:i+7], ' ')) AS gram
+            FROM (
+                SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+                FROM toks WHERE len(tk) >= 8
+            )
+        ), own AS (
+            SELECT gram, min(doc_id) AS owner FROM g GROUP BY 1
+        ), per AS (
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_distinct_grams,
+                   CAST(sum(CASE WHEN g.doc_id = owner THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel_grams
+            FROM g JOIN own USING (gram) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n_distinct_grams, 0) AS BIGINT)
+                   AS n_distinct_grams,
+               CAST(COALESCE(n_novel_grams, 0) AS BIGINT) AS n_novel_grams
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    # Cross-source contamination matrix: distinct 8-token grams present
+    # in BOTH sources of a pair.
+    "source_overlap": """
+        WITH toks AS (
+            SELECT source,
+                   list_filter(
+                       regexp_split_to_array(trim(COALESCE(text, '')),
+                                             '\\s+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT source,
+                   lower(array_to_string(tk[i:i+7], ' ')) AS gram
+            FROM (
+                SELECT source, tk, unnest(range(1, len(tk) - 6)) AS i
+                FROM toks WHERE len(tk) >= 8
+            )
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared_grams
+        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     # M16 analogue: first-token type classification; tokens are the
     # trim + ASCII-\s+ split with empties dropped (doc_chunks rule),
     # [1] on an empty list is NULL -> ''. Ties impossible (pure CASE).

@@ -610,6 +610,200 @@ def q_dup_span_stats(sf_dir: str):
     )
 
 
+def _span_posting_emitter(extra_col: str | None, nparts: int, W: int = 8):
+    """Shared window-posting emitter for the span-analysis family
+    (:func:`q_dup_span_stats` semantics): one row per DISTINCT 8-token
+    gram per doc — (bucket, key, doc_id[, extra]) with 16-byte blake2b
+    keys bucketed by key prefix — plus one key=b'' marker row per doc
+    (bucketed by doc id) so zero-gram docs survive the groupby."""
+    import hashlib
+
+    from address_parser_ray.functions.hashing import splitmix64
+
+    def emit(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        extras = t[extra_col].to_pylist() if extra_col else None
+        docs, keys, exs = [], [], []
+        for row, (d, text) in enumerate(zip(doc_ids, texts)):
+            toks = [w.lower() for w in _ws_tokens(text) if w]
+            grams = {
+                hashlib.blake2b(
+                    " ".join(toks[i : i + W]).encode(), digest_size=16
+                ).digest()
+                for i in range(len(toks) - W + 1)
+            }
+            docs.append(d)
+            keys.append(b"")
+            if extras is not None:
+                exs.append(extras[row])
+            for k in grams:
+                docs.append(d)
+                keys.append(k)
+                if extras is not None:
+                    exs.append(extras[row])
+        doc_arr = np.asarray(docs, dtype=np.int64)
+        pref = np.array(
+            [int.from_bytes(k[:8], "little") if k else 0 for k in keys],
+            dtype=np.uint64,
+        )
+        is_marker = np.array([not k for k in keys], dtype=bool)
+        mixed = np.where(is_marker, doc_arr.view(np.uint64), pref)
+        bucket = (splitmix64(mixed) % np.uint64(nparts)).astype(np.int64)
+        cols = {
+            "bucket": pa.array(bucket),
+            "key": pa.array(keys, type=pa.binary()),
+            "doc_id": pa.array(doc_arr),
+        }
+        if extra_col:
+            cols[extra_col] = pa.array(exs, type=pa.string())
+        return pa.table(cols)
+
+    return emit
+
+
+def q_gram_novelty(sf_dir: str):
+    """Novelty attribution for training-data curation: a doc's NOVEL
+    grams are the distinct 8-token windows it introduces to the corpus —
+    i.e. it is the min-doc_id owner of the gram (the dual of
+    ``dup_span_stats``: that flavor counts what a doc SHARES, this one
+    what it CONTRIBUTES; curation keeps high-novelty docs first). Output
+    (doc_id, n_distinct_grams, n_novel_grams); <8-token docs are zeros.
+    Same postings shape as dup_span_stats: one content pass, df/min-owner
+    per key inside hash buckets, single-key Sum combine."""
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        marker = g["key"].str.len() == 0
+        grams = g[~marker]
+        parts = [
+            pd.DataFrame(
+                {
+                    "doc_id": g.loc[marker, "doc_id"].to_numpy(np.int64),
+                    "part_nd": np.int64(0),
+                    "part_nn": np.int64(0),
+                }
+            )
+        ]
+        if len(grams):
+            owner = grams.groupby("key")["doc_id"].transform("min")
+            novel = (grams["doc_id"].to_numpy(np.int64)
+                     == owner.to_numpy(np.int64))
+            per = (
+                pd.DataFrame(
+                    {
+                        "doc_id": grams["doc_id"].to_numpy(np.int64),
+                        "part_nd": np.int64(1),
+                        "part_nn": novel.astype(np.int64),
+                    }
+                )
+                .groupby("doc_id", sort=False, as_index=False)
+                .sum()
+            )
+            parts.append(per)
+        out = pd.concat(parts, ignore_index=True)
+        for c in ("part_nd", "part_nn"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            _span_posting_emitter(None, nparts), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("part_nd", alias_name="n_distinct_grams"),
+            Sum("part_nn", alias_name="n_novel_grams"),
+        )
+        .sort("doc_id")
+    )
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: for every source pair, the
+    number of DISTINCT 8-token grams present in both (benchmark-leakage /
+    crawl-overlap diagnostic — the between-corpora view of
+    ``contamination_5gram``). Postings carry the source; each hash
+    bucket reduces its keys to distinct (key, source), emits source-pair
+    partials, and the composite groupby is domain-tiny (≤ C(n_sources,2)
+    rows after per-bucket partials — the accepted composite-key regime).
+    Output (source_a, source_b, n_shared_grams), source_a < source_b."""
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        grams = g[g["key"].str.len() > 0]
+        if not len(grams):
+            return pd.DataFrame(
+                {
+                    "source_a": pd.Series([], dtype=object),
+                    "source_b": pd.Series([], dtype=object),
+                    "part_n": pd.Series([], dtype=np.int64),
+                }
+            )
+        ks = grams[["key", "source"]].drop_duplicates()
+        # vectorized pair expansion: factorize sources, lexsort by
+        # (key, source code), then one triu expansion per distinct run
+        # LENGTH (the simhash bucket trick) — no per-key Python loop
+        scode, slabels = pd.factorize(ks["source"], sort=True)
+        kcode = pd.factorize(ks["key"], sort=False)[0]
+        order = np.lexsort((scode, kcode))
+        kc, sc = kcode[order], scode[order]
+        change = np.flatnonzero(np.diff(kc)) + 1
+        starts = np.concatenate([[0], change])
+        lens = np.diff(np.concatenate([starts, [kc.size]]))
+        out_a, out_b = [], []
+        for m in np.unique(lens):
+            if m < 2:
+                continue
+            sel = starts[lens == m]
+            sm = sc[sel[:, None] + np.arange(m)[None, :]]
+            iu, ju = np.triu_indices(int(m), k=1)
+            out_a.append(sm[:, iu].ravel())
+            out_b.append(sm[:, ju].ravel())
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "source_a": pd.Series([], dtype=object),
+                    "source_b": pd.Series([], dtype=object),
+                    "part_n": pd.Series([], dtype=np.int64),
+                }
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        out = (
+            pd.DataFrame(
+                {
+                    "source_a": slabels.take(a),
+                    "source_b": slabels.take(b),
+                }
+            )
+            .groupby(["source_a", "source_b"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "part_n"})
+        )
+        out["part_n"] = out["part_n"].astype(np.int64)
+        return out
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(
+            _span_posting_emitter("source", nparts), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("part_n", alias_name="n_shared_grams"))
+        .sort(["source_a", "source_b"])
+    )
+
+
 def q_lang_counts(sf_dir: str):
     """G-family grouped count (reference run counters,
     ``ner/build_real_dataset.py:176-244``)."""
@@ -3944,5 +4138,7 @@ QUERIES = {
     "type_prefix_counts": q_type_prefix_counts,
     "top_tokens_per_doc": q_top_tokens_per_doc,
     "dup_span_stats": q_dup_span_stats,
+    "gram_novelty": q_gram_novelty,
+    "source_overlap": q_source_overlap,
     "event_gap_histogram": q_event_gap_histogram,
 }

@@ -98,6 +98,8 @@ SQL_CHECKED = [
     "top_tokens_per_doc",
     "dup_span_stats",
     "simhash_hamming_pairs",
+    "gram_novelty",
+    "source_overlap",
 ]
 
 
@@ -302,6 +304,7 @@ NULL_SAFE = [
     "dup_span_stats",
     "type_prefix_counts",
     "top_tokens_per_doc",
+    "gram_novelty",
 ]
 
 

@@ -446,3 +446,28 @@ def test_fingerprinter_outputs_subset_matches_full():
     )
     assert only_mh["minhash"].to_pylist() == full["minhash"].to_pylist()
     assert only_mh["content_sha256"].to_pylist() == full["content_sha256"].to_pylist()
+
+
+def test_fingerprinter_passthrough_columns():
+    """``passthrough`` copies the named input columns verbatim; the
+    default drops them, and names absent from the input are ignored (the
+    flagship corpus has no doc_id)."""
+    from address_parser_ray.stages.fingerprint import Fingerprinter
+
+    batch = pa.table(
+        {
+            "repo": ["r1", "r2"],
+            "path": ["a.py", "b.py"],
+            "commit": ["c1", "c2"],
+            "lang": ["python"] * 2,
+            "content": ["x = 1\n", "y = 2\n"],
+            "doc_id": pa.array([7, 9], type=pa.int64()),
+        }
+    )
+    default = Fingerprinter(CFG)(batch)
+    assert "doc_id" not in default.column_names
+    kept = Fingerprinter(CFG, passthrough=("doc_id", "absent_col"))(batch)
+    assert kept["doc_id"].to_pylist() == [7, 9]
+    assert "absent_col" not in kept.column_names
+    # sketches unchanged by the passthrough
+    assert kept["simhash"].to_pylist() == default["simhash"].to_pylist()
