@@ -38,7 +38,10 @@ from address_parser_ray.stages.exact_dedup import (
     exact_dedup_stage,
     representatives,
 )
-from address_parser_ray.stages.fingerprint import fingerprint_stage
+from address_parser_ray.stages.fingerprint import (
+    PIPELINE_OUTPUTS,
+    fingerprint_stage,
+)
 from address_parser_ray.stages.scoring import match_edges, scoring_stage
 
 
@@ -102,7 +105,7 @@ def dedup_pipeline(
     if cfg.content_rescore and fresh_fingerprints:
         t0 = _time.time()
         combined = fingerprint_stage(
-            corpus, cfg, keep_norm_text=True
+            corpus, cfg, keep_norm_text=True, outputs=PIPELINE_OUTPUTS
         ).materialize()
         if _timing:
             print(f"[stage fingerprints: {_time.time() - t0:.1f}s]", file=_sys.stderr)
@@ -123,7 +126,10 @@ def dedup_pipeline(
                 ),
             )
     else:
-        fingerprints = ck("fingerprints", lambda: fingerprint_stage(corpus, cfg))
+        fingerprints = ck(
+            "fingerprints",
+            lambda: fingerprint_stage(corpus, cfg, outputs=PIPELINE_OUTPUTS),
+        )
         if (
             cfg.content_rescore
             and checkpointer is not None

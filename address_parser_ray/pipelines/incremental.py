@@ -65,7 +65,10 @@ from address_parser_ray.stages.exact_dedup import (
     exact_dedup_stage,
     representatives,
 )
-from address_parser_ray.stages.fingerprint import fingerprint_stage
+from address_parser_ray.stages.fingerprint import (
+    PIPELINE_OUTPUTS,
+    fingerprint_stage,
+)
 from address_parser_ray.stages.scoring import match_edges
 
 
@@ -177,7 +180,9 @@ def incremental_dedup(
         )
     num_partitions = default_num_partitions(num_partitions)
 
-    new_fp = fingerprint_stage(new_corpus, cfg).materialize()
+    new_fp = fingerprint_stage(
+        new_corpus, cfg, outputs=PIPELINE_OUTPUTS
+    ).materialize()
     new_ids = _collect_ids(new_fp)
     new_ids_ref = ray.put(new_ids)
 

@@ -8,10 +8,13 @@ sorts columns by name before value-hashing). Money sums use
 ``CAST(floor(x*100) AS BIGINT)`` — bit-identical to numpy's floor on the
 same IEEE doubles.
 
-Queries absent here (minhash_lsh_clusters, simhash_hamming_pairs,
-langid_pred, media_features, er_quality, ...) are non-SQL-expressible
-(set-sketch / heuristic / actor-stateful semantics); the driver records
-a rows-only check for those.
+Queries absent here (minhash_lsh_clusters, media_features, er_quality,
+...) are non-SQL-expressible (set-sketch / heuristic / actor-stateful
+semantics); the driver records a rows-only check for those. Sketches
+with deterministic arithmetic ARE expressible and checked — see the
+splitmix64/rolling-hash macro twins (winnow_dup_pairs,
+simhash_hamming_pairs) and the md5-fold sketches (distinct_kmv,
+table_profile).
 """
 
 ORACLE_SQL = {

@@ -61,13 +61,25 @@ def fingerprint_schema(cfg: PipelineConfig) -> pa.Schema:
     )
 
 
+#: the sketches the flagship dedup pipeline consumes: SimHash is its own
+#: near-dup flavor (q_simhash_hamming_pairs), never read by blocking /
+#: scoring / clustering — skipping it also skips the unique() sort on the
+#: wide shingle array, which exists only to give SimHash a deterministic
+#: min-k sample (OPH MinHash is min-per-bin, so duplicates and order
+#: cannot change it; pinned by test_fingerprinter_outputs_subset).
+PIPELINE_OUTPUTS = frozenset(
+    {"minhash", "token_minhash", "fine_minhash", "content_sha256"}
+)
+
+
 def fingerprint_batch(
     batch: pa.Table,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     keep_norm_text: bool = False,
+    outputs: frozenset | None = None,
 ) -> pa.Table:
     """Plain-function form of the fingerprint stage."""
-    return Fingerprinter(cfg, keep_norm_text=keep_norm_text)(batch)
+    return Fingerprinter(cfg, outputs=outputs, keep_norm_text=keep_norm_text)(batch)
 
 
 class Fingerprinter:
@@ -157,7 +169,9 @@ class Fingerprinter:
             # wide shingles keep unique() — the sorted prefix IS the
             # deterministic min-k sample SimHash draws from
             if want_mh or want_sh:
-                shingles = char_shingle_hashes_u64(arr, cfg.shingle_k, unique=True)
+                shingles = char_shingle_hashes_u64(
+                    arr, cfg.shingle_k, unique=want_sh
+                )
             toks, n_tok[i] = token_hashes_u64(arr, unique=False)
             # one-permutation hashing: one pass over the shingle set
             # instead of num_perm (classic MinHash is memory-bandwidth
@@ -223,6 +237,7 @@ def fingerprint_stage(
     *,
     concurrency=None,
     keep_norm_text: bool = False,
+    outputs: frozenset | None = None,
 ):
     """corpus Dataset → fingerprints Dataset (content dropped).
 
@@ -235,7 +250,11 @@ def fingerprint_stage(
     callers MUST drop it before any shuffle."""
     return ds.map_batches(
         fingerprint_batch,
-        fn_kwargs={"cfg": cfg, "keep_norm_text": keep_norm_text},
+        fn_kwargs={
+            "cfg": cfg,
+            "keep_norm_text": keep_norm_text,
+            "outputs": outputs,
+        },
         batch_format="pyarrow",
         batch_size=cfg.fingerprint_batch_size,
         zero_copy_batch=True,
