@@ -260,7 +260,7 @@ ORACLE_SQL = {
         )
         SELECT vec_id,
                floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                                            (SELECT qv FROM q)) * 1e6) / 1e6
+                                            (SELECT qv FROM q)) * 1e6 + 1e-7) / 1e6
                    AS cos_sim
         FROM embeddings
         ORDER BY cos_sim DESC, vec_id LIMIT 10
@@ -1124,6 +1124,26 @@ ORACLE_SQL = {
         SELECT (SELECT count(*) FROM v) AS n_view,
                (SELECT count(*) FROM c) AS n_view_click,
                (SELECT count(*) FROM p) AS n_full_funnel
+    """,
+    # φ = 1/512 frequent items; the Ray side detects candidates with a
+    # mergeable Misra–Gries sketch (zero false negatives by the n/(m+1)
+    # deduction bound) and exact-verifies, so the output equals the
+    # plain exact frequency filter below; gate is integer (512·c ≥ n).
+    "heavy_hitters": """
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(COALESCE(text, ''), '\\s+'))
+                   AS token
+            FROM documents
+        ), tt AS (
+            SELECT token FROM toks WHERE token <> ''
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM tt
+        )
+        SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM tt, tot
+        GROUP BY token, tot.n
+        HAVING CAST(count(*) AS BIGINT) * 512 >= tot.n
+        ORDER BY token
     """,
 }
 

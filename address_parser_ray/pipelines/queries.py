@@ -1348,7 +1348,11 @@ def q_embedding_topk(sf_dir: str):
         return pa.table(
             {
                 "vec_id": t["vec_id"],
-                "cos_sim": pa.array(np.floor(cos * 1e6) / 1e6),
+                # +1e-7 before flooring (mirrored in the oracle SQL): a
+                # 1-ulp numpy-vs-DuckDB difference exactly at a 1e-6
+                # boundary must not flip the bucket (same convention as
+                # content_score_histogram / gram_novelty).
+                "cos_sim": pa.array(np.floor(cos * 1e6 + 1e-7) / 1e6),
             }
         )
 
@@ -4055,6 +4059,94 @@ def q_event_gap_histogram(sf_dir: str):
     )
 
 
+_HH_CAPACITY = 1024  # Misra–Gries counters kept per partial summary
+_HH_PHI_INV = 512  # frequent-items threshold: count ≥ n_total / 512
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Frequent tokens (φ = 1/512 heavy hitters) over the whole corpus
+    via a mergeable Misra–Gries summary + exact verify — the
+    frequent-items sketch family alongside KMV (distinct) and the HDR
+    log-histogram (Agarwal et al., *Mergeable Summaries*, PODS'12).
+
+    Phase A (sketch pass): each batch counts its tokens exactly
+    (vectorized ``np.unique`` — an error-0 MG summary), then compresses
+    to ≤ m = 1024 counters by subtracting the (m+1)-th largest count
+    and dropping non-positives. Every unit subtracted retires ≥ m+1
+    token occurrences, so across all batches the total deduction
+    D ≤ n/(m+1); the per-batch deduction is emitted on an unreachable
+    sentinel key (a single space — tokens are split on ``\\s+``) so the
+    combine knows the ACTUAL D, and the batch token total rides a
+    second sentinel (empty string). A plain distributed SUM of partials
+    is a valid MG merge: every token's summed counter ≥ true − D, so
+    thresholding at summed + D ≥ ⌈n/512⌉ gives a candidate set with
+    ZERO false negatives for the φ gate. Shuffle volume is O(m) rows
+    per batch no matter how large the vocabulary — that is the whole
+    point at 100 TB.
+
+    Phase B (verify pass): the candidate panel (≤ m · blocks rows,
+    driver-combined) is closure-broadcast; one exact-count pass over
+    the corpus restricted to candidates, integer φ gate
+    (512 · count ≥ n_total — no float boundary), sorted by token.
+    Reference analogue: G1's posting-list group counts with T4's
+    bounded-state discipline."""
+    m = _HH_CAPACITY
+
+    def _explode(df: pd.DataFrame) -> np.ndarray:
+        ex = df["text"].fillna("").str.split(_WS_ASCII).explode()
+        ex = ex[ex.notna() & (ex != "")]
+        return ex.to_numpy(dtype=object)
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        v = _explode(df)
+        u, c = np.unique(v, return_counts=True)
+        n_batch = int(c.sum())
+        deduct = 0
+        if len(c) > m:
+            d = int(np.partition(c, len(c) - (m + 1))[len(c) - (m + 1)])
+            keep = c > d
+            u, c = u[keep], c[keep] - d
+            deduct = d
+        return pd.DataFrame(
+            {
+                "token": np.concatenate([u, np.array(["", " "], dtype=object)]),
+                "part_n": np.concatenate(
+                    [c, [n_batch, deduct]]
+                ).astype(np.int64),
+            }
+        )
+
+    docs = _docs(sf_dir, columns=["text"])
+    panel = (
+        docs.map_batches(sketch, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("part_n", alias_name="mg_n"))
+        .to_pandas()
+    )
+    n_total = int(panel.loc[panel["token"] == "", "mg_n"].sum())
+    d_total = int(panel.loc[panel["token"] == " ", "mg_n"].sum())
+    need = -(-n_total // _HH_PHI_INV)  # ceil
+    cand = panel[
+        ~panel["token"].isin(["", " "]) & (panel["mg_n"] + d_total >= need)
+    ]["token"].to_numpy(dtype=object)
+    cand.sort()
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        v = _explode(df)
+        v = v[np.isin(v, cand)]
+        u, c = np.unique(v, return_counts=True)
+        return pd.DataFrame({"token": u, "part_n": c.astype(np.int64)})
+
+    out = (
+        docs.map_batches(verify, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("part_n", alias_name="n_occurrences"))
+        .to_pandas()
+    )
+    out = out[out["n_occurrences"] * _HH_PHI_INV >= n_total]
+    return out.sort_values("token").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4141,4 +4233,5 @@ QUERIES = {
     "gram_novelty": q_gram_novelty,
     "source_overlap": q_source_overlap,
     "event_gap_histogram": q_event_gap_histogram,
+    "heavy_hitters": q_heavy_hitters,
 }

@@ -100,6 +100,7 @@ SQL_CHECKED = [
     "simhash_hamming_pairs",
     "gram_novelty",
     "source_overlap",
+    "heavy_hitters",
 ]
 
 
@@ -305,6 +306,7 @@ NULL_SAFE = [
     "type_prefix_counts",
     "top_tokens_per_doc",
     "gram_novelty",
+    "heavy_hitters",
 ]
 
 
@@ -348,3 +350,51 @@ def test_null_text_parity(ray_session, tmp_path, name):
         if rdf[c].dtype != odf[c].dtype:
             rdf[c] = rdf[c].astype(odf[c].dtype)
     pd.testing.assert_frame_equal(rdf, odf, check_dtype=False)
+
+
+def test_heavy_hitters_compression_path_zero_fn(ray_session, tmp_path, monkeypatch):
+    """Force the Misra–Gries compression to actually engage (capacity 64
+    ≪ the batch vocabulary of ~3200 unique rare tokens) and check the
+    zero-false-negative guarantee — valid only while m+1 > φ⁻¹, so the
+    test pins capacity 64 with φ = 1/32 (the shipped 1024/512 pair obeys
+    the same inequality). A warm token sits just above ⌈n·φ⌉ to probe the
+    near-threshold region where a lost counter would drop a true hitter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import address_parser_ray.pipelines.queries as Q
+
+    texts, n_docs = [], 400
+    for i in range(n_docs):
+        toks = ["hota", "hotb"] + [f"rare{i}x{j}" for j in range(8)]
+        if i < 130:  # count 130 vs need = ceil(4130/32) = 130 → boundary
+            toks.append("warm")
+        texts.append(" ".join(toks))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), type=pa.int64()),
+            "text": texts,
+            "lang": ["en"] * n_docs,
+            "source": ["s"] * n_docs,
+            "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    monkeypatch.setattr(Q, "_HH_CAPACITY", 64)
+    monkeypatch.setattr(Q, "_HH_PHI_INV", 32)
+    got = Q.q_heavy_hitters(str(tmp_path))
+
+    n_total = n_docs * 10 + 130
+    need = -(-n_total // 32)
+    exact = pd.DataFrame(
+        {
+            "token": ["hota", "hotb", "warm"],
+            "n_occurrences": [n_docs, n_docs, 130],
+        }
+    )
+    exact = exact[exact["n_occurrences"] >= need].reset_index(drop=True)
+    assert len(exact) >= 2  # hot tokens always qualify
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(exact), check_dtype=False
+    )
