@@ -1145,6 +1145,34 @@ ORACLE_SQL = {
         HAVING CAST(count(*) AS BIGINT) * 512 >= tot.n
         ORDER BY token
     """,
+    # PII scrub: deterministic contact line appended on both sides (the
+    # corpus has no natural PII); detect/redact emails then ≥9-digit
+    # runs; md5 of the redacted text. DuckDB regexp_* and pyarrow's
+    # regex kernels are both RE2, so pattern semantics match exactly.
+    "pii_scrub": """
+        WITH aug AS (
+            SELECT doc_id,
+                   COALESCE(text, '') || ' contact: ' || source || '.' ||
+                   CAST(doc_id AS VARCHAR) || '@example.com id=' ||
+                   CAST(1000000000 + doc_id AS VARCHAR) AS s
+            FROM documents
+        ), det AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                   )) AS BIGINT) AS n_emails,
+                   regexp_replace(
+                       s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'
+                   ) AS s1
+            FROM aug
+        )
+        SELECT doc_id, n_emails,
+               CAST(len(regexp_extract_all(s1, '\\d{9,}')) AS BIGINT)
+                   AS n_long_digits,
+               md5(regexp_replace(s1, '\\d{9,}', '<ID>', 'g')) AS clean_md5
+        FROM det
+    """,
 }
 
 

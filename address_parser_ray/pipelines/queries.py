@@ -4147,6 +4147,59 @@ def q_heavy_hitters(sf_dir: str):
     return out.sort_values("token").reset_index(drop=True)
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_DIGITS = r"\d{9,}"
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII detection + redaction — the scrub pass a training-data
+    pipeline runs before anything leaves the corpus: find emails and
+    long (≥9-digit) identifier runs, count them per doc, and emit the
+    md5 of the REDACTED text so downstream exactness checks never touch
+    the raw PII. The shipped corpus contains no natural PII, so both
+    sides append a deterministic contact line derived from (source,
+    doc_id) — the mechanics under test are the detect/redact kernels,
+    not the synthesis. Redaction order matters and is pinned: emails
+    first (they contain digits), then digit runs.
+
+    Everything is RE2 on BOTH sides — pyarrow.compute's regex kernels
+    and DuckDB's regexp_* are the same engine, so ``\\d`` / class
+    semantics match exactly (the same discipline as the BPE tokenizer's
+    re.ASCII). Vectorized Arrow end-to-end; the only per-row work is
+    the md5 fold (hashlib C loop, the repo's established idiom)."""
+    import hashlib
+
+    def scrub(t: pa.Table) -> pa.Table:
+        base = pc.coalesce(t["text"], pa.scalar("", type=pa.string()))
+        s = pc.binary_join_element_wise(
+            base,
+            " contact: ",
+            t["source"],
+            ".",
+            pc.cast(t["doc_id"], pa.string()),
+            "@example.com id=",
+            pc.cast(pc.add(t["doc_id"], 1000000000), pa.string()),
+            "",
+        )
+        n_emails = pc.cast(pc.count_substring_regex(s, _PII_EMAIL), pa.int64())
+        s1 = pc.replace_substring_regex(s, _PII_EMAIL, "<EMAIL>")
+        n_digits = pc.cast(pc.count_substring_regex(s1, _PII_DIGITS), pa.int64())
+        s2 = pc.replace_substring_regex(s1, _PII_DIGITS, "<ID>")
+        md5 = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in s2.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_emails": n_emails,
+                "n_long_digits": n_digits,
+                "clean_md5": pa.array(md5, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text", "source"]).map_batches(
+        scrub, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4234,4 +4287,5 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "event_gap_histogram": q_event_gap_histogram,
     "heavy_hitters": q_heavy_hitters,
+    "pii_scrub": q_pii_scrub,
 }

@@ -101,6 +101,7 @@ SQL_CHECKED = [
     "gram_novelty",
     "source_overlap",
     "heavy_hitters",
+    "pii_scrub",
 ]
 
 
@@ -398,3 +399,40 @@ def test_heavy_hitters_compression_path_zero_fn(ray_session, tmp_path, monkeypat
     pd.testing.assert_frame_equal(
         _canon(got), _canon(exact), check_dtype=False
     )
+
+
+def test_pii_scrub_redacts_embedded_pii(ray_session, tmp_path):
+    """Redaction must fire on PII inside the document text itself (not
+    just the synthesized contact line), and in the pinned order: emails
+    first, then ≥9-digit runs — '<EMAIL>' must not leave digits behind
+    and short digit runs must survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    texts = [
+        "reach me at jane.doe+spam@mail.example.org or 123456789012 ok",
+        "short 12345 stays but 999888777 goes",
+        None,
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": pa.array(
+                [len(x) if x else 0 for x in texts], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    df = QUERIES["pii_scrub"](str(tmp_path)).to_pandas().set_index("doc_id")
+    # doc 0: embedded email + appended contact email; embedded 12-digit
+    # run + appended 10-digit id
+    assert df.loc[0, "n_emails"] == 2 and df.loc[0, "n_long_digits"] == 2
+    # doc 1: only the appended email; embedded 9-digit + appended id
+    assert df.loc[1, "n_emails"] == 1 and df.loc[1, "n_long_digits"] == 2
+    # doc 2 (NULL text): the appended line alone
+    assert df.loc[2, "n_emails"] == 1 and df.loc[2, "n_long_digits"] == 1
