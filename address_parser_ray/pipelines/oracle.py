@@ -1173,6 +1173,20 @@ ORACLE_SQL = {
                md5(regexp_replace(s1, '\\d{9,}', '<ID>', 'g')) AS clean_md5
         FROM det
     """,
+    # Exact distributed quantiles (two-pass bracketing sketch). DuckDB's
+    # quantile_disc picks the value at rank ceil(p*n) — the Ray side
+    # resolves the same rank exactly, and both floor the same IEEE
+    # double to cents.
+    "quantile_sketch": """
+        WITH q AS (
+            SELECT quantile_disc(value,
+                [0.01, 0.05, 0.25, 0.50, 0.75, 0.95, 0.99]) AS qs
+            FROM events
+        )
+        SELECT CAST(unnest([1, 5, 25, 50, 75, 95, 99]) AS BIGINT) AS pct,
+               CAST(floor(unnest(qs) * 100) AS BIGINT) AS value_cents
+        FROM q
+    """,
 }
 
 

@@ -4147,6 +4147,107 @@ def q_heavy_hitters(sf_dir: str):
     return out.sort_values("token").reset_index(drop=True)
 
 
+_QSK_STRIDE = 64  # order statistics emitted per batch: every 64th + max
+
+
+def q_quantile_sketch(sf_dir: str):
+    """EXACT distributed quantiles by mergeable-summary bracketing —
+    the two-pass scheme real engines use when a full sort is too
+    expensive: a q-digest-style summary brackets each target rank, then
+    one filtered pass resolves the exact order statistic. Completes the
+    mergeable-sketch family (KMV distinct, HDR histogram, Misra–Gries
+    frequent items, now quantiles — Agarwal et al., PODS'12).
+
+    Pass 1: each batch emits every 64th order statistic plus its max,
+    weighted by the gap it covers, so count(x ≤ v) for any summary
+    value v is bounded within [W(v), W(v) + (s−1)·n_batches] where W is
+    the weight cumsum. For each target rank r = ⌈pct·n/100⌉ (DuckDB's
+    ``quantile_disc`` rule, pinned empirically) that gives a bracket
+    (lo, hi] GUARANTEED to contain the answer. Summary size is n/64
+    rows — the stride is the ε knob; at 100 TB you raise it (or add one
+    hierarchical re-compression level) so the panel stays driver-sized.
+    Pass 2: count exact n_below = #{x ≤ lo} and collect only the values
+    inside the bracket (≤ s·n_batches per target by the same bound);
+    the answer is the (r − n_below)-th smallest of that tiny window.
+    Output is integer cents (floor of the SAME IEEE double on both
+    sides — the repo's money rule), so the oracle is hash-exact."""
+    PCTS = [1, 5, 25, 50, 75, 95, 99]
+    s = _QSK_STRIDE
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def summary(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["value"].dropna().to_numpy(dtype=np.float64))
+        if len(v) == 0:
+            return pd.DataFrame(
+                {
+                    "v": pd.Series([], dtype="float64"),
+                    "w": pd.Series([], dtype="int64"),
+                    "nb": pd.Series([], dtype="int64"),
+                }
+            )
+        idx = np.arange(s - 1, len(v), s)
+        if len(idx) == 0 or idx[-1] != len(v) - 1:
+            idx = np.append(idx, len(v) - 1)
+        w = np.diff(np.concatenate([[0], idx + 1])).astype(np.int64)
+        nb = np.zeros(len(idx), dtype=np.int64)
+        nb[0] = 1  # summed downstream → number of batch summaries
+        return pd.DataFrame({"v": v[idx], "w": w, "nb": nb})
+
+    panel = (
+        ev.map_batches(summary, batch_format="pandas")
+        .to_pandas()
+        .sort_values("v", kind="stable")
+    )
+    n_batches = int(panel["nb"].sum())
+    W = panel["w"].to_numpy(dtype=np.int64).cumsum()
+    vals = panel["v"].to_numpy(dtype=np.float64)
+    n_total = int(W[-1])
+    slack = (s - 1) * n_batches
+    # Collapse duplicate summary values to their LAST position's cumweight:
+    # count(x ≤ v) bounds hold per distinct value, not per summary row —
+    # with ties across batches a per-row lo can already cover rank r,
+    # emptying the (lo, hi] window.
+    last = np.flatnonzero(np.append(vals[1:] != vals[:-1], True))
+    vals, W = vals[last], W[last]
+
+    brackets = []  # (pct, rank, lo_or_None, hi)
+    for pct in PCTS:
+        r = -(-pct * n_total // 100)  # ceil(pct·n/100)
+        below = np.flatnonzero(W + slack < r)
+        lo = float(vals[below[-1]]) if len(below) else None
+        hi = float(vals[np.flatnonzero(W >= r)[0]])
+        brackets.append((pct, r, lo, hi))
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["value"].dropna().to_numpy(dtype=np.float64)
+        pcts, kinds, out = [], [], []
+        for pct, _r, lo, hi in brackets:
+            n_below = int((x <= lo).sum()) if lo is not None else 0
+            win = x[(x > lo) & (x <= hi)] if lo is not None else x[x <= hi]
+            pcts += [pct] * (1 + len(win))
+            kinds += [0] + [1] * len(win)  # 0 = below-count partial, 1 = value
+            out += [float(n_below)] + win.tolist()
+        return pd.DataFrame(
+            {
+                "pct": pd.Series(pcts, dtype="int64"),
+                "kind": pd.Series(kinds, dtype="int64"),
+                "x": pd.Series(out, dtype="float64"),
+            }
+        )
+
+    p2 = ev.map_batches(window, batch_format="pandas").to_pandas()
+    rows = []
+    for pct, r, _lo, _hi in brackets:
+        g = p2[p2["pct"] == pct]
+        n_below = int(g.loc[g["kind"] == 0, "x"].sum())
+        win = np.sort(g.loc[g["kind"] == 1, "x"].to_numpy(dtype=np.float64))
+        ans = win[r - n_below - 1]
+        rows.append((pct, int(np.floor(ans * 100))))
+    return pd.DataFrame(rows, columns=["pct", "value_cents"]).astype(
+        {"pct": "int64", "value_cents": "int64"}
+    )
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_DIGITS = r"\d{9,}"
 
@@ -4288,4 +4389,5 @@ QUERIES = {
     "event_gap_histogram": q_event_gap_histogram,
     "heavy_hitters": q_heavy_hitters,
     "pii_scrub": q_pii_scrub,
+    "quantile_sketch": q_quantile_sketch,
 }

@@ -102,6 +102,7 @@ SQL_CHECKED = [
     "source_overlap",
     "heavy_hitters",
     "pii_scrub",
+    "quantile_sketch",
 ]
 
 
@@ -436,3 +437,40 @@ def test_pii_scrub_redacts_embedded_pii(ray_session, tmp_path):
     assert df.loc[1, "n_emails"] == 1 and df.loc[1, "n_long_digits"] == 2
     # doc 2 (NULL text): the appended line alone
     assert df.loc[2, "n_emails"] == 1 and df.loc[2, "n_long_digits"] == 1
+
+
+def test_quantile_sketch_bracketing_exact(ray_session, tmp_path, monkeypatch):
+    """Force the two-pass bracket to matter (stride 16 over ~5k rows in
+    multiple batches, heavy ties so brackets straddle repeated values)
+    and check the result equals the exact rank-⌈p·n/100⌉ order statistic
+    computed by a plain full sort — the guarantee the summary's slack
+    bound is supposed to deliver."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import address_parser_ray.pipelines.queries as Q
+
+    rng = np.random.default_rng(11)
+    # lognormal body + heavy ties at a few exact cents values
+    v = np.concatenate(
+        [
+            rng.lognormal(3.0, 1.2, 4000),
+            np.full(500, 19.99),
+            np.full(500, 250.0),
+        ]
+    )
+    rng.shuffle(v)
+    pq.write_table(
+        pa.table({"value": pa.array(v, type=pa.float64())}),
+        str(tmp_path / "events.parquet"),
+    )
+    monkeypatch.setattr(Q, "_QSK_STRIDE", 16)
+    got = Q.q_quantile_sketch(str(tmp_path)).set_index("pct")
+
+    vs = np.sort(v)
+    n = len(vs)
+    for pct in [1, 5, 25, 50, 75, 95, 99]:
+        r = -(-pct * n // 100)
+        exact = int(np.floor(vs[r - 1] * 100))
+        assert got.loc[pct, "value_cents"] == exact, pct
