@@ -1177,6 +1177,49 @@ ORACLE_SQL = {
     # quantile_disc picks the value at rank ceil(p*n) — the Ray side
     # resolves the same rank exactly, and both floor the same IEEE
     # double to cents.
+    # Connected components over the rare-gram co-occurrence graph: the
+    # recursive CTE propagates every reachable label; min(label) per
+    # node is the component's smallest doc_id — the same deterministic
+    # "min wins" rule as the distributed union-find ladder.
+    "gram_components": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(trim(COALESCE(text, '')),
+                                             '\\s+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id,
+                   lower(array_to_string(tk[i:i+7], ' ')) AS gram
+            FROM (
+                SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+                FROM toks WHERE len(tk) >= 8
+            )
+        ), rare AS (
+            SELECT gram FROM g GROUP BY gram
+            HAVING count(*) BETWEEN 2 AND 8
+        ), gd AS (
+            SELECT g.gram, g.doc_id FROM g JOIN rare USING (gram)
+        ), edges AS (
+            SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+            FROM gd a JOIN gd b
+              ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        ), reach AS (
+            SELECT doc_id AS id, doc_id AS lab FROM documents
+            UNION
+            SELECT e.dst AS id, r.lab
+            FROM reach r JOIN edges e ON e.src = r.id
+        ), comp AS (
+            SELECT id AS doc_id, min(lab) AS component_id
+            FROM reach GROUP BY 1
+        )
+        SELECT c.doc_id, c.component_id,
+               CAST(count(*) OVER (PARTITION BY c.component_id)
+                    AS BIGINT) AS component_size
+        FROM comp c
+        ORDER BY c.doc_id
+    """,
     "quantile_sketch": """
         WITH q AS (
             SELECT quantile_disc(value,

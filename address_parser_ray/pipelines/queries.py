@@ -4248,6 +4248,116 @@ def q_quantile_sketch(sf_dir: str):
     )
 
 
+_GC_W = 8  # token window width shared with dup_span_stats
+_GC_DF_MAX = 8  # grams in more docs than this are boilerplate, not evidence
+
+
+def q_gram_components(sf_dir: str):
+    """Connected components over the rare-gram co-occurrence graph —
+    the clustering ladder (``stages/clustering.py``) anchored, for the
+    first time, to a FULL SQL oracle (a recursive min-label CTE) instead
+    of pytest-only coverage. Nodes = every doc; edge (a, b) iff some
+    8-token window occurs in both AND in ≤ ``_GC_DF_MAX`` docs total —
+    a deterministic df PREDICATE (the ExactSubstr boilerplate rule),
+    not a truncation cap, so the oracle expresses it verbatim.
+
+    Shape: one content pass emits each doc's DISTINCT hashed windows
+    (16-byte blake2b — 64-bit keys take birthday collisions at 10^12
+    grams), hash-bucketed by key; each bucket filters df ∈ [2, DF_MAX]
+    and expands pairs with one vectorized triu per distinct run length
+    (≤ C(8,2) = 28 edges per gram by the predicate, so the edge stream
+    is bounded by the duplicated-gram count, never df²); the component
+    closure is the tested driver-union-find → contraction →
+    label-propagation ladder. Output: (doc_id, component_id = min doc
+    id reachable, component_size). Reference analogue: the candidate
+    graph over shared n-grams (``fuzz/inexus_parser.py:468-889``)
+    closed into entity groups."""
+    import hashlib
+
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+    from address_parser_ray.stages.clustering import connected_components
+
+    nparts = default_num_partitions()
+    W = _GC_W
+
+    def emit(t: pa.Table) -> pa.Table:
+        docs_l, keys = [], []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = [w.lower() for w in _ws_tokens(text) if w]
+            seen = {
+                hashlib.blake2b(
+                    " ".join(toks[i : i + W]).encode(), digest_size=16
+                ).digest()
+                for i in range(len(toks) - W + 1)
+            }
+            docs_l += [d] * len(seen)
+            keys += list(seen)
+        if not keys:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "hi": pa.array([], type=pa.uint64()),
+                    "lo": pa.array([], type=pa.uint64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        # 16-byte keys → two uint64 words (vectorized grouping downstream)
+        kw = np.frombuffer(b"".join(keys), dtype=np.uint64).reshape(-1, 2)
+        bucket = (splitmix64(kw[:, 0]) % np.uint64(nparts)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "hi": pa.array(kw[:, 0]),
+                "lo": pa.array(kw[:, 1]),
+                "doc_id": pa.array(np.asarray(docs_l, dtype=np.int64)),
+            }
+        )
+
+    def bucket_edges(t: pa.Table) -> pa.Table:
+        hi = np.asarray(t["hi"], dtype=np.uint64)
+        lo = np.asarray(t["lo"], dtype=np.uint64)
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        order = np.lexsort((ids, lo, hi))
+        hi, lo, ids = hi[order], lo[order], ids[order]
+        change = np.flatnonzero((hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])) + 1
+        starts = np.concatenate([[0], change])
+        lens = np.diff(np.concatenate([starts, [hi.size]]))
+        ok = (lens >= 2) & (lens <= _GC_DF_MAX)
+        out_s, out_d = [], []
+        for m in np.unique(lens[ok]):
+            sel = starts[ok][lens[ok] == m]
+            idm = ids[sel[:, None] + np.arange(m)[None, :]]
+            iu, ju = np.triu_indices(int(m), k=1)
+            out_s.append(idm[:, iu].ravel())
+            out_d.append(idm[:, ju].ravel())
+        src = np.concatenate(out_s) if out_s else np.array([], dtype=np.int64)
+        dst = np.concatenate(out_d) if out_d else np.array([], dtype=np.int64)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    edges = (
+        docs.map_batches(emit, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_edges, batch_format="pyarrow")
+    )
+    nodes = _docs(sf_dir, ["doc_id"]).map_batches(
+        lambda t: pa.table({"record_id": t["doc_id"]}), batch_format="pyarrow"
+    )
+    asg = connected_components(edges, nodes)
+
+    def with_size(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": g["record_id"].to_numpy(np.int64),
+                "component_id": g["cluster_id"].to_numpy(np.int64),
+                "component_size": np.int64(len(g)),
+            }
+        )
+
+    return asg.groupby("cluster_id").map_groups(with_size, batch_format="pandas")
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_DIGITS = r"\d{9,}"
 
@@ -4390,4 +4500,5 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "pii_scrub": q_pii_scrub,
     "quantile_sketch": q_quantile_sketch,
+    "gram_components": q_gram_components,
 }

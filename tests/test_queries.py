@@ -103,6 +103,7 @@ SQL_CHECKED = [
     "heavy_hitters",
     "pii_scrub",
     "quantile_sketch",
+    "gram_components",
 ]
 
 
@@ -474,3 +475,48 @@ def test_quantile_sketch_bracketing_exact(ray_session, tmp_path, monkeypatch):
         r = -(-pct * n // 100)
         exact = int(np.floor(vs[r - 1] * 100))
         assert got.loc[pct, "value_cents"] == exact, pct
+
+
+def test_gram_components_chain_and_boilerplate(ray_session, tmp_path):
+    """Transitive closure must cross multi-hop chains (A–B share one
+    8-gram, B–C share a DIFFERENT one → one component of 3), and a gram
+    present in more than _GC_DF_MAX docs is boilerplate — it must create
+    no edges at all."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    g1 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    g2 = "india juliet kilo lima mike november oscar papa"
+    boiler = "one two three four five six seven eight"
+    texts = [
+        f"{g1} uniqA0",            # doc 0: gram g1
+        f"{g1} mid {g2}",          # doc 1: g1 AND g2 → bridges 0 and 2
+        f"{g2} uniqC0",            # doc 2: gram g2
+    ] + [f"{boiler} tail{i}" for i in range(12)]  # 12 > DF_MAX=8
+    n = len(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": ["en"] * n,
+            "source": ["s"] * n,
+            "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    df = (
+        QUERIES["gram_components"](str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(df) == n
+    # chain: docs 0,1,2 in one component labeled by the min id (0)
+    assert set(df.loc[[0, 1, 2], "component_id"]) == {0}
+    assert (df.loc[[0, 1, 2], "component_size"] == 3).all()
+    # boilerplate docs stay singletons despite all sharing an 8-gram
+    boil = df.loc[3:]
+    assert (boil["component_id"] == boil.index).all()
+    assert (boil["component_size"] == 1).all()
