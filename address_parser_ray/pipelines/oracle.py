@@ -1177,6 +1177,45 @@ ORACLE_SQL = {
     # quantile_disc picks the value at rank ceil(p*n) — the Ray side
     # resolves the same rank exactly, and both floor the same IEEE
     # double to cents.
+    # Bigram LM scoring: train counts and fixed-point conditional
+    # probabilities in SQL, score every doc position. Integer floor
+    # division (//) on both engines — no float drift possible.
+    "bigram_lm_scores": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(trim(COALESCE(text, '')),
+                                             '\\s+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, lower(tk[i]) AS w1, lower(tk[i+1]) AS w2
+            FROM (
+                SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+                FROM toks WHERE len(tk) >= 2
+            )
+        ), bg AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
+            FROM tok GROUP BY 1, 2
+        ), pref AS (
+            SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_pref
+            FROM bg GROUP BY 1
+        ), scored AS (
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum((b.c_bg * 1000000) // p.c_pref) AS BIGINT)
+                       AS lm
+            FROM tok t
+            JOIN bg b USING (w1, w2)
+            JOIN pref p USING (w1)
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(lm, 0) AS BIGINT) AS lm_score
+        FROM documents d LEFT JOIN scored USING (doc_id)
+        ORDER BY d.doc_id
+    """,
     # Connected components over the rare-gram co-occurrence graph: the
     # recursive CTE propagates every reachable label; min(label) per
     # node is the component's smallest doc_id — the same deterministic

@@ -4358,6 +4358,90 @@ def q_gram_components(sf_dir: str):
     return asg.groupby("cluster_id").map_groups(with_size, batch_format="pandas")
 
 
+def q_bigram_lm_scores(sf_dir: str):
+    """Bigram language-model quality scoring — the CCNet/perplexity-
+    filter shape (Wenzek et al. 2020): TRAIN an n-gram LM over the
+    corpus, then SCORE every document with it, both distributed.
+
+    Train pass: per-batch bigram Counters → one vocabulary-bounded
+    groupby (the shuffle carries (bigram, count) partials, never token
+    occurrences); prefix counts fall out as the per-w1 sum of bigram
+    counts, no second pass. Score pass: the (bigram → c_bg, c_prefix)
+    model is `ray.put` once and every batch hash-joins its flattened
+    bigram stream against it (a pandas merge — no per-row probes).
+    At 100 TB the model panel is pruned to the top-K bigrams before
+    broadcast (the CCNet move); here it stays exact so the oracle can
+    replay it verbatim.
+
+    Scores are PURE INTEGER — each position contributes
+    ``c_bg · 10^6 // c_prefix`` (a fixed-point conditional probability;
+    floor division is exact on both engines, no libm logs to drift) —
+    so the doc score is hash-exact against SQL. Output: (doc_id,
+    n_bigrams, lm_score); docs under 2 tokens score 0. Reference
+    analogue: the n-gram frequency model built per call in
+    ``fuzz/inexus_parser.py:468-520`` reused as a scoring table."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c = Counter()
+        for text in df["text"]:
+            toks = [w.lower() for w in _ws_tokens(text) if w]
+            c.update(zip(toks, toks[1:]))
+        return pd.DataFrame(
+            {
+                "w1": [k[0] for k in c],
+                "w2": [k[1] for k in c],
+                "part_n": np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+            }
+        )
+
+    # single-key combine (composite aggregates sort the whole stream —
+    # see q_event_value_percentiles): group on w1, fold w2 inside.
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["w1", "w2"], sort=False, as_index=False)["part_n"].sum()
+        out["c_prefix"] = out.groupby("w1", sort=False)["part_n"].transform("sum")
+        return out.rename(columns={"part_n": "c_bg"})
+
+    model = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("w1")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    model["score"] = model["c_bg"].to_numpy(np.int64) * 1_000_000 // model[
+        "c_prefix"
+    ].to_numpy(np.int64)
+    model_ref = ray.put(model[["w1", "w2", "score"]])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(model_ref)
+        ids, w1s, w2s, nbg = [], [], [], []
+        for d, text in zip(df["doc_id"], df["text"]):
+            toks = [w.lower() for w in _ws_tokens(text) if w]
+            ids += [d] * max(0, len(toks) - 1)
+            w1s += toks[:-1]
+            w2s += toks[1:]
+            nbg.append(max(0, len(toks) - 1))
+        flat = pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                             "w1": w1s, "w2": w2s})
+        joined = flat.merge(m, on=["w1", "w2"], how="left")
+        per = joined.groupby("doc_id", sort=False)["score"].sum()
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_bigrams": np.asarray(nbg, dtype=np.int64),
+            }
+        )
+        out["lm_score"] = (
+            out["doc_id"].map(per).fillna(0).astype(np.int64)
+        )
+        return out
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_DIGITS = r"\d{9,}"
 
@@ -4501,4 +4585,5 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "quantile_sketch": q_quantile_sketch,
     "gram_components": q_gram_components,
+    "bigram_lm_scores": q_bigram_lm_scores,
 }

@@ -104,6 +104,7 @@ SQL_CHECKED = [
     "pii_scrub",
     "quantile_sketch",
     "gram_components",
+    "bigram_lm_scores",
 ]
 
 
@@ -520,3 +521,34 @@ def test_gram_components_chain_and_boilerplate(ray_session, tmp_path):
     boil = df.loc[3:]
     assert (boil["component_id"] == boil.index).all()
     assert (boil["component_size"] == 1).all()
+
+
+def test_bigram_lm_scores_hand_computed(ray_session, tmp_path):
+    """Fixed-point conditional probabilities on a corpus small enough to
+    do by hand: c(a,b)=3, c(b,a)=1, c(b,c)=1 → prefix a:3, b:2, so
+    P(b|a)=10^6, P(a|b)=P(c|b)=5·10^5; short and NULL docs score 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    texts = ["a b a b", "a b c", "x", None]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": pa.array([len(x) if x else 0 for x in texts],
+                                type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    df = (
+        QUERIES["bigram_lm_scores"](str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert df["n_bigrams"].tolist() == [3, 2, 0, 0]
+    assert df["lm_score"].tolist() == [2_500_000, 1_500_000, 0, 0]
