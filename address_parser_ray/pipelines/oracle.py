@@ -1177,6 +1177,39 @@ ORACLE_SQL = {
     # quantile_disc picks the value at rank ceil(p*n) — the Ray side
     # resolves the same rank exactly, and both floor the same IEEE
     # double to cents.
+    # Row-frame window scan: ROW_NUMBER + running SUM per user, ties on
+    # ts broken by event_id on both sides. The window SUM is HUGEINT in
+    # DuckDB — cast to BIGINT (the repo's oracle dtype rule).
+    "user_running_totals": """
+        WITH w AS (
+            SELECT event_id, user_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS seq_no,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS run
+            FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(seq_no AS BIGINT) AS seq_no,
+               CAST(run AS BIGINT) AS running_cents
+        FROM w WHERE event_type = 'purchase'
+        ORDER BY event_id
+    """,
+    # Big-big join: orders x lineitem on orderkey, revenue per priority.
+    # floor(price*(1-disc)*100) is the same left-assoc IEEE expression
+    # numpy evaluates.
+    "revenue_by_priority": """
+        SELECT o.o_orderpriority,
+               CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1 ORDER BY 1
+    """,
     # Bigram LM scoring: train counts and fixed-point conditional
     # probabilities in SQL, score every doc position. Integer floor
     # division (//) on both engines — no float drift possible.

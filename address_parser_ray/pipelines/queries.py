@@ -4442,6 +4442,171 @@ def q_bigram_lm_scores(sf_dir: str):
     return docs.map_batches(score, batch_format="pandas")
 
 
+def q_revenue_by_priority(sf_dir: str):
+    """Big–big CO-PARTITIONED hash join — the one join shape the repo
+    had not yet demonstrated: orders ⋈ lineitem on orderkey where BOTH
+    sides are fact-sized, so neither may broadcast (every other join in
+    the registry broadcasts a dimension or semi-join filter). Shape:
+    tag + union the two streams, hash-bucket by orderkey (ONE single-key
+    shuffle moves both sides, co-locating each key's rows), then each
+    bucket joins locally with one vectorized pandas merge and
+    pre-aggregates to a (priority, n_orders, cents) partial — the final
+    combine folds nparts×5 tiny panels. Per-bucket distinct-order counts
+    sum exactly because the bucket key IS the join key. At 100 TB this
+    is the standard reduce-side join: shuffle ∝ the two projected
+    columns, never a replicated table. Revenue = floor(price·(1−disc)
+    ·100) — the same IEEE expression both engines evaluate."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["o_orderkey"], dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(k.view(np.uint64)) % np.uint64(nparts)).astype(
+                        np.int64
+                    )
+                ),
+                "key": pa.array(k),
+                "priority": t["o_orderpriority"],
+                "cents": pa.array(np.zeros(len(k), dtype=np.int64)),
+                "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["l_orderkey"], dtype=np.int64)
+        price = np.asarray(t["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(t["l_discount"], dtype=np.float64)
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(k.view(np.uint64)) % np.uint64(nparts)).astype(
+                        np.int64
+                    )
+                ),
+                "key": pa.array(k),
+                "priority": pa.array([""] * len(k), type=pa.string()),
+                "cents": pa.array(cents),
+                "side": pa.array(np.ones(len(k), dtype=np.int8)),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(tag_orders, batch_format="pyarrow")
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(tag_lineitem, batch_format="pyarrow")
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["side"] == 0, ["key", "priority"]]
+        li = g.loc[g["side"] == 1, ["key", "cents"]]
+        j = li.merge(o, on="key", how="inner")
+        if len(j) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series([], dtype="object"),
+                    "part_orders": pd.Series([], dtype="int64"),
+                    "part_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        agg = j.groupby("priority").agg(
+            part_orders=("key", "nunique"), part_cents=("cents", "sum")
+        )
+        agg.index.name = "o_orderpriority"
+        return agg.reset_index().astype(
+            {"part_orders": "int64", "part_cents": "int64"}
+        )
+
+    panel = (
+        orders.union(items)
+        .groupby("bucket")
+        .map_groups(bucket_join, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        panel.groupby("o_orderpriority", as_index=False)[
+            ["part_orders", "part_cents"]
+        ]
+        .sum()
+        .rename(columns={"part_orders": "n_orders", "part_cents": "revenue_cents"})
+        .astype({"n_orders": "int64", "revenue_cents": "int64"})
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def q_user_running_totals(sf_dir: str):
+    """Ordered window functions — ROW_NUMBER + running SUM per user —
+    the remaining classic window shape (events_sliding covers
+    range-frames, purchase_last_click covers as-of; this is the
+    row-frame prefix scan). Each user's full history must be co-located
+    for a prefix sum, so the stream hash-buckets by user (the SAME
+    single-key shuffle every other per-user op in the registry rides —
+    one partitioning key reused, per the scale plan) and each bucket
+    sorts once and runs vectorized cumsum/rank, no per-row Python.
+    Partitioning assumption (documented, shared with user_sessions):
+    one bucket holds a user's whole history; a user too big for one
+    block would need a range-partitioned segmented scan. Ordering ties
+    on ts break by event_id — pinned on both sides. Output: one row per
+    'purchase' event (bounded projection of the scan) with its per-user
+    sequence number and running cents total."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(u.view(np.uint64)) % np.uint64(nparts)).astype(
+                        np.int64
+                    )
+                ),
+                "user_id": pa.array(u),
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "event_type": t["event_type"],
+                "cents": pa.array(
+                    _cents(np.asarray(t["value"], dtype=np.float64))
+                ),
+            }
+        )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        seq = g.groupby("user_id", sort=False).cumcount().to_numpy() + 1
+        run = g.groupby("user_id", sort=False)["cents"].cumsum().to_numpy()
+        keep = (g["event_type"] == "purchase").to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64)[keep],
+                "user_id": g["user_id"].to_numpy(np.int64)[keep],
+                "seq_no": seq[keep].astype(np.int64),
+                "running_cents": run[keep].astype(np.int64),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pandas")
+    )
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_DIGITS = r"\d{9,}"
 
@@ -4586,4 +4751,6 @@ QUERIES = {
     "quantile_sketch": q_quantile_sketch,
     "gram_components": q_gram_components,
     "bigram_lm_scores": q_bigram_lm_scores,
+    "revenue_by_priority": q_revenue_by_priority,
+    "user_running_totals": q_user_running_totals,
 }

@@ -105,6 +105,8 @@ SQL_CHECKED = [
     "quantile_sketch",
     "gram_components",
     "bigram_lm_scores",
+    "revenue_by_priority",
+    "user_running_totals",
 ]
 
 
@@ -552,3 +554,46 @@ def test_bigram_lm_scores_hand_computed(ray_session, tmp_path):
     )
     assert df["n_bigrams"].tolist() == [3, 2, 0, 0]
     assert df["lm_score"].tolist() == [2_500_000, 1_500_000, 0, 0]
+
+
+def test_revenue_by_priority_join_semantics(ray_session, tmp_path):
+    """Inner-join semantics by hand: an order with two lineitems counts
+    ONCE in n_orders and sums both revenues; an order with no lineitems
+    disappears; a lineitem with no order disappears."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+                "o_orderpriority": ["1-URGENT", "1-URGENT", "5-LOW"],
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 3, 99], type=pa.int64()),
+                "l_extendedprice": pa.array(
+                    [10.0, 20.0, 5.5, 1000.0], type=pa.float64()
+                ),
+                "l_discount": pa.array([0.0, 0.5, 0.0, 0.0], type=pa.float64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    df = (
+        QUERIES["revenue_by_priority"](str(tmp_path))
+        .set_index("o_orderpriority")
+        .sort_index()
+    )
+    # order 1: 1000 + 1000 cents; order 2 has no items → absent
+    assert df.loc["1-URGENT", "n_orders"] == 1
+    assert df.loc["1-URGENT", "revenue_cents"] == 2000
+    assert df.loc["5-LOW", "n_orders"] == 1
+    assert df.loc["5-LOW", "revenue_cents"] == 550
+    assert len(df) == 2
