@@ -1531,3 +1531,198 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 3
 
 
 ORACLE_SQL["simhash_hamming_pairs"] = _build_simhash_sql()
+
+
+def _build_minhash_band_sql() -> str:
+    """Full-fidelity SQL twin of ``q_minhash_band_keys``: the SAME
+    normalizer + FNV-prime polynomial 8-gram rolling hash + splitmix64
+    macros as the winnow oracle, then classic MinHash — per permutation
+    p, sig_p = min((a_p·hv + b_p) mod 2⁶⁴) over the doc's shingle hashes
+    (the (a, b) constants come from ``hashing.minhash_params(8, 7)``,
+    deterministic, baked in as literals) — and the band fold
+    ``lsh_band_keys``: folded = sm64(sm64(s_even)·POLY + s_odd),
+    key = sm64(folded + band·2⁵⁶), emitted as 16-hex-digit text (u64
+    does not fit BIGINT). Docs empty after normalization emit nothing
+    (the Ray side's empty-shingle sentinel) on both sides."""
+    from address_parser_ray.functions.hashing import minhash_params
+
+    a, b = minhash_params(8, 7)
+    M = 18446744073709551616
+    sig_cols = ",\n    ".join(
+        f"min((mulmod64(hv, CAST({int(a[p])} AS HUGEINT)) + {int(b[p])}) % {M}) AS s{p}"
+        for p in range(8)
+    )
+    # one sm64 application per CTE stage — composing the three fold
+    # steps in a single expression exceeds DuckDB's 128-deep macro
+    # binder recursion (each sm64 expands to ~20 nested calls).
+    e_cols = ", ".join(f"sm64(s{2 * bi}) AS e{bi}" for bi in range(4))
+    f_cols = ",\n    ".join(
+        f"sm64((mulmod64(e{bi}, 1099511628211) + s{2 * bi + 1}) % {M}) AS f{bi}"
+        for bi in range(4)
+    )
+    k_cols = ",\n    ".join(
+        f"sm64((f{bi} + {bi * (1 << 56)}) % {M}) AS k{bi}" for bi in range(4)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {bi} AS band, k{bi} AS k FROM kx" for bi in range(4)
+    )
+    sql = r"""
+CREATE OR REPLACE MACRO xr(a, b) AS CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT);
+CREATE OR REPLACE MACRO shr(a, n) AS CAST(a AS HUGEINT) // (CAST(1 AS HUGEINT) << n);
+CREATE OR REPLACE MACRO mulmod64(a, b) AS (
+  ((a % 4294967296) * (b % 4294967296)
+   + (((a % 4294967296) * (b // 4294967296) + (a // 4294967296) * (b % 4294967296)) % 4294967296) * 4294967296
+  ) % 18446744073709551616);
+CREATE OR REPLACE MACRO smz1(x) AS mulmod64(xr(x, shr(x, 30)), CAST(13787848793156543929 AS HUGEINT));
+CREATE OR REPLACE MACRO smz2(x) AS mulmod64(xr(x, shr(x, 27)), CAST(10723151780598845931 AS HUGEINT));
+CREATE OR REPLACE MACRO smz3(x) AS xr(x, shr(x, 31));
+CREATE OR REPLACE MACRO sm64(x) AS smz3(smz2(smz1((CAST(x AS HUGEINT) + 11400714819323198485) % 18446744073709551616)));
+WITH norm AS (
+  SELECT doc_id,
+    lower(trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(COALESCE(text, ''), '(?s)/\*.*?\*/', '', 'g'),
+            $dq$(?s)@DQ@.*?@DQ@$dq$, '', 'g'),
+          $sq$(?s)@SQ@.*?@SQ@$sq$, '', 'g'),
+        '(#|//|--)[^\n]*', '', 'g'),
+      '\s+', ' ', 'g'))) AS t0
+  FROM documents
+), padded AS (
+  SELECT doc_id,
+         CASE WHEN length(t0) < 8 THEN t0 || repeat(' ', 8 - length(t0))
+              ELSE t0 END AS t
+  FROM norm WHERE length(t0) > 0
+), pos AS (
+  SELECT doc_id, t, unnest(range(1, greatest(length(t) - 6, 2))) AS i
+  FROM padded
+), h AS (
+  SELECT doc_id,
+    sm64((
+      ascii(substr(t, CAST(i AS INT), 1))     * CAST(14218562807570617051 AS HUGEINT) +
+      ascii(substr(t, CAST(i AS INT) + 1, 1)) * CAST(15895002104753931833 AS HUGEINT) +
+      ascii(substr(t, CAST(i AS INT) + 2, 1)) * CAST(913917546033277539 AS HUGEINT) +
+      ascii(substr(t, CAST(i AS INT) + 3, 1)) * CAST(11527715348014283921 AS HUGEINT) +
+      ascii(substr(t, CAST(i AS INT) + 4, 1)) * CAST(624165263380053675 AS HUGEINT) +
+      ascii(substr(t, CAST(i AS INT) + 5, 1)) * CAST(956575116354345 AS HUGEINT) +
+      ascii(substr(t, CAST(i AS INT) + 6, 1)) * CAST(1099511628211 AS HUGEINT) +
+      ascii(substr(t, CAST(i AS INT) + 7, 1))
+    ) % 18446744073709551616) AS hv
+  FROM pos
+), sig AS (
+  SELECT doc_id,
+    @SIGS@
+  FROM h GROUP BY 1
+), e AS MATERIALIZED (
+  SELECT doc_id, @ECOLS@, s1, s3, s5, s7 FROM sig
+), f AS MATERIALIZED (
+  SELECT doc_id,
+    @FCOLS@
+  FROM e
+), kx AS MATERIALIZED (
+  SELECT doc_id,
+    @KCOLS@
+  FROM f
+), keys AS (
+@BANDS@
+)
+SELECT doc_id, CAST(band AS BIGINT) AS band,
+       lower(lpad(hex(CAST(k AS UBIGINT)), 16, '0')) AS band_key
+FROM keys ORDER BY doc_id, band
+"""
+    return (
+        sql.replace("@DQ@", '"' * 3)
+        .replace("@SQ@", "'" * 3)
+        .replace("@SIGS@", sig_cols)
+        .replace("@ECOLS@", e_cols)
+        .replace("@FCOLS@", f_cols)
+        .replace("@KCOLS@", k_cols)
+        .replace("@BANDS@", bands)
+    )
+
+
+ORACLE_SQL["minhash_band_keys"] = _build_minhash_band_sql()
+
+ORACLE_SQL["name_edit_pairs"] = """
+    WITH d AS (SELECT p_name, count(*) AS n FROM part GROUP BY 1)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           CAST(a.n * b.n AS BIGINT) AS n_row_pairs
+    FROM d a JOIN d b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY 1, 2
+"""
+
+# token-equality membership (no \b ambiguity); RE2 \s is ASCII-only,
+# matching the Ray side's re.ASCII split.
+ORACLE_SQL["keyword_tags"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(COALESCE(text, ''), '\\s+')) AS tok
+        FROM documents
+    )
+    SELECT tok AS keyword,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM toks
+    WHERE tok IN ('hash', 'join', 'merge', 'scan', 'sort', 'table')
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["value_moments"] = """
+    WITH c AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(cents * cents) AS BIGINT) AS sumsq_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM c GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["cdc_with_deletes"] = """
+    WITH delta_u AS (
+        SELECT doc_id, 'delta' AS source, n_chars + 1000 AS n_chars,
+               1 AS version, 'U' AS op
+        FROM documents WHERE doc_id % 7 = 0
+    ), delta_d AS (
+        SELECT doc_id, '' AS source, 0 AS n_chars, 2 AS version, 'D' AS op
+        FROM documents WHERE doc_id % 11 = 0
+    ), unioned AS (
+        SELECT doc_id, source, n_chars, 0 AS version, 'U' AS op
+        FROM documents
+        UNION ALL SELECT * FROM delta_u
+        UNION ALL SELECT * FROM delta_d
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY version DESC
+        ) AS rk
+        FROM unioned
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(version AS BIGINT) AS version
+    FROM ranked WHERE rk = 1 AND op != 'D'
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["embedding_dim_stats"] = """
+    WITH v AS (
+        SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    ), m AS (
+        SELECT CAST(dim AS BIGINT) AS dim,
+               CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS milli
+        FROM v
+    )
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(milli) AS BIGINT) AS sum_milli,
+           CAST(min(milli) AS BIGINT) AS min_milli,
+           CAST(max(milli) AS BIGINT) AS max_milli
+    FROM m GROUP BY 1 ORDER BY 1
+"""

@@ -4607,6 +4607,397 @@ def q_user_running_totals(sf_dir: str):
     )
 
 
+def q_minhash_band_keys(sf_dir: str):
+    """LSH band keys with a FULL SQL oracle — the flagship blocking
+    stage's exact math (8-gram rolling-hash shingles over the normalized
+    text → classic (a·x+b mod 2⁶⁴) MinHash → splitmix64 band fold,
+    ``functions/hashing.py:minhash_signature/lsh_band_keys``) at
+    SQL-checkable parameters (P=8 perms, 4 bands × 2 rows; the pipeline
+    runs 128/32×4 — same kernels, same fold). This closes the gap where
+    the LSH banding itself was only pytest-covered: every doc's band
+    keys are recomputed independently in DuckDB down to the 64-bit hex.
+    One map_batches pass, no shuffle; keys emit as hex (u64 does not fit
+    BIGINT). Empty-after-normalization docs emit nothing (no shingles →
+    sentinel signature) on both sides."""
+    from address_parser_ray.functions.hashing import (
+        char_shingle_hashes,
+        lsh_band_keys,
+        minhash_params,
+        minhash_signature,
+    )
+    from address_parser_ray.functions.normalize import normalize_content_arrow
+
+    P, BANDS, ROWS, SEED = 8, 4, 2, 7
+    a, b = minhash_params(P, SEED)
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = normalize_content_arrow(t["text"]).to_pylist()
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        out_id, out_band, out_key = [], [], []
+        for d, x in zip(ids, norm):
+            if not x:
+                continue
+            sig = minhash_signature(char_shingle_hashes(x, 8), a, b)
+            keys = lsh_band_keys(sig, BANDS, ROWS)
+            out_id.extend([int(d)] * BANDS)
+            out_band.extend(range(BANDS))
+            out_key.extend(format(int(k), "016x") for k in keys)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "band": pa.array(out_band, type=pa.int64()),
+                "band_key": pa.array(out_key, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _levenshtein_block(sa: list, sb: list) -> np.ndarray:
+    """Unit-cost Levenshtein distances for aligned string lists,
+    vectorized ACROSS THE PAIR AXIS: the DP table's sequential (i, j)
+    dependencies stay as two small Python loops over max-length
+    positions, but every cell update is one numpy op over all pairs at
+    once — the hot axis (pairs) never touches the interpreter. Matches
+    DuckDB ``levenshtein`` (unit insert/delete/substitute)."""
+    n = len(sa)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    la = np.fromiter((len(s) for s in sa), dtype=np.int64, count=n)
+    lb = np.fromiter((len(s) for s in sb), dtype=np.int64, count=n)
+    ma, mb = int(la.max()), int(lb.max())
+    A = np.zeros((n, max(ma, 1)), dtype=np.uint32)
+    B = np.zeros((n, max(mb, 1)), dtype=np.uint32)
+    for i, s in enumerate(sa):
+        A[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    for i, s in enumerate(sb):
+        B[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.tile(np.arange(mb + 1, dtype=np.int32), (n, 1))
+    for i in range(1, ma + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, mb + 1):
+            cost = (ai != B[:, j - 1]).astype(np.int32)
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost,
+            )
+        # rows whose A is exhausted freeze at row la (the answer row)
+        done = la < i
+        cur[done] = prev[done]
+        prev = cur
+    return prev[np.arange(n), lb].astype(np.int64)
+
+
+def q_name_edit_pairs(sf_dir: str):
+    """Edit-distance similarity self-join (the reference's
+    fuzzy-alias matching family, ``fuzz/inexus_parser.py:2852-2941``,
+    with Levenshtein instead of rapidfuzz ratios): part-name pairs
+    within edit distance 3, weighted by how many ROW pairs each name
+    pair represents. Scale shape: the row stream first collapses to the
+    DISTINCT-name panel with counts (mergeable partial counts → one
+    single-key combine — names are low-cardinality by domain), then the
+    panel broadcasts via ``ray.put`` and each panel slice computes DP
+    distances against the whole broadcast side — an O(D²) similarity
+    join distributed over tasks where D = distinct names ≪ rows (64 vs
+    20k at sf0.1). Row-pair weight n_a·n_b comes along for free from the
+    counts. DP is vectorized across the pair axis
+    (``_levenshtein_block``)."""
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_name"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, counts = np.unique(
+            np.asarray(t["p_name"].to_pylist(), dtype=object), return_counts=True
+        )
+        return pa.table(
+            {
+                "p_name": pa.array(list(names), type=pa.string()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    panel = (
+        parts.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_name")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {"p_name": [g["p_name"].iloc[0]], "n": [int(g["n"].sum())]}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("p_name")
+        .reset_index(drop=True)
+    )
+    bref = ray.put((panel["p_name"].tolist(), panel["n"].to_numpy(np.int64)))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        all_names, all_n = ray.get(bref)
+        my_names = t["p_name"].to_pylist()
+        my_n = np.asarray(t["n"], dtype=np.int64)
+        sa, sb, wa, wb = [], [], [], []
+        for name, cnt in zip(my_names, my_n):
+            # only the strictly-greater half of the cross product —
+            # each unordered pair is computed exactly once fleet-wide
+            for other, on in zip(all_names, all_n):
+                if other > name:
+                    sa.append(name)
+                    sb.append(other)
+                    wa.append(int(cnt))
+                    wb.append(int(on))
+        dist = _levenshtein_block(sa, sb)
+        keep = dist <= 3
+        w = np.asarray(wa, dtype=np.int64) * np.asarray(wb, dtype=np.int64)
+        return pa.table(
+            {
+                "name_a": pa.array(np.asarray(sa, dtype=object)[keep].tolist(), type=pa.string()),
+                "name_b": pa.array(np.asarray(sb, dtype=object)[keep].tolist(), type=pa.string()),
+                "dist": pa.array(dist[keep]),
+                "n_row_pairs": pa.array(w[keep] if len(w) else np.empty(0, np.int64)),
+            }
+        )
+
+    return ray.data.from_pandas(panel).map_batches(
+        pairs, batch_format="pyarrow", batch_size=16
+    )
+
+
+_KEYWORDS = ("hash", "join", "merge", "scan", "sort", "table")
+
+
+def q_keyword_tags(sf_dir: str):
+    """Gazetteer keyword tagging (the reference's alias-list match,
+    M5/T3 ``longest-alias-first`` family, over a broadcast dictionary):
+    count, per dictionary keyword, how many documents mention it and how
+    many total token hits occur. Tokens are ASCII-``\\s+`` splits (the
+    ``_ws_tokens`` parity rule); membership is exact token equality —
+    no regex word-boundary ambiguity between engines. One map_batches
+    pass emits (keyword, n_docs, n_hits) partials (the dictionary is a
+    constant broadcast; per-batch doc counts are exact because each doc
+    is one row), one tiny single-key combine folds them."""
+
+    kws = np.asarray(_KEYWORDS, dtype=object)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows_kw, rows_docs, rows_hits = [], [], []
+        agg_docs = np.zeros(len(kws), dtype=np.int64)
+        agg_hits = np.zeros(len(kws), dtype=np.int64)
+        for text in df["text"]:
+            toks = np.asarray(_WS_ASCII.split(text or ""), dtype=object)
+            m = np.searchsorted(kws, toks)
+            m = np.clip(m, 0, len(kws) - 1)
+            hit = kws[m] == toks
+            if not hit.any():
+                continue
+            idx, cnt = np.unique(m[hit], return_counts=True)
+            agg_docs[idx] += 1
+            agg_hits[idx] += cnt
+        present = agg_hits > 0
+        return pd.DataFrame(
+            {
+                "keyword": kws[present],
+                "n_docs": agg_docs[present],
+                "n_hits": agg_hits[present],
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("keyword")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "keyword": [g["keyword"].iloc[0]],
+                    "n_docs": [int(g["n_docs"].sum())],
+                    "n_hits": [int(g["n_hits"].sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
+def q_value_moments(sf_dir: str):
+    """Exact distributed second moments per event_type on the integer
+    cents grid: n, Σx, Σx², min, max — the one-pass mergeable-partials
+    shape every statistical profiler needs (variance/stddev derive
+    exactly from the output; no float accumulation order anywhere).
+    Σx² of cents fits int64 with ~100× headroom at this domain
+    (|value| ≤ ~10³ → cents² ≤ 10¹⁰; 2³ rows × 10¹⁰ ≪ 2⁶³). Partial
+    per batch, single-key combine — event_type cardinality is
+    domain-tiny."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(np.asarray(t["value"], dtype=np.float64))
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        s2 = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        np.add.at(s2, inv, cents * cents)
+        mn = np.full(len(uniq), np.iinfo(np.int64).max)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min)
+        np.minimum.at(mn, inv, cents)
+        np.maximum.at(mx, inv, cents)
+        return pa.table(
+            {
+                "event_type": pa.array(list(uniq), type=pa.string()),
+                "n": pa.array(n),
+                "sum_cents": pa.array(s),
+                "sumsq_cents": pa.array(s2),
+                "min_cents": pa.array(mn),
+                "max_cents": pa.array(mx),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [int(g["n"].sum())],
+                "sum_cents": [int(g["sum_cents"].sum())],
+                "sumsq_cents": [int(g["sumsq_cents"].sum())],
+                "min_cents": [int(g["min_cents"].min())],
+                "max_cents": [int(g["max_cents"].max())],
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def q_cdc_with_deletes(sf_dir: str):
+    """CDC merge WITH TOMBSTONES — ``upsert_latest`` extended to the
+    full change-capture contract: a delta stream carries updates
+    (op='U', every 7th doc, version 1) AND deletes (op='D', every 11th
+    doc, version 2, so a doc both updated and deleted ends deleted).
+    Final state = per-key highest-version row, dropped when that row is
+    a tombstone. Same scale shape as upsert_latest: keys hash-bucket
+    once (single-key shuffle), each bucket resolves winners in one
+    vectorized lexsort; the delta is small by contract. Full SQL oracle
+    (row_number over version DESC, anti-filter on 'D')."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    base = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def as_base(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return t.append_column(
+            "version", pa.array(np.zeros(n, dtype=np.int64))
+        ).append_column("op", pa.array(["U"] * n, type=pa.string()))
+
+    def as_delta(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        upd = t.filter(pa.array(ids % 7 == 0))
+        nu = upd.num_rows
+        updates = pa.table(
+            {
+                "doc_id": upd["doc_id"],
+                "source": pa.array(["delta"] * nu, type=pa.string()),
+                "n_chars": pc.add(upd["n_chars"], 1000),
+                "version": pa.array(np.ones(nu, dtype=np.int64)),
+                "op": pa.array(["U"] * nu, type=pa.string()),
+            }
+        )
+        del_ = t.filter(pa.array(ids % 11 == 0))
+        nd = del_.num_rows
+        deletes = pa.table(
+            {
+                "doc_id": del_["doc_id"],
+                "source": pa.array([""] * nd, type=pa.string()),
+                "n_chars": pa.array(np.zeros(nd, dtype=np.int64)),
+                "version": pa.array(np.full(nd, 2, dtype=np.int64)),
+                "op": pa.array(["D"] * nd, type=pa.string()),
+            }
+        )
+        return pa.concat_tables([updates, deletes])
+
+    unioned = base.map_batches(as_base, batch_format="pyarrow").union(
+        base.map_batches(as_delta, batch_format="pyarrow")
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"]).astype(np.int64)
+        kb = (splitmix64(ids.view(np.uint64)) % np.uint64(nparts)).astype(np.int64)
+        return t.append_column("kb", pa.array(kb))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "version"], kind="stable")
+        last = ~g["doc_id"].duplicated(keep="last")
+        win = g.loc[last & (g["op"] != "D")]
+        return win[["doc_id", "source", "n_chars", "version"]].astype(
+            {"doc_id": np.int64, "n_chars": np.int64, "version": np.int64}
+        )
+
+    return (
+        unioned.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension stats over a ``list<float>`` embedding column on
+    the integer milli-grid: n, Σ, min, max for each of the 64 dims —
+    the nested-column (UNNEST) aggregate shape. The Ray side never
+    explodes rows: each batch reshapes the packed list buffer to
+    (rows, dims) zero-copy and emits ONE (dims)-row partial (vectorized
+    column reductions), so the shuffle carries blocks×dims tiny rows
+    while the SQL twin pays the full row explosion. Combine is a
+    single-key groupby over dim."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = np.asarray(
+            t["embedding"].combine_chunks().flatten(), dtype=np.float64
+        ).reshape(t.num_rows, -1)
+        milli = np.floor(emb * 1000.0).astype(np.int64)
+        d = milli.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "n": pa.array(np.full(d, milli.shape[0], dtype=np.int64)),
+                "sum_milli": pa.array(milli.sum(axis=0)),
+                "min_milli": pa.array(milli.min(axis=0)),
+                "max_milli": pa.array(milli.max(axis=0)),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "dim": [int(g["dim"].iloc[0])],
+                "n": [int(g["n"].sum())],
+                "sum_milli": [int(g["sum_milli"].sum())],
+                "min_milli": [int(g["min_milli"].min())],
+                "max_milli": [int(g["max_milli"].max())],
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_DIGITS = r"\d{9,}"
 
@@ -4753,4 +5144,10 @@ QUERIES = {
     "bigram_lm_scores": q_bigram_lm_scores,
     "revenue_by_priority": q_revenue_by_priority,
     "user_running_totals": q_user_running_totals,
+    "minhash_band_keys": q_minhash_band_keys,
+    "name_edit_pairs": q_name_edit_pairs,
+    "keyword_tags": q_keyword_tags,
+    "value_moments": q_value_moments,
+    "cdc_with_deletes": q_cdc_with_deletes,
+    "embedding_dim_stats": q_embedding_dim_stats,
 }

@@ -112,6 +112,12 @@ def main() -> None:
     # materialize: a lazy .limit() yields DIFFERENT rows on re-execution
     # at high parallelism, and the rescore stage re-reads the corpus
     dedup_pipeline(corpus.limit(512).materialize()).assignments.count()
+    # ...then ONE full untimed pass: the mini-run warms imports and the
+    # page cache but not the actor pools / object store at full fan-out —
+    # without this the first timed leg reads ~40% high (r2: [86.2, 64.7];
+    # r3 pre-fix: [56.9, 48.8, 41.0] — a monotone warm-up trend, not
+    # noise).
+    dedup_pipeline(corpus).assignments.count()
 
     # three timed runs (post-warm-up), min reported: single-shot numbers
     # on this sandbox swing ±20% with ambient load (BASELINE.md noise

@@ -107,6 +107,12 @@ SQL_CHECKED = [
     "bigram_lm_scores",
     "revenue_by_priority",
     "user_running_totals",
+    "minhash_band_keys",
+    "name_edit_pairs",
+    "keyword_tags",
+    "value_moments",
+    "cdc_with_deletes",
+    "embedding_dim_stats",
 ]
 
 
@@ -597,3 +603,85 @@ def test_revenue_by_priority_join_semantics(ray_session, tmp_path):
     assert df.loc["5-LOW", "n_orders"] == 1
     assert df.loc["5-LOW", "revenue_cents"] == 550
     assert len(df) == 2
+
+
+def test_levenshtein_block_hand_computed():
+    """DP kernel vs hand-checked distances, incl. empty strings and
+    rows frozen early when one side is shorter than the batch max."""
+    from address_parser_ray.pipelines.queries import _levenshtein_block
+
+    sa = ["kitten", "flaw", "abc", "", "same", "a-very-long-string"]
+    sb = ["sitting", "lawn", "abc", "xyz", "same", "x"]
+    assert _levenshtein_block(sa, sb).tolist() == [3, 2, 0, 3, 0, 18]
+    assert _levenshtein_block([], []).tolist() == []
+
+
+def test_minhash_band_keys_identical_docs_collide(ray_session, tmp_path):
+    """Byte-identical texts must share all four band keys; a fully
+    different text must not share all of them. Empty text emits no
+    rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": [
+                    "def alpha(): return beta + gamma",
+                    "def alpha(): return beta + gamma",
+                    "SELECT x FROM y WHERE z ORDER BY w",
+                    "",
+                ],
+                "lang": ["py"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": pa.array([33, 33, 34, 0], type=pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = QUERIES["minhash_band_keys"](str(tmp_path)).to_pandas()
+    k1 = df[df.doc_id == 1].sort_values("band")["band_key"].tolist()
+    k2 = df[df.doc_id == 2].sort_values("band")["band_key"].tolist()
+    k3 = df[df.doc_id == 3].sort_values("band")["band_key"].tolist()
+    assert len(k1) == 4 and k1 == k2
+    assert k1 != k3
+    assert (df.doc_id == 4).sum() == 0
+    # band index occupies distinct key spaces by construction
+    assert len(set(k1)) == 4
+
+
+def test_cdc_with_deletes_semantics(ray_session, tmp_path):
+    """doc 77 (7|77, 11|77) is updated AND deleted → deleted wins
+    (higher version); doc 7 updated only; doc 11 deleted; doc 1
+    untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    ids = [1, 7, 11, 77]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": ["t"] * 4,
+                "lang": ["en"] * 4,
+                "source": ["base"] * 4,
+                "n_chars": pa.array([10, 20, 30, 40], type=pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = (
+        QUERIES["cdc_with_deletes"](str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert sorted(df.index.tolist()) == [1, 7]
+    assert df.loc[1, "source"] == "base" and df.loc[1, "version"] == 0
+    assert df.loc[7, "source"] == "delta"
+    assert df.loc[7, "n_chars"] == 1020 and df.loc[7, "version"] == 1
