@@ -1533,7 +1533,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 3
 ORACLE_SQL["simhash_hamming_pairs"] = _build_simhash_sql()
 
 
-def _build_minhash_band_sql() -> str:
+def _minhash_keys_sql(recursive: bool = False) -> str:
     """Full-fidelity SQL twin of ``q_minhash_band_keys``: the SAME
     normalizer + FNV-prime polynomial 8-gram rolling hash + splitmix64
     macros as the winnow oracle, then classic MinHash — per permutation
@@ -1627,11 +1627,8 @@ WITH norm AS (
 ), keys AS (
 @BANDS@
 )
-SELECT doc_id, CAST(band AS BIGINT) AS band,
-       lower(lpad(hex(CAST(k AS UBIGINT)), 16, '0')) AS band_key
-FROM keys ORDER BY doc_id, band
 """
-    return (
+    out = (
         sql.replace("@DQ@", '"' * 3)
         .replace("@SQ@", "'" * 3)
         .replace("@SIGS@", sig_cols)
@@ -1640,9 +1637,45 @@ FROM keys ORDER BY doc_id, band
         .replace("@KCOLS@", k_cols)
         .replace("@BANDS@", bands)
     )
+    if recursive:
+        out = out.replace("WITH norm AS (", "WITH RECURSIVE norm AS (", 1)
+    return out
 
 
-ORACLE_SQL["minhash_band_keys"] = _build_minhash_band_sql()
+ORACLE_SQL["minhash_band_keys"] = _minhash_keys_sql() + """
+SELECT doc_id, CAST(band AS BIGINT) AS band,
+       lower(lpad(hex(CAST(k AS UBIGINT)), 16, '0')) AS band_key
+FROM keys ORDER BY doc_id, band
+"""
+
+# The same band keys closed into components: edges join docs sharing a
+# (band, key); min-label transitive closure via the recursive-CTE
+# pattern of gram_components. Every doc (incl. empty-normalized ones,
+# which emit no keys) seeds its own label.
+_MH_CLUSTER_TAIL = """, edges AS (
+    SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+    FROM keys a JOIN keys b
+      ON a.band = b.band AND a.k = b.k AND a.doc_id <> b.doc_id
+), reach AS (
+    SELECT doc_id AS id, doc_id AS lab FROM documents
+    UNION
+    SELECT e.dst AS id, r.lab
+    FROM reach r JOIN edges e ON e.src = r.id
+), comp AS (
+    SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS cluster_size
+FROM comp ORDER BY doc_id
+"""
+
+# note: _minhash_keys_sql ends with "keys AS (...)\n)\n" — the tail
+# above must continue the SAME with-chain, so strip the trailing
+# newline between them and join with a comma (the tail starts ", edges").
+ORACLE_SQL["minhash_cluster_ids"] = (
+    _minhash_keys_sql(recursive=True).rstrip() + _MH_CLUSTER_TAIL
+)
 
 ORACLE_SQL["name_edit_pairs"] = """
     WITH d AS (SELECT p_name, count(*) AS n FROM part GROUP BY 1)
@@ -1725,4 +1758,81 @@ ORACLE_SQL["embedding_dim_stats"] = """
            CAST(min(milli) AS BIGINT) AS min_milli,
            CAST(max(milli) AS BIGINT) AS max_milli
     FROM m GROUP BY 1 ORDER BY 1
+"""
+
+# DuckDB's jaro_winkler_similarity (rapidfuzz) applies the prefix boost
+# only above jaro 0.7 — the Ray side mirrors that; both floor to
+# micro-units with the +1e-7 epsilon guard.
+ORACLE_SQL["jw_name_pairs"] = """
+    WITH d AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000
+                      + 0.0000001) AS BIGINT) AS jw_micro
+    FROM d a JOIN d b ON a.p_name < b.p_name
+    WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
+    ORDER BY 1, 2
+"""
+
+ORACLE_SQL["token_cooccurrence"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(COALESCE(text, ''), '\\s+')) AS tok
+        FROM documents
+    ), tc AS (
+        SELECT tok, count(*) AS n FROM toks WHERE tok != '' GROUP BY 1
+    ), top AS (
+        SELECT tok FROM tc ORDER BY n DESC, tok LIMIT 32
+    ), dt AS (
+        SELECT DISTINCT doc_id, tok FROM toks WHERE tok IN (SELECT tok FROM top)
+    )
+    SELECT a.tok AS tok_a, b.tok AS tok_b,
+           CAST(count(*) AS BIGINT) AS n_docs_both
+    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["user_spend_ranks"] = """
+    WITH s AS (
+        SELECT user_id,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS spend_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT user_id, spend_cents,
+           CAST(row_number() OVER (ORDER BY spend_cents, user_id) AS BIGINT)
+               AS spend_rank
+    FROM s ORDER BY user_id
+"""
+
+ORACLE_SQL["retention_cohorts"] = """
+    WITH d AS (
+        SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        FROM events
+    ), first AS (
+        SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1
+    ), act AS (
+        SELECT DISTINCT d.user_id, first.cohort_day, d.day AS active_day
+        FROM d JOIN first USING (user_id)
+    )
+    SELECT cohort_day, active_day, CAST(count(*) AS BIGINT) AS n_users
+    FROM act GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["fk_orphans"] = """
+    SELECT 'customer.c_nationkey->nation' AS relation,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY 1
 """

@@ -4607,18 +4607,17 @@ def q_user_running_totals(sf_dir: str):
     )
 
 
-def q_minhash_band_keys(sf_dir: str):
-    """LSH band keys with a FULL SQL oracle — the flagship blocking
-    stage's exact math (8-gram rolling-hash shingles over the normalized
+_MH_P, _MH_BANDS, _MH_ROWS, _MH_SEED = 8, 4, 2, 7
+
+
+def _mh_band_rows(t: pa.Table):
+    """(doc_ids, band_idx, band_keys_u64) for one batch — the flagship
+    blocking math (8-gram rolling-hash shingles over the normalized
     text → classic (a·x+b mod 2⁶⁴) MinHash → splitmix64 band fold,
     ``functions/hashing.py:minhash_signature/lsh_band_keys``) at
     SQL-checkable parameters (P=8 perms, 4 bands × 2 rows; the pipeline
-    runs 128/32×4 — same kernels, same fold). This closes the gap where
-    the LSH banding itself was only pytest-covered: every doc's band
-    keys are recomputed independently in DuckDB down to the 64-bit hex.
-    One map_batches pass, no shuffle; keys emit as hex (u64 does not fit
-    BIGINT). Empty-after-normalization docs emit nothing (no shingles →
-    sentinel signature) on both sides."""
+    runs 128/32×4 — same kernels, same fold). Docs empty after
+    normalization emit nothing (no shingles → sentinel signature)."""
     from address_parser_ray.functions.hashing import (
         char_shingle_hashes,
         lsh_band_keys,
@@ -4627,32 +4626,126 @@ def q_minhash_band_keys(sf_dir: str):
     )
     from address_parser_ray.functions.normalize import normalize_content_arrow
 
-    P, BANDS, ROWS, SEED = 8, 4, 2, 7
-    a, b = minhash_params(P, SEED)
+    a, b = minhash_params(_MH_P, _MH_SEED)
+    norm = normalize_content_arrow(t["text"]).to_pylist()
+    ids = np.asarray(t["doc_id"], dtype=np.int64)
+    out_id, out_band, out_key = [], [], []
+    for d, x in zip(ids, norm):
+        if not x:
+            continue
+        sig = minhash_signature(char_shingle_hashes(x, 8), a, b)
+        keys = lsh_band_keys(sig, _MH_BANDS, _MH_ROWS)
+        out_id.extend([int(d)] * _MH_BANDS)
+        out_band.extend(range(_MH_BANDS))
+        out_key.extend(int(k) for k in keys)
+    return (
+        np.asarray(out_id, dtype=np.int64),
+        np.asarray(out_band, dtype=np.int64),
+        np.asarray(out_key, dtype=np.uint64),
+    )
+
+
+def q_minhash_band_keys(sf_dir: str):
+    """LSH band keys with a FULL SQL oracle — closes the gap where the
+    LSH banding itself was only pytest-covered: every doc's band keys
+    are recomputed independently in DuckDB down to the 64-bit hex (u64
+    does not fit BIGINT, so keys emit as 16-hex text). One map_batches
+    pass, no shuffle. Math in ``_mh_band_rows``."""
 
     def fn(t: pa.Table) -> pa.Table:
-        norm = normalize_content_arrow(t["text"]).to_pylist()
-        ids = np.asarray(t["doc_id"], dtype=np.int64)
-        out_id, out_band, out_key = [], [], []
-        for d, x in zip(ids, norm):
-            if not x:
-                continue
-            sig = minhash_signature(char_shingle_hashes(x, 8), a, b)
-            keys = lsh_band_keys(sig, BANDS, ROWS)
-            out_id.extend([int(d)] * BANDS)
-            out_band.extend(range(BANDS))
-            out_key.extend(format(int(k), "016x") for k in keys)
+        ids, bands, keys = _mh_band_rows(t)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "band": pa.array(out_band, type=pa.int64()),
-                "band_key": pa.array(out_key, type=pa.string()),
+                "doc_id": pa.array(ids),
+                "band": pa.array(bands),
+                "band_key": pa.array(
+                    [format(k, "016x") for k in keys], type=pa.string()
+                ),
             }
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q_minhash_cluster_ids(sf_dir: str):
+    """MinHash-LSH clustering END-TO-END with a FULL SQL oracle — the
+    flagship's whole shape (shingle → MinHash → band → candidate edges
+    → transitive closure) verified row-exactly against a recursive
+    min-label CTE in DuckDB, at the SQL-checkable band parameters of
+    ``_mh_band_rows``. Edges = docs sharing any (band, key); the
+    closure runs through the SAME ``stages/clustering`` ladder the
+    flagship uses (driver union-find below the gate, distributed star
+    contraction above). Band keys hash-bucket once (single-key
+    shuffle); per-bucket pair expansion is one vectorized triu per
+    run length. Output: (doc_id, cluster_id = min reachable doc id,
+    cluster_size) for every doc — empty docs are singletons."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+    from address_parser_ray.stages.clustering import connected_components
+
+    nparts = default_num_partitions()
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids, bands, keys = _mh_band_rows(t)
+        # fold band index into the key space (already mixed in by the
+        # fold, but keep (band, key) distinct explicitly for grouping)
+        bucket = (splitmix64(keys) % np.uint64(nparts)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "key": pa.array(keys.view(np.int64)),
+                "doc_id": pa.array(ids),
+            }
+        )
+
+    def bucket_edges(t: pa.Table) -> pa.Table:
+        key = np.asarray(t["key"], dtype=np.int64)
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        order = np.lexsort((ids, key))
+        key, ids = key[order], ids[order]
+        keep = np.concatenate(
+            [[True], (key[1:] != key[:-1]) | (ids[1:] != ids[:-1])]
+        )
+        key, ids = key[keep], ids[keep]
+        change = np.flatnonzero(np.diff(key)) + 1
+        starts = np.concatenate([[0], change])
+        lens = np.diff(np.concatenate([starts, [key.size]]))
+        out_s, out_d = [], []
+        for m in np.unique(lens):
+            if m < 2:
+                continue
+            sel = starts[lens == m]
+            idm = ids[sel[:, None] + np.arange(m)[None, :]]
+            iu, ju = np.triu_indices(int(m), k=1)
+            out_s.append(idm[:, iu].ravel())
+            out_d.append(idm[:, ju].ravel())
+        src = np.concatenate(out_s) if out_s else np.array([], dtype=np.int64)
+        dst = np.concatenate(out_d) if out_d else np.array([], dtype=np.int64)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_edges, batch_format="pyarrow")
+    )
+    nodes = _docs(sf_dir, ["doc_id"]).map_batches(
+        lambda t: pa.table({"record_id": t["doc_id"]}), batch_format="pyarrow"
+    )
+    asg = connected_components(edges, nodes)
+
+    def with_size(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": g["record_id"].to_numpy(np.int64),
+                "cluster_id": g["cluster_id"].to_numpy(np.int64),
+                "cluster_size": np.int64(len(g)),
+            }
+        )
+
+    return asg.groupby("cluster_id").map_groups(with_size, batch_format="pandas")
 
 
 def _levenshtein_block(sa: list, sb: list) -> np.ndarray:
@@ -4998,6 +5091,452 @@ def q_embedding_dim_stats(sf_dir: str):
     )
 
 
+def q_jw_name_pairs(sf_dir: str):
+    """Jaro-Winkler similarity self-join over the distinct-name panel —
+    the scorer's path-JW feature (``functions/similarity.py:jaro``)
+    verified against DuckDB's ``jaro_winkler_similarity`` down to
+    micro-units. Same broadcast-panel shape as ``name_edit_pairs``
+    (distinct values ≪ rows; O(D²) distributed over panel slices).
+    DuckDB (rapidfuzz) applies the Winkler prefix boost only when
+    jaro > 0.7 — mirrored here; scores emit as floor(jw·10⁶ + ε)
+    micro-units (the epsilon guards the 1-ulp bucket-boundary flake,
+    ADVICE r2)."""
+    from address_parser_ray.functions.similarity import jaro
+
+    def jw_duck(a: str, b: str) -> float:
+        j = jaro(a, b)
+        if j <= 0.7:
+            return j
+        p = 0
+        for x, y in zip(a[:4], b[:4]):
+            if x != y:
+                break
+            p += 1
+        return j + p * 0.1 * (1.0 - j)
+
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        names = np.unique(np.asarray(t["p_name"].to_pylist(), dtype=object))
+        return pa.table({"p_name": pa.array(list(names), type=pa.string())})
+
+    panel = (
+        parts.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_name")
+        .map_groups(
+            lambda g: pd.DataFrame({"p_name": [g["p_name"].iloc[0]]}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("p_name")
+        .reset_index(drop=True)
+    )
+    bref = ray.put(panel["p_name"].tolist())
+
+    def pairs(t: pa.Table) -> pa.Table:
+        all_names = ray.get(bref)
+        out_a, out_b, out_jw = [], [], []
+        for name in t["p_name"].to_pylist():
+            for other in all_names:
+                if other > name:
+                    jw = jw_duck(name, other)
+                    if jw >= 0.85:
+                        out_a.append(name)
+                        out_b.append(other)
+                        out_jw.append(int(np.floor(jw * 1e6 + 1e-7)))
+        return pa.table(
+            {
+                "name_a": pa.array(out_a, type=pa.string()),
+                "name_b": pa.array(out_b, type=pa.string()),
+                "jw_micro": pa.array(out_jw, type=pa.int64()),
+            }
+        )
+
+    return ray.data.from_pandas(panel).map_batches(
+        pairs, batch_format="pyarrow", batch_size=16
+    )
+
+
+_COOC_TOP = 32
+
+
+def q_token_cooccurrence(sf_dir: str):
+    """Token co-occurrence counts over the top-K vocabulary — corpus
+    statistics in two passes, both distributed: (1) global token counts
+    via mergeable per-batch partials → top-32 by (count DESC, token)
+    (a tiny panel, broadcast via ``ray.put``); (2) per-doc presence of
+    vocabulary tokens folded into ONE K×K count matrix per batch
+    (``np.add.at`` on triangular indices — the pair axis never touches
+    the interpreter), combined in a single-key groupby. At 100 TB the
+    shuffle carries blocks × K² partials, never token pairs per doc.
+    Output: (tok_a, tok_b, n_docs_both) for pairs co-occurring in ≥ 1
+    doc."""
+    from collections import Counter
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for text in df["text"]:
+            for w in _WS_ASCII.split(text or ""):
+                if w:
+                    c[w] += 1
+        return pd.DataFrame(
+            {"tok": list(c.keys()), "n": np.fromiter(c.values(), dtype=np.int64)}
+        )
+
+    # top-K via DISTRIBUTED sort+limit over the (tok, n) panel — the
+    # driver receives exactly K rows, never the full vocabulary (at
+    # 100 TB distinct tokens are billions; the combine panel shuffles,
+    # the driver does not read it)
+    top = (
+        docs.map_batches(count_partial, batch_format="pandas")
+        .groupby("tok")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {"tok": [g["tok"].iloc[0]], "n": [int(g["n"].sum())]}
+            ),
+            batch_format="pandas",
+        )
+        .sort(["n", "tok"], descending=[True, False])
+        .limit(_COOC_TOP)
+        .to_pandas()["tok"]
+        .tolist()
+    )
+    vocab = np.asarray(sorted(top), dtype=object)
+    vref = ray.put(vocab)
+
+    def cooc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        voc = ray.get(vref)
+        k = len(voc)
+        M = np.zeros((k, k), dtype=np.int64)
+        for text in df["text"]:
+            toks = np.unique(
+                np.asarray(
+                    [w for w in _WS_ASCII.split(text or "") if w], dtype=object
+                )
+            )
+            # exact membership: searchsorted + equality check
+            pos = np.searchsorted(voc, toks)
+            ok = (pos < k)
+            ok[ok] = voc[pos[ok]] == toks[ok]
+            idx = np.unique(pos[ok])
+            if len(idx) >= 2:
+                iu, ju = np.triu_indices(len(idx), k=1)
+                np.add.at(M, (idx[iu], idx[ju]), 1)
+        ia, ja = np.nonzero(M)
+        return pd.DataFrame(
+            {
+                "tok_a": voc[ia],
+                "tok_b": voc[ja],
+                "n_docs_both": M[ia, ja],
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby("tok_b", as_index=False)["n_docs_both"].sum()
+        h.insert(0, "tok_a", g["tok_a"].iloc[0])
+        return h.astype({"n_docs_both": np.int64})
+
+    return (
+        docs.map_batches(cooc_partial, batch_format="pandas")
+        .groupby("tok_a")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def q_user_spend_ranks(sf_dir: str):
+    """EXACT global rank by total purchase spend — the distributed
+    sort-rank primitive: (1) per-user spend panel (hash-bucketed
+    single-key combine); (2) deterministic boundary sample (every
+    101st user) → range partitions on spend (equal spends can never
+    straddle a boundary — the partition function reads spend only);
+    (3) per-partition counts → exclusive prefix offsets (one tiny
+    driver fold of nparts integers); (4) each partition sorts locally
+    and adds its offset. No global sort materialization; the panel
+    (one row per user, ≪ events) crosses the exchange twice. SQL twin:
+    ROW_NUMBER() OVER (ORDER BY spend, user_id)."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def spend_partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        keep = et == "purchase"
+        uid = np.asarray(t["user_id"], dtype=np.int64)[keep]
+        cents = _cents(np.asarray(t["value"], dtype=np.float64))[keep]
+        uniq, inv = np.unique(uid, return_inverse=True)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        kb = (splitmix64(uniq.view(np.uint64)) % np.uint64(nparts)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "kb": pa.array(kb),
+                "user_id": pa.array(uniq),
+                "part_cents": pa.array(s),
+            }
+        )
+
+    def spend_combine(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby("user_id", as_index=False)["part_cents"].sum()
+        return pd.DataFrame(
+            {
+                "user_id": h["user_id"].astype(np.int64),
+                "spend_cents": h["part_cents"].astype(np.int64),
+            }
+        )
+
+    panel = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "value"],
+        )
+        .map_batches(spend_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kb")
+        .map_groups(spend_combine, batch_format="pandas")
+        .materialize()
+    )
+
+    # deterministic boundary sample: every 101st user's spend
+    sample = np.sort(
+        np.concatenate(
+            [
+                np.asarray(b["spend_cents"])[
+                    np.asarray(b["user_id"]) % 101 == 0
+                ]
+                for b in panel.iter_batches(
+                    batch_size=1 << 18, batch_format="pyarrow"
+                )
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    nb = min(nparts - 1, len(sample))
+    bounds = (
+        sample[np.linspace(0, len(sample) - 1, nb + 2)[1:-1].astype(int)]
+        if nb > 0
+        else np.empty(0, np.int64)
+    )
+    bref = ray.put(np.unique(bounds))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        bnds = ray.get(bref)
+        p = np.searchsorted(
+            bnds, np.asarray(t["spend_cents"], dtype=np.int64), side="right"
+        ).astype(np.int64)
+        return t.append_column("part", pa.array(p))
+
+    parted = panel.map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # exclusive prefix offsets from per-partition counts (nparts ints)
+    cnt = np.zeros(len(np.unique(bounds)) + 1, dtype=np.int64)
+    for b in parted.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        idx, c = np.unique(np.asarray(b["part"]), return_counts=True)
+        cnt[idx] += c
+    offsets = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    oref = ray.put(offsets)
+
+    def local_rank(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(oref)
+        g = g.sort_values(["spend_cents", "user_id"], kind="stable")
+        base = int(offs[int(g["part"].iloc[0])])
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "spend_cents": g["spend_cents"].to_numpy(np.int64),
+                "spend_rank": base + np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return parted.groupby("part").map_groups(local_rank, batch_format="pandas")
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention (the classic training-telemetry analytics
+    shape): cohort = a user's first active day; one output row per
+    (cohort_day, active_day) with the number of that cohort's users
+    active that day. Each user's history must be co-located — the SAME
+    single-key user-hash shuffle every per-user op rides; inside a
+    bucket the whole computation is vectorized (groupby min for the
+    cohort, drop_duplicates for presence), and buckets emit partial
+    counts that a tiny single-key combine folds. Days travel as
+    '%Y-%m-%d' strings on both engines (no timestamp-dtype kind
+    ambiguity)."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(u.view(np.uint64)) % np.uint64(nparts)).astype(
+                        np.int64
+                    )
+                ),
+                "user_id": pa.array(u),
+                "ts": t["ts"],
+            }
+        )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(day=g["ts"].dt.strftime("%Y-%m-%d"))
+        first = g.groupby("user_id", sort=False)["day"].min()
+        act = g[["user_id", "day"]].drop_duplicates()
+        act = act.assign(cohort_day=first.loc[act["user_id"]].to_numpy())
+        out = (
+            act.groupby(["cohort_day", "day"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"day": "active_day", "size": "n_users"})
+        )
+        return out.astype({"n_users": np.int64})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby("active_day", as_index=False)["n_users"].sum()
+        h.insert(0, "cohort_day", g["cohort_day"].iloc[0])
+        return h.astype({"n_users": np.int64})
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pandas")
+        .groupby("cohort_day")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def q_fk_orphans(sf_dir: str):
+    """Referential-integrity audit across the snowflake — the
+    data-quality ops surface: per FK edge, total child rows and rows
+    whose key has no parent. Join strategy picked per edge exactly as
+    the scale plan dictates: small parents (customer, nation) broadcast
+    as sorted key arrays (``ray.put`` once, searchsorted per batch);
+    the fact-fact edge lineitem→orders runs the bucketed reduce-side
+    anti-join (one single-key shuffle of two projected key columns).
+    Output is a 3-row panel."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def broadcast_orphans(child_path, child_col, parent_path, parent_col):
+        keys = np.sort(
+            np.unique(
+                np.asarray(
+                    ray.data.read_parquet(parent_path, columns=[parent_col])
+                    .to_pandas()[parent_col]
+                    .to_numpy(np.int64)
+                )
+            )
+        )
+        kref = ray.put(keys)
+
+        def partial(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            v = np.asarray(t[child_col], dtype=np.int64)
+            pos = np.clip(np.searchsorted(ks, v), 0, max(0, len(ks) - 1))
+            orphan = ks[pos] != v if len(ks) else np.ones(len(v), bool)
+            return pa.table(
+                {
+                    "n_rows": pa.array([len(v)], type=pa.int64()),
+                    "n_orphans": pa.array([int(orphan.sum())], type=pa.int64()),
+                }
+            )
+
+        parts = (
+            ray.data.read_parquet(child_path, columns=[child_col])
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+        )
+        return int(parts["n_rows"].sum()), int(parts["n_orphans"].sum())
+
+    n_ord, o_ord = broadcast_orphans(
+        f"{sf_dir}/orders.parquet", "o_custkey",
+        f"{sf_dir}/customer.parquet", "c_custkey",
+    )
+    n_cust, o_cust = broadcast_orphans(
+        f"{sf_dir}/customer.parquet", "c_nationkey",
+        f"{sf_dir}/nation.parquet", "n_nationkey",
+    )
+
+    # fact-fact edge: bucketed anti-join, keys only
+    def tag_parent(t: pa.Table) -> pa.Table:
+        k = np.unique(np.asarray(t["o_orderkey"], dtype=np.int64))
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(k.view(np.uint64)) % np.uint64(nparts)).astype(
+                        np.int64
+                    )
+                ),
+                "key": pa.array(k),
+                "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+            }
+        )
+
+    def tag_child(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["l_orderkey"], dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(k.view(np.uint64)) % np.uint64(nparts)).astype(
+                        np.int64
+                    )
+                ),
+                "key": pa.array(k),
+                "side": pa.array(np.ones(len(k), dtype=np.int8)),
+            }
+        )
+
+    def bucket_anti(g: pd.DataFrame) -> pd.DataFrame:
+        parents = np.sort(g.loc[g["side"] == 0, "key"].to_numpy(np.int64))
+        child = g.loc[g["side"] == 1, "key"].to_numpy(np.int64)
+        if len(parents):
+            pos = np.clip(np.searchsorted(parents, child), 0, len(parents) - 1)
+            orphan = parents[pos] != child
+        else:
+            orphan = np.ones(len(child), dtype=bool)
+        return pd.DataFrame(
+            {"n_rows": [len(child)], "n_orphans": [int(orphan.sum())]}
+        )
+
+    li = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+        .map_batches(tag_parent, batch_format="pyarrow")
+        .union(
+            ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+            ).map_batches(tag_child, batch_format="pyarrow")
+        )
+        .groupby("bucket")
+        .map_groups(bucket_anti, batch_format="pandas")
+        .to_pandas()
+    )
+    n_li, o_li = int(li["n_rows"].sum()), int(li["n_orphans"].sum())
+
+    return pd.DataFrame(
+        {
+            "relation": [
+                "customer.c_nationkey->nation",
+                "lineitem.l_orderkey->orders",
+                "orders.o_custkey->customer",
+            ],
+            "n_rows": np.asarray([n_cust, n_li, n_ord], dtype=np.int64),
+            "n_orphans": np.asarray([o_cust, o_li, o_ord], dtype=np.int64),
+        }
+    )
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_DIGITS = r"\d{9,}"
 
@@ -5145,9 +5684,15 @@ QUERIES = {
     "revenue_by_priority": q_revenue_by_priority,
     "user_running_totals": q_user_running_totals,
     "minhash_band_keys": q_minhash_band_keys,
+    "minhash_cluster_ids": q_minhash_cluster_ids,
     "name_edit_pairs": q_name_edit_pairs,
     "keyword_tags": q_keyword_tags,
     "value_moments": q_value_moments,
     "cdc_with_deletes": q_cdc_with_deletes,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "jw_name_pairs": q_jw_name_pairs,
+    "token_cooccurrence": q_token_cooccurrence,
+    "user_spend_ranks": q_user_spend_ranks,
+    "retention_cohorts": q_retention_cohorts,
+    "fk_orphans": q_fk_orphans,
 }

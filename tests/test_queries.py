@@ -108,11 +108,17 @@ SQL_CHECKED = [
     "revenue_by_priority",
     "user_running_totals",
     "minhash_band_keys",
+    "minhash_cluster_ids",
     "name_edit_pairs",
     "keyword_tags",
     "value_moments",
     "cdc_with_deletes",
     "embedding_dim_stats",
+    "jw_name_pairs",
+    "token_cooccurrence",
+    "user_spend_ranks",
+    "retention_cohorts",
+    "fk_orphans",
 ]
 
 
@@ -685,3 +691,121 @@ def test_cdc_with_deletes_semantics(ray_session, tmp_path):
     assert df.loc[1, "source"] == "base" and df.loc[1, "version"] == 0
     assert df.loc[7, "source"] == "delta"
     assert df.loc[7, "n_chars"] == 1020 and df.loc[7, "version"] == 1
+
+
+def test_user_spend_ranks_ties_and_offsets(ray_session, tmp_path):
+    """Exact ranks with tied spends (ties break by user_id) and users
+    spread across range partitions — offsets must chain exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    users = [5, 3, 9, 1, 7, 3, 5]
+    vals = [10.0, 20.0, 5.0, 20.0, 10.0, 0.5, 10.0]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(7), type=pa.int64()),
+                "ts": pa.array([0] * 7, type=pa.timestamp("us")),
+                "user_id": pa.array(users, type=pa.int64()),
+                "event_type": ["purchase"] * 7,
+                "value": pa.array(vals, type=pa.float64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    df = (
+        QUERIES["user_spend_ranks"](str(tmp_path))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    # spends: u1=2000, u3=2050, u5=2000 (tie with u1), u7=1000, u9=500;
+    # ties break by user_id, so u1 ranks before u5
+    got = df.set_index("user_id")
+    assert got.loc[9, "spend_rank"] == 1
+    assert got.loc[7, "spend_rank"] == 2
+    assert got.loc[1, "spend_rank"] == 3
+    assert got.loc[5, "spend_rank"] == 4
+    assert got.loc[3, "spend_rank"] == 5
+    assert sorted(df["spend_rank"]) == [1, 2, 3, 4, 5]
+
+
+def test_fk_orphans_detects_injected_orphans(ray_session, tmp_path):
+    """A lineitem pointing at a missing order and an order pointing at
+    a missing customer must each count as one orphan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    pq.write_table(
+        pa.table({"n_nationkey": pa.array([0], type=pa.int64())}),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], type=pa.int64()),
+                "c_nationkey": pa.array([0, 0], type=pa.int64()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11], type=pa.int64()),
+                "o_custkey": pa.array([1, 99], type=pa.int64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array([10, 10, 404], type=pa.int64())}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    df = QUERIES["fk_orphans"](str(tmp_path)).set_index("relation")
+    assert df.loc["orders.o_custkey->customer", "n_orphans"] == 1
+    assert df.loc["lineitem.l_orderkey->orders", "n_orphans"] == 1
+    assert df.loc["lineitem.l_orderkey->orders", "n_rows"] == 3
+    assert df.loc["customer.c_nationkey->nation", "n_orphans"] == 0
+
+
+def test_minhash_cluster_ids_groups_identical_docs(ray_session, tmp_path):
+    """Identical texts must land in one cluster labeled by the min doc
+    id; an unrelated text stays a singleton; an empty doc is a
+    singleton (it emits no band keys)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": [
+                    "def alpha(): return beta + gamma",
+                    "def alpha(): return beta + gamma",
+                    "SELECT x FROM y WHERE z ORDER BY w LIMIT 10",
+                    "",
+                ],
+                "lang": ["py"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": pa.array([33, 33, 43, 0], type=pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = (
+        QUERIES["minhash_cluster_ids"](str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert df.loc[1, "cluster_id"] == 1 and df.loc[2, "cluster_id"] == 1
+    assert df.loc[1, "cluster_size"] == 2
+    assert df.loc[3, "cluster_id"] == 3 and df.loc[3, "cluster_size"] == 1
+    assert df.loc[4, "cluster_id"] == 4 and df.loc[4, "cluster_size"] == 1
