@@ -1836,3 +1836,193 @@ ORACLE_SQL["fk_orphans"] = """
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     ORDER BY 1
 """
+
+ORACLE_SQL["sorted_neighborhood"] = """
+    WITH r AS (
+        SELECT c_custkey,
+               row_number() OVER (
+                   ORDER BY CAST(floor(c_acctbal * 100) AS BIGINT), c_custkey
+               ) - 1 AS rank0
+        FROM customer
+    )
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(b.rank0 - a.rank0 AS BIGINT) AS dist
+    FROM r a JOIN r b ON b.rank0 > a.rank0 AND b.rank0 <= a.rank0 + 2
+    ORDER BY 1, 2
+"""
+
+ORACLE_SQL["meta_blocking"] = """
+    WITH arrs AS (
+        SELECT doc_id,
+               regexp_split_to_array(COALESCE(text, ''), '\\s+') AS arr
+        FROM documents
+    ), raw AS (
+        SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS tok
+        FROM arrs, unnest(range(1, len(arr))) AS t(i)
+        WHERE arr[i] != '' AND arr[i + 1] != ''
+    ), toks AS (
+        SELECT DISTINCT doc_id, tok FROM raw
+    ), q AS (
+        SELECT tok FROM toks GROUP BY tok HAVING count(*) BETWEEN 2 AND 64
+    ), p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cbs
+        FROM toks a
+        JOIN q ON q.tok = a.tok
+        JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(cbs AS BIGINT) AS cbs
+    FROM p WHERE cbs >= 2 ORDER BY 1, 2
+"""
+
+
+def _fs_em_sql(iters: int) -> str:
+    """SQL twin of the quantized Fellegi-Sunter EM loop: the combo
+    histogram (8 integers, a sufficient statistic for every iteration)
+    pivots into ONE row; the recursion carries (p, m1..m3, u1..u3) as
+    scalar DOUBLE columns through the SAME left-associated multiply
+    chains and 1/2^20 fixed-point E-step quantization as the Ray side
+    (``queries._fs_em_step``) — no aggregates inside the recursion, so
+    every iteration is bit-deterministic."""
+    Q = 1 << 20
+    counts = ",\n      ".join(
+        "CAST(sum(CASE WHEN g1 = {b1} AND g2 = {b2} AND g3 = {b3} "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n{c}".format(
+            b1=(c >> 2) & 1, b2=(c >> 1) & 1, b3=c & 1, c=c
+        )
+        for c in range(8)
+    )
+
+    def wexpr(c: int) -> str:
+        t = [
+            (f"m{k + 1}" if (c >> (2 - k)) & 1 else f"(1.0 - m{k + 1})")
+            for k in range(3)
+        ]
+        v = [
+            (f"u{k + 1}" if (c >> (2 - k)) & 1 else f"(1.0 - u{k + 1})")
+            for k in range(3)
+        ]
+        a = f"(((p * {t[0]}) * {t[1]}) * {t[2]})"
+        b = f"((((1.0 - p) * {v[0]}) * {v[1]}) * {v[2]})"
+        return (
+            f"CAST(floor(({a} / ({a} + {b})) * {Q} + 0.5 + 0.000000001) "
+            f"AS BIGINT) AS w{c}"
+        )
+
+    wcols = ",\n           ".join(wexpr(c) for c in range(8))
+    s_expr = " + ".join(f"n{c} * w{c}" for c in range(8))
+    t_expr = " + ".join(f"n{c} * ({Q} - w{c})" for c in range(8))
+    n_expr = " + ".join(f"n{c}" for c in range(8))
+
+    def sk(k: int) -> str:  # combos where field k agrees (bit 2-k set)
+        return " + ".join(
+            f"n{c} * w{c}" for c in range(8) if (c >> (2 - k)) & 1
+        )
+
+    def tk(k: int) -> str:
+        return " + ".join(
+            f"n{c} * ({Q} - w{c})" for c in range(8) if (c >> (2 - k)) & 1
+        )
+
+    return f"""
+WITH RECURSIVE pr AS (
+    SELECT CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS g1,
+           CASE WHEN a.c_nationkey = b.c_nationkey THEN 1 ELSE 0 END AS g2,
+           CASE WHEN abs(CAST(floor(a.c_acctbal * 100) AS BIGINT)
+                         - CAST(floor(b.c_acctbal * 100) AS BIGINT)) < 50000
+                THEN 1 ELSE 0 END AS g3
+    FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+    WHERE a.c_custkey % 2 = 0
+), cc AS (
+    SELECT
+      {counts}
+    FROM pr
+), st AS (
+    SELECT 0 AS it,
+           CAST(0.125 AS DOUBLE) AS p,
+           CAST(0.9375 AS DOUBLE) AS m1,
+           CAST(0.9375 AS DOUBLE) AS m2,
+           CAST(0.9375 AS DOUBLE) AS m3,
+           CAST(0.25 AS DOUBLE) AS u1,
+           CAST(0.0625 AS DOUBLE) AS u2,
+           CAST(0.5 AS DOUBLE) AS u3
+    UNION ALL
+    SELECT it + 1,
+           CAST(S AS DOUBLE) / CAST(N * {Q} AS DOUBLE) AS p,
+           CAST(S1 AS DOUBLE) / CAST(S AS DOUBLE) AS m1,
+           CAST(S2 AS DOUBLE) / CAST(S AS DOUBLE) AS m2,
+           CAST(S3 AS DOUBLE) / CAST(S AS DOUBLE) AS m3,
+           CAST(T1 AS DOUBLE) / CAST(T AS DOUBLE) AS u1,
+           CAST(T2 AS DOUBLE) / CAST(T AS DOUBLE) AS u2,
+           CAST(T3 AS DOUBLE) / CAST(T AS DOUBLE) AS u3
+    FROM (
+        SELECT it,
+               {n_expr} AS N,
+               {s_expr} AS S,
+               {t_expr} AS T,
+               {sk(0)} AS S1,
+               {sk(1)} AS S2,
+               {sk(2)} AS S3,
+               {tk(0)} AS T1,
+               {tk(1)} AS T2,
+               {tk(2)} AS T3
+        FROM (
+            SELECT st.it, cc.*,
+           {wcols}
+            FROM st, cc WHERE st.it < {iters}
+        ) inner_w
+    ) sums
+)
+SELECT x.field,
+       CAST(floor(1000000 * x.m + 0.0000001) AS BIGINT) AS m_micro,
+       CAST(floor(1000000 * x.u + 0.0000001) AS BIGINT) AS u_micro,
+       CAST(floor(1000000 * x.p + 0.0000001) AS BIGINT) AS p_micro
+FROM (
+    SELECT 'mktsegment' AS field, m1 AS m, u1 AS u, p FROM st WHERE it = {iters}
+    UNION ALL
+    SELECT 'nationkey', m2, u2, p FROM st WHERE it = {iters}
+    UNION ALL
+    SELECT 'acctbal', m3, u3, p FROM st WHERE it = {iters}
+) x
+ORDER BY x.field
+"""
+
+
+ORACLE_SQL["fs_em_update"] = _fs_em_sql(1)
+ORACLE_SQL["fellegi_sunter_em"] = _fs_em_sql(20)
+
+# Blocking-quality metrics: candidates from the same full-fidelity band
+# keys as minhash_cluster_ids; truth = identical-text pairs via md5.
+_BQ_TAIL = """, cand0 AS (
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+    FROM keys a JOIN keys b
+      ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+), md AS (
+    SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents
+), cand AS (
+    SELECT c.da, c.db, CASE WHEN x.h = y.h THEN 1 ELSE 0 END AS same
+    FROM cand0 c JOIN md x ON x.doc_id = c.da JOIN md y ON y.doc_id = c.db
+), tp AS (
+    SELECT CAST(COALESCE(sum((m * (m - 1)) // 2), 0) AS BIGINT) AS n_true
+    FROM (SELECT count(*) AS m FROM md GROUP BY h) g
+), agg AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM cand) AS n_cand,
+           (SELECT CAST(COALESCE(sum(same), 0) AS BIGINT) FROM cand) AS n_cov,
+           (SELECT n_true FROM tp) AS n_true
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_cand AS BIGINT) AS n_cand_pairs,
+       CAST(n_true AS BIGINT) AS n_true_pairs,
+       CAST(n_cov AS BIGINT) AS n_covered,
+       CAST(floor(1000000 * (1.0 - CASE WHEN n_docs >= 2
+                 THEN CAST(n_cand AS DOUBLE)
+                      / CAST((n_docs * (n_docs - 1)) // 2 AS DOUBLE)
+                 ELSE 0.0 END) + 0.0000001) AS BIGINT) AS rr_micro,
+       CAST(floor(1000000 * (CAST(n_cov AS DOUBLE)
+                 / CAST(greatest(n_true, 1) AS DOUBLE)) + 0.0000001)
+            AS BIGINT) AS pc_micro
+FROM agg
+"""
+
+ORACLE_SQL["blocking_quality"] = _minhash_keys_sql().rstrip() + _BQ_TAIL

@@ -5591,6 +5591,611 @@ def q_pii_scrub(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Classic entity-resolution primitives: sorted-neighborhood blocking,
+# meta-blocking, Fellegi-Sunter EM, blocking-quality metrics
+# ---------------------------------------------------------------------------
+
+
+def q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking (SNM, Hernandez & Stolfo): records
+    sort by a blocking key and every pair within a sliding window of
+    w=3 becomes a candidate. Distributed in two shuffle-light passes:
+    (1) the exact-global-rank primitive (range partitions from a
+    deterministic boundary sample + per-partition count offsets — the
+    same machinery as ``q_user_spend_ranks``; the panel never passes
+    through the driver); (2) rank-bucketed pair emission — bucket b
+    owns ranks [bB, (b+1)B) and the first w-1 rows of every bucket
+    replicate into the previous bucket, so each window pair co-locates
+    exactly once and pair emission is a vectorized shift per distance.
+    Key: (bal_cents, c_custkey). SQL twin: ROW_NUMBER self-join on rank
+    distance 1..w-1. Reference anchor: the sorted candidate sweep in
+    ``fuzz/inexus_parser.py`` (longest-alias-first ordered scan)."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    W = 3
+    B = 1024  # rank bucket width; pairs per bucket ~ B * (W-1)
+    nparts = default_num_partitions()
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "bal_cents": pa.array(
+                    _cents(np.asarray(t["c_acctbal"], dtype=np.float64))
+                ),
+            }
+        )
+
+    panel = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+        )
+        .map_batches(key_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    # deterministic boundary sample (every 101st custkey's key value)
+    sample = np.sort(
+        np.concatenate(
+            [
+                np.asarray(b["bal_cents"])[np.asarray(b["c_custkey"]) % 101 == 0]
+                for b in panel.iter_batches(
+                    batch_size=1 << 18, batch_format="pyarrow"
+                )
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    nb = min(nparts - 1, len(sample))
+    bounds = (
+        np.unique(
+            sample[np.linspace(0, len(sample) - 1, nb + 2)[1:-1].astype(int)]
+        )
+        if nb > 0
+        else np.empty(0, np.int64)
+    )
+    bref = ray.put(bounds)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        bnds = ray.get(bref)
+        p = np.searchsorted(
+            bnds, np.asarray(t["bal_cents"], dtype=np.int64), side="right"
+        ).astype(np.int64)
+        return t.append_column("part", pa.array(p))
+
+    parted = panel.map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    cnt = np.zeros(len(bounds) + 1, dtype=np.int64)
+    for b in parted.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        idx, c = np.unique(np.asarray(b["part"]), return_counts=True)
+        cnt[idx] += c
+    offsets = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    oref = ray.put(offsets)
+
+    def local_rank(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(oref)
+        g = g.sort_values(["bal_cents", "c_custkey"], kind="stable")
+        base = int(offs[int(g["part"].iloc[0])])
+        return pd.DataFrame(
+            {
+                "c_custkey": g["c_custkey"].to_numpy(np.int64),
+                "rank0": base + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    ranked = parted.groupby("part").map_groups(
+        local_rank, batch_format="pandas"
+    )
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        r = np.asarray(t["rank0"], dtype=np.int64)
+        k = np.asarray(t["c_custkey"], dtype=np.int64)
+        bkt = r // B
+        # replicate the first W-1 ranks of each bucket into the previous
+        # bucket so boundary-straddling window pairs co-locate
+        rep = (r % B < W - 1) & (bkt > 0)
+        return pa.table(
+            {
+                "bkt": pa.array(np.concatenate([bkt, bkt[rep] - 1])),
+                "rank0": pa.array(np.concatenate([r, r[rep]])),
+                "key": pa.array(np.concatenate([k, k[rep]])),
+            }
+        )
+
+    def window_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rank0", kind="stable")
+        r = g["rank0"].to_numpy(np.int64)
+        k = g["key"].to_numpy(np.int64)
+        own_hi = (int(g["bkt"].iloc[0]) + 1) * B  # left end must be owned
+        out_a, out_b, out_d = [], [], []
+        for d in range(1, W):
+            if len(r) <= d:
+                break
+            left = np.arange(len(r) - d)
+            ok = (r[left] + d == r[left + d]) & (r[left] < own_hi)
+            out_a.append(k[left[ok]])
+            out_b.append(k[left[ok] + d])
+            out_d.append(np.full(int(ok.sum()), d, dtype=np.int64))
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "key_a": pd.Series([], dtype=np.int64),
+                    "key_b": pd.Series([], dtype=np.int64),
+                    "dist": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "key_a": np.concatenate(out_a),
+                "key_b": np.concatenate(out_b),
+                "dist": np.concatenate(out_d),
+            }
+        )
+
+    return (
+        ranked.map_batches(
+            to_buckets, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bkt")
+        .map_groups(window_pairs, batch_format="pandas")
+    )
+
+
+def q_meta_blocking(sf_dir: str):
+    """Meta-blocking with the CBS (common-block scheme) weight: token
+    blocking over whitespace tokens, blocks outside [2, 64] docs
+    dropped (oversized blocks are stop-word noise AND the quadratic
+    hazard), then every in-block pair weighted by HOW MANY blocks it
+    shares; pairs with CBS < 2 pruned. Distributed: (tok, doc_id)
+    postings shuffle ONCE by token hash bucket; per-bucket pair
+    emission is a run-length triu vectorized per block SIZE (no
+    per-token Python); pair counts combine in a pair-hash-bucketed
+    single-key pass (the composite-groupby trap avoided). At 100 TB
+    the [2,64] df gate bounds per-block work and the CBS>=2 filter
+    bounds the output. Papadakis et al.'s meta-blocking, re-expressed
+    Ray-Data-first."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    DF_MIN, DF_MAX, CBS_MIN = 2, 64, 2
+    nparts = default_num_partitions()
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        toks: list = []
+        dids: list = []
+        for did, text in zip(df["doc_id"], df["text"]):
+            arr = _WS_ASCII.split(text or "")
+            # blocking key = token BIGRAM (unigrams on web-scale text are
+            # stop-word blocks: every one blows the df gate); pairs with
+            # an empty member are skipped positionally, exactly like the
+            # SQL twin's arr[i] != '' AND arr[i+1] != ''
+            ts = {
+                arr[i] + " " + arr[i + 1]
+                for i in range(len(arr) - 1)
+                if arr[i] and arr[i + 1]
+            }
+            toks.extend(ts)
+            dids.extend([did] * len(ts))
+        out = pd.DataFrame(
+            {"tok": pd.Series(toks, dtype=object), "doc_id": dids}
+        )
+        # deterministic token hash — Python's hash() is per-process
+        # randomized and would split one token across buckets
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        t.encode("utf-8"), digest_size=8
+                    ).digest(),
+                    "little",
+                )
+                for t in out["tok"]
+            ),
+            dtype=np.uint64,
+            count=len(out),
+        )
+        out["tb"] = (splitmix64(h) % np.uint64(nparts)).astype(np.int64)
+        return out
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["tok", "doc_id"], kind="stable")
+        toks = df["tok"].to_numpy(object)
+        ids = df["doc_id"].to_numpy(np.int64)
+        new = np.concatenate([[True], toks[1:] != toks[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(toks)))
+        out_a: list = []
+        out_b: list = []
+        for s in np.unique(lens):
+            if s < DF_MIN or s > DF_MAX:
+                continue
+            sel = starts[lens == s]
+            block = ids[sel[:, None] + np.arange(s)[None, :]]
+            iu, ju = np.triu_indices(int(s), k=1)
+            out_a.append(block[:, iu].ravel())
+            out_b.append(block[:, ju].ravel())
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=np.int64),
+                    "doc_b": pd.Series([], dtype=np.int64),
+                    "w": pd.Series([], dtype=np.int64),
+                }
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        # partial combine inside the bucket before the pair shuffle
+        pk = pd.DataFrame({"doc_a": a, "doc_b": b})
+        h = pk.groupby(["doc_a", "doc_b"], sort=False).size().reset_index()
+        h.columns = ["doc_a", "doc_b", "w"]
+        return h.astype({"w": np.int64})
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"], dtype=np.int64).astype(np.uint64)
+        b = np.asarray(t["doc_b"], dtype=np.int64).astype(np.uint64)
+        pb = (
+            splitmix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
+            % np.uint64(nparts)
+        ).astype(np.int64)
+        return t.append_column("pb", pa.array(pb))
+
+    def combine_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby(["doc_a", "doc_b"], sort=False, as_index=False)["w"].sum()
+        h = h[h["w"] >= CBS_MIN]
+        return pd.DataFrame(
+            {
+                "doc_a": h["doc_a"].to_numpy(np.int64),
+                "doc_b": h["doc_b"].to_numpy(np.int64),
+                "cbs": h["w"].to_numpy(np.int64),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tok_partial, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .map_batches(add_pb, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pb")
+        .map_groups(combine_pairs, batch_format="pandas")
+        .materialize()
+    )
+    if out.count() == 0:
+        # all groups empty → Ray loses the schema entirely; pin it
+        return pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                ("cbs", pa.int64()),
+            ]
+        ).empty_table()
+    return out
+
+
+# Fellegi-Sunter parameters: ALL exact binary doubles so the Ray and
+# DuckDB sides compute bit-identical E-step weights from any engine.
+_FS_P0 = 0.125
+_FS_M0 = (0.9375, 0.9375, 0.9375)
+_FS_U0 = (0.25, 0.0625, 0.5)
+_FS_FIELDS = ("mktsegment", "nationkey", "acctbal")
+_FS_Q = 1 << 20  # E-step weight fixed-point quantum
+
+
+def _fs_combo_counts(sf_dir: str) -> np.ndarray:
+    """The ONE distributed pass of Fellegi-Sunter over binary
+    comparison vectors: pairs = (c_custkey 2i, 2i+1), fields g1 = same
+    mktsegment, g2 = same nationkey, g3 = |Δ bal_cents| < 50000. The
+    8-combo histogram is a sufficient statistic for EVERY EM iteration
+    — pairs co-locate via one pair-id hash-bucket shuffle, each bucket
+    folds its combos vectorized, and the driver sees only 8 integers
+    per bucket. At 100 TB the EM loop itself therefore costs nothing
+    beyond this single pass."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def part_emit(t: pa.Table) -> pa.Table:
+        ck = np.asarray(t["c_custkey"], dtype=np.int64)
+        pid = ck // 2
+        pb = (splitmix64(pid.astype(np.uint64)) % np.uint64(nparts)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "pb": pa.array(pb),
+                "pair_id": pa.array(pid),
+                "c_custkey": t["c_custkey"],
+                "seg": t["c_mktsegment"],
+                "nat": t["c_nationkey"],
+                "bal_cents": pa.array(
+                    _cents(np.asarray(t["c_acctbal"], dtype=np.float64))
+                ),
+            }
+        )
+
+    def combos(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["pair_id", "c_custkey"], kind="stable")
+        pid = df["pair_id"].to_numpy(np.int64)
+        i = np.flatnonzero(pid[:-1] == pid[1:])
+        seg = df["seg"].to_numpy(object)
+        nat = df["nat"].to_numpy(np.int64)
+        bal = df["bal_cents"].to_numpy(np.int64)
+        g1 = seg[i] == seg[i + 1]
+        g2 = nat[i] == nat[i + 1]
+        g3 = np.abs(bal[i] - bal[i + 1]) < 50000
+        combo = g1 * 4 + g2 * 2 + g3 * 1
+        n = np.bincount(combo.astype(np.int64), minlength=8)
+        return pd.DataFrame(
+            {"combo": np.arange(8, dtype=np.int64), "n": n.astype(np.int64)}
+        )
+
+    panel = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal"],
+        )
+        .map_batches(part_emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pb")
+        .map_groups(combos, batch_format="pandas")
+        .to_pandas()
+    )
+    counts = np.zeros(8, dtype=np.int64)
+    agg = panel.groupby("combo")["n"].sum()
+    counts[agg.index.to_numpy(np.int64)] = agg.to_numpy(np.int64)
+    return counts
+
+
+def _fs_em_step(counts: np.ndarray, p, m, u):
+    """One EM iteration over the combo histogram, E-step weights
+    quantized to 1/2^20 so integer sums make every iteration
+    bit-deterministic (the SQL twin mirrors the same arithmetic)."""
+    import math
+
+    S = T = 0
+    Sk = [0, 0, 0]
+    Tk = [0, 0, 0]
+    N = 0
+    for c in range(8):
+        n = int(counts[c])
+        bits = ((c >> 2) & 1, (c >> 1) & 1, c & 1)
+        a = p
+        b = 1.0 - p
+        for k in range(3):
+            a = a * (m[k] if bits[k] else 1.0 - m[k])
+            b = b * (u[k] if bits[k] else 1.0 - u[k])
+        w = a / (a + b)
+        wfix = int(math.floor(w * _FS_Q + 0.5 + 1e-9))
+        S += n * wfix
+        T += n * (_FS_Q - wfix)
+        N += n
+        for k in range(3):
+            if bits[k]:
+                Sk[k] += n * wfix
+                Tk[k] += n * (_FS_Q - wfix)
+    new_m = tuple(Sk[k] / S for k in range(3))
+    new_u = tuple(Tk[k] / T for k in range(3))
+    new_p = S / (N * _FS_Q)
+    return new_p, new_m, new_u
+
+
+def _fs_result_table(p, m, u) -> pa.Table:
+    import math
+
+    def micro(x: float) -> int:
+        return int(math.floor(1000000.0 * x + 1e-7))
+
+    return pa.table(
+        {
+            "field": pa.array(list(_FS_FIELDS), type=pa.string()),
+            "m_micro": pa.array([micro(x) for x in m], type=pa.int64()),
+            "u_micro": pa.array([micro(x) for x in u], type=pa.int64()),
+            "p_micro": pa.array([micro(p)] * 3, type=pa.int64()),
+        }
+    )
+
+
+def q_fs_em_update(sf_dir: str):
+    """ONE Fellegi-Sunter EM iteration (probabilistic record linkage,
+    the Splink/Dedupe model) with a FULL SQL oracle: m/u/λ updates from
+    binary comparison vectors over deterministic (2i, 2i+1) customer
+    pairs. All start parameters are exact binary doubles and E-step
+    weights quantize to 1/2^20 fixed point, so both engines fold the
+    SAME integers — the oracle recomputes the update scalar-for-scalar.
+    The distributed part is the one combo-histogram pass
+    (``_fs_combo_counts``); the update itself reads 8 integers."""
+    counts = _fs_combo_counts(sf_dir)
+    p, m, u = _fs_em_step(counts, _FS_P0, list(_FS_M0), list(_FS_U0))
+    return _fs_result_table(p, m, u)
+
+
+_FS_ITERS = 20
+
+
+def q_fellegi_sunter_em(sf_dir: str):
+    """Fellegi-Sunter EM to convergence (20 fixed-point iterations) —
+    the full iterative-training loop, oracle-checked END-TO-END via a
+    recursive CTE that carries (p, m, u) through the same quantized
+    update. The combo histogram from the single distributed pass is a
+    sufficient statistic, so iterations are free at any corpus size."""
+    counts = _fs_combo_counts(sf_dir)
+    p, m, u = _FS_P0, list(_FS_M0), list(_FS_U0)
+    for _ in range(_FS_ITERS):
+        p, m, u = _fs_em_step(counts, p, m, u)
+    return _fs_result_table(p, m, u)
+
+
+def q_blocking_quality(sf_dir: str):
+    """Blocking-quality metrics (the standard ER evaluation pair):
+    reduction ratio RR = 1 - |candidates| / C(n,2) and pairs
+    completeness PC = |true ∩ candidates| / |true|, measured for the
+    SQL-checkable MinHash-LSH blocking (``_mh_band_rows``) against
+    exact-duplicate ground truth (identical text md5). One pass emits
+    band keys + content hash per doc; candidates pair within (band,
+    key) groups, dedup across bands via pair-hash buckets; true-pair
+    counts fold from md5 group sizes. Output: ONE summary row."""
+    import hashlib
+    import math
+
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids, bands, keys = _mh_band_rows(t)
+        # md5 per emitted row's doc (align by position via a doc->md5 map)
+        texts = t["text"].to_pylist()
+        dids = np.asarray(t["doc_id"], dtype=np.int64)
+        md = {
+            int(d): hashlib.md5((x or "").encode("utf-8")).hexdigest()
+            for d, x in zip(dids, texts)
+        }
+        gb = (
+            splitmix64(
+                keys.astype(np.uint64)
+                + (bands.astype(np.uint64) << np.uint64(56))
+            )
+            % np.uint64(nparts)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "gb": pa.array(gb),
+                "band": pa.array(bands),
+                "key": pa.array(keys.view(np.int64)),
+                "doc_id": pa.array(ids),
+                "h": pa.array([md[int(d)] for d in ids], type=pa.string()),
+            }
+        )
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["band", "key", "doc_id"], kind="stable")
+        bk = df["band"].to_numpy(np.int64) * (1 << 56) + df["key"].to_numpy(
+            np.int64
+        )
+        ids = df["doc_id"].to_numpy(np.int64)
+        hs = df["h"].to_numpy(object)
+        new = np.concatenate([[True], bk[1:] != bk[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(bk)))
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        for s in np.unique(lens):
+            if s < 2:
+                continue
+            sel = starts[lens == s]
+            block = ids[sel[:, None] + np.arange(s)[None, :]]
+            hb = hs[sel[:, None] + np.arange(s)[None, :]]
+            iu, ju = np.triu_indices(int(s), k=1)
+            out_a.append(block[:, iu].ravel())
+            out_b.append(block[:, ju].ravel())
+            out_s.append((hb[:, iu] == hb[:, ju]).ravel())
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=np.int64),
+                    "doc_b": pd.Series([], dtype=np.int64),
+                    "same": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "same": np.concatenate(out_s).astype(np.int64),
+            }
+        ).drop_duplicates(["doc_a", "doc_b"])
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"], dtype=np.int64).astype(np.uint64)
+        b = np.asarray(t["doc_b"], dtype=np.int64).astype(np.uint64)
+        pb = (
+            splitmix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
+            % np.uint64(nparts)
+        ).astype(np.int64)
+        return t.append_column("pb", pa.array(pb))
+
+    def dedup_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["doc_a", "doc_b"])
+        return pd.DataFrame(
+            {
+                "n_cand": [np.int64(len(d))],
+                "n_cov": [np.int64(int(d["same"].sum()))],
+            }
+        )
+
+    cand = (
+        docs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gb")
+        .map_groups(group_pairs, batch_format="pandas")
+        .map_batches(add_pb, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pb")
+        .map_groups(dedup_count, batch_format="pandas")
+        .to_pandas()
+    )
+    n_cand = int(cand["n_cand"].sum()) if len(cand) else 0
+    n_cov = int(cand["n_cov"].sum()) if len(cand) else 0
+
+    def md5_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = [
+            hashlib.md5((x or "").encode("utf-8")).hexdigest()
+            for x in df["text"]
+        ]
+        out = pd.DataFrame({"h": h}).groupby("h").size().reset_index()
+        out.columns = ["h", "m"]
+        out["m"] = out["m"].astype(np.int64)
+        # hash-bucket the md5 keys: ONE bucketed combine, not one
+        # Python map_groups call per distinct text
+        hb = np.fromiter(
+            (int(x[:15], 16) for x in out["h"]),
+            dtype=np.uint64,
+            count=len(out),
+        )
+        out["hb"] = (splitmix64(hb) % np.uint64(nparts)).astype(np.int64)
+        return out
+
+    def true_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("h")["m"].sum().to_numpy(np.int64)
+        return pd.DataFrame(
+            {"n_true": [np.int64(int((sizes * (sizes - 1) // 2).sum()))]}
+        )
+
+    tp = (
+        docs.map_batches(md5_partial, batch_format="pandas")
+        .groupby("hb")
+        .map_groups(true_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    n_true = int(tp["n_true"].sum()) if len(tp) else 0
+    n_docs = docs.count()
+
+    total2 = n_docs * (n_docs - 1) // 2
+    rr = 1.0 - (n_cand / total2 if total2 > 0 else 0.0)
+    pc_ = n_cov / max(n_true, 1)
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], type=pa.int64()),
+            "n_cand_pairs": pa.array([n_cand], type=pa.int64()),
+            "n_true_pairs": pa.array([n_true], type=pa.int64()),
+            "n_covered": pa.array([n_cov], type=pa.int64()),
+            "rr_micro": pa.array(
+                [int(math.floor(1000000.0 * rr + 1e-7))], type=pa.int64()
+            ),
+            "pc_micro": pa.array(
+                [int(math.floor(1000000.0 * pc_ + 1e-7))], type=pa.int64()
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -5695,4 +6300,9 @@ QUERIES = {
     "user_spend_ranks": q_user_spend_ranks,
     "retention_cohorts": q_retention_cohorts,
     "fk_orphans": q_fk_orphans,
+    "sorted_neighborhood": q_sorted_neighborhood,
+    "meta_blocking": q_meta_blocking,
+    "fs_em_update": q_fs_em_update,
+    "fellegi_sunter_em": q_fellegi_sunter_em,
+    "blocking_quality": q_blocking_quality,
 }

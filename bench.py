@@ -112,11 +112,13 @@ def main() -> None:
     # materialize: a lazy .limit() yields DIFFERENT rows on re-execution
     # at high parallelism, and the rescore stage re-reads the corpus
     dedup_pipeline(corpus.limit(512).materialize()).assignments.count()
-    # ...then ONE full untimed pass: the mini-run warms imports and the
+    # ...then TWO full untimed passes: the mini-run warms imports and the
     # page cache but not the actor pools / object store at full fan-out —
-    # without this the first timed leg reads ~40% high (r2: [86.2, 64.7];
-    # r3 pre-fix: [56.9, 48.8, 41.0] — a monotone warm-up trend, not
-    # noise).
+    # and the FIRST full pass still reads 2-2.5x high (r3 measured
+    # [113.8, 45.4, 43.6] with one warm-up pass: leg 1 pays object-store
+    # eviction of the warm-up's blocks; legs 2-3 agree within 4%). Two
+    # passes reach the steady state the timed legs are meant to measure.
+    dedup_pipeline(corpus).assignments.count()
     dedup_pipeline(corpus).assignments.count()
 
     # three timed runs (post-warm-up), min reported: single-shot numbers

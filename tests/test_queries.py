@@ -119,6 +119,11 @@ SQL_CHECKED = [
     "user_spend_ranks",
     "retention_cohorts",
     "fk_orphans",
+    "sorted_neighborhood",
+    "meta_blocking",
+    "fs_em_update",
+    "fellegi_sunter_em",
+    "blocking_quality",
 ]
 
 
@@ -809,3 +814,226 @@ def test_minhash_cluster_ids_groups_identical_docs(ray_session, tmp_path):
     assert df.loc[1, "cluster_size"] == 2
     assert df.loc[3, "cluster_id"] == 3 and df.loc[3, "cluster_size"] == 1
     assert df.loc[4, "cluster_id"] == 4 and df.loc[4, "cluster_size"] == 1
+
+
+def _write_docs(tmp_path, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, len(texts) + 1), type=pa.int64()),
+                "text": texts,
+                "lang": ["py"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], type=pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+
+def test_sorted_neighborhood_window_pairs(ray_session, tmp_path):
+    """w=3 window over (bal_cents, custkey) order must emit exactly the
+    rank-distance-1 and -2 pairs, including across tied balances."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    # balances: key order by (cents, custkey):
+    #   30(5.00) < 10(10.00) < 40(10.00) < 20(20.00) < 50(30.00)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([10, 20, 30, 40, 50], type=pa.int64()),
+                "c_name": [f"Customer#{k}" for k in (10, 20, 30, 40, 50)],
+                "c_nationkey": pa.array([0] * 5, type=pa.int64()),
+                "c_acctbal": pa.array(
+                    [10.0, 20.0, 5.0, 10.0, 30.0], type=pa.float64()
+                ),
+                "c_mktsegment": ["BUILDING"] * 5,
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    df = (
+        QUERIES["sorted_neighborhood"](str(tmp_path))
+        .to_pandas()
+        .sort_values(["key_a", "key_b"])
+        .reset_index(drop=True)
+    )
+    got = {(a, b, d) for a, b, d in zip(df["key_a"], df["key_b"], df["dist"])}
+    order = [30, 10, 40, 20, 50]
+    want = set()
+    for i in range(len(order)):
+        for d in (1, 2):
+            if i + d < len(order):
+                want.add((order[i], order[i + d], d))
+    assert got == want
+
+
+def test_meta_blocking_cbs_weights(ray_session, tmp_path):
+    """Pairs sharing >=2 qualifying token bigrams survive with the
+    right CBS; pairs sharing only one are pruned; a bigram present in
+    too many docs is not a block."""
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    # docs 1 & 2 share bigrams "alpha beta" and "beta gamma" (CBS 2);
+    # docs 1 & 3 share only "zz top" (CBS 1 -> pruned);
+    # "common word" appears in all 70 filler docs + none of 1-3.
+    texts = [
+        "alpha beta gamma zz top",
+        "alpha beta gamma other",
+        "zz top unrelated",
+    ] + ["common word filler%d" % i for i in range(70)]
+    _write_docs(tmp_path, texts)
+    df = QUERIES["meta_blocking"](str(tmp_path)).to_pandas()
+    got = {
+        (a, b): c for a, b, c in zip(df["doc_a"], df["doc_b"], df["cbs"])
+    }
+    assert got == {(1, 2): 2}
+
+
+def test_fs_em_update_hand_computed(ray_session, tmp_path):
+    """One EM iteration over a two-combo corpus must match the closed
+    form computed by hand from the quantized weights."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import (
+        _FS_M0,
+        _FS_P0,
+        _FS_Q,
+        _FS_U0,
+        QUERIES,
+    )
+
+    # 4 customers -> 2 pairs: pair (0,1) agrees everywhere (combo 7),
+    # pair (2,3) disagrees everywhere (combo 0).
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "c_name": ["a", "b", "c", "d"],
+                "c_nationkey": pa.array([5, 5, 1, 2], type=pa.int64()),
+                "c_acctbal": pa.array(
+                    [100.0, 100.0, 100.0, 5000.0], type=pa.float64()
+                ),
+                "c_mktsegment": ["AUTO", "AUTO", "AUTO", "STEEL"],
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    df = (
+        QUERIES["fs_em_update"](str(tmp_path))
+        .to_pandas()
+        .set_index("field")
+        .sort_index()
+    )
+
+    def step(p, m, u):
+        a7 = ((p * m[0]) * m[1]) * m[2]
+        b7 = (((1.0 - p) * u[0]) * u[1]) * u[2]
+        w7 = int(math.floor(a7 / (a7 + b7) * _FS_Q + 0.5 + 1e-9))
+        a0 = ((p * (1 - m[0])) * (1 - m[1])) * (1 - m[2])
+        b0 = (((1.0 - p) * (1 - u[0])) * (1 - u[1])) * (1 - u[2])
+        w0 = int(math.floor(a0 / (a0 + b0) * _FS_Q + 0.5 + 1e-9))
+        S, T = w7 + w0, 2 * _FS_Q - w7 - w0
+        m_new = w7 / S  # only combo 7 has any bit set
+        u_new = (_FS_Q - w7) / T
+        p_new = S / (2 * _FS_Q)
+        return m_new, u_new, p_new
+
+    m_new, u_new, p_new = step(_FS_P0, list(_FS_M0), list(_FS_U0))
+    for f in ("mktsegment", "nationkey", "acctbal"):
+        assert df.loc[f, "m_micro"] == int(math.floor(1e6 * m_new + 1e-7))
+        assert df.loc[f, "u_micro"] == int(math.floor(1e6 * u_new + 1e-7))
+        assert df.loc[f, "p_micro"] == int(math.floor(1e6 * p_new + 1e-7))
+
+
+def test_fellegi_sunter_em_recovers_planted_params(ray_session, tmp_path):
+    """EM over a corpus with 30% planted matches must drive m toward 1,
+    keep u near the random-agreement rates, and land p near 0.3."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    rng = np.random.default_rng(7)
+    n_pairs = 4000
+    segs = np.array(["AUTO", "STEEL", "FURNITURE", "BUILDING", "MACHINERY"])
+    rows = {"c_custkey": [], "c_name": [], "c_nationkey": [],
+            "c_acctbal": [], "c_mktsegment": []}
+    for i in range(n_pairs):
+        match = rng.random() < 0.3
+        seg_a = segs[rng.integers(5)]
+        nat_a = int(rng.integers(25))
+        bal_a = float(rng.integers(0, 900000)) / 100.0
+        if match:  # noisy copies: agree with prob ~0.95 per field
+            seg_b = seg_a if rng.random() < 0.95 else segs[rng.integers(5)]
+            nat_b = nat_a if rng.random() < 0.95 else int(rng.integers(25))
+            bal_b = bal_a + (0.0 if rng.random() < 0.95 else 10000.0)
+        else:
+            seg_b = segs[rng.integers(5)]
+            nat_b = int(rng.integers(25))
+            bal_b = float(rng.integers(0, 900000)) / 100.0
+        for j, (s, n, b) in enumerate(
+            ((seg_a, nat_a, bal_a), (seg_b, nat_b, bal_b))
+        ):
+            rows["c_custkey"].append(2 * i + j)
+            rows["c_name"].append(f"c{2 * i + j}")
+            rows["c_nationkey"].append(n)
+            rows["c_acctbal"].append(b)
+            rows["c_mktsegment"].append(s)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(rows["c_custkey"], type=pa.int64()),
+                "c_name": rows["c_name"],
+                "c_nationkey": pa.array(rows["c_nationkey"], type=pa.int64()),
+                "c_acctbal": pa.array(rows["c_acctbal"], type=pa.float64()),
+                "c_mktsegment": rows["c_mktsegment"],
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    df = (
+        QUERIES["fellegi_sunter_em"](str(tmp_path))
+        .to_pandas()
+        .set_index("field")
+    )
+    # m estimates near the planted 0.95 agreement; u near random rates
+    for f in ("mktsegment", "nationkey", "acctbal"):
+        assert df.loc[f, "m_micro"] > 850000, df
+        assert df.loc[f, "u_micro"] < df.loc[f, "m_micro"]
+    assert 200000 < df.loc["mktsegment", "p_micro"] < 400000
+    # u for nationkey ~ 1/25 = 4%; for mktsegment ~ 1/5 = 20%
+    assert df.loc["nationkey", "u_micro"] < df.loc["mktsegment", "u_micro"]
+
+
+def test_blocking_quality_exact_dups_covered(ray_session, tmp_path):
+    """Identical texts share every band key, so PC must be 1.0; with
+    far more docs than candidates RR stays near 1."""
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    texts = (
+        ["def dup(): return 42  # identical twin payload"] * 3
+        + ["unique doc %d with its own words and shape %d" % (i, i * i)
+           for i in range(40)]
+    )
+    _write_docs(tmp_path, texts)
+    row = QUERIES["blocking_quality"](str(tmp_path)).to_pandas().iloc[0]
+    assert row["n_docs"] == 43
+    assert row["n_true_pairs"] == 3  # C(3,2)
+    assert row["n_covered"] == 3 and row["pc_micro"] == 1000000
+    assert row["n_cand_pairs"] >= 3
+    # near-identical filler docs legitimately collide in some bands;
+    # the substantive check is PC == 1.0 above
+    assert row["rr_micro"] > 700000
