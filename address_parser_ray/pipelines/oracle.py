@@ -1876,7 +1876,7 @@ ORACLE_SQL["meta_blocking"] = """
 """
 
 
-def _fs_em_sql(iters: int) -> str:
+def _fs_em_sql(iters: int, classify: bool = False) -> str:
     """SQL twin of the quantized Fellegi-Sunter EM loop: the combo
     histogram (8 integers, a sufficient statistic for every iteration)
     pivots into ONE row; the recursion carries (p, m1..m3, u1..u3) as
@@ -1924,9 +1924,64 @@ def _fs_em_sql(iters: int) -> str:
             f"n{c} * ({Q} - w{c})" for c in range(8) if (c >> (2 - k)) & 1
         )
 
+    # parameter clamp to [2^-20, 1 - 2^-20] (exact binary doubles,
+    # mirroring queries._FS_EPS): perfectly-separated data otherwise
+    # drives m/u to exactly 1/0 and zeroes both mixture likelihoods
+    EPS = "0.00000095367431640625"
+    HI = "0.99999904632568359375"
+
+    def cl(num: str, den: str) -> str:
+        x = f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)"
+        return (
+            f"least(greatest(CASE WHEN {den} > 0 THEN {x} "
+            f"ELSE {EPS} END, {EPS}), {HI})"
+        )
+
+    if classify:
+        # per-pair posterior from the CONVERGED params: the same
+        # left-associated chain, with g-bits per pair instead of per combo
+        tc = [
+            f"(CASE WHEN g{k + 1} = 1 THEN m{k + 1} "
+            f"ELSE (1.0 - m{k + 1}) END)"
+            for k in range(3)
+        ]
+        vc = [
+            f"(CASE WHEN g{k + 1} = 1 THEN u{k + 1} "
+            f"ELSE (1.0 - u{k + 1}) END)"
+            for k in range(3)
+        ]
+        ac = f"(((p * {tc[0]}) * {tc[1]}) * {tc[2]})"
+        bc = f"((((1.0 - p) * {vc[0]}) * {vc[1]}) * {vc[2]})"
+        final = f"""
+SELECT pr.pair_id,
+       CAST(pr.g1 * 4 + pr.g2 * 2 + pr.g3 AS BIGINT) AS combo,
+       CAST(floor(({ac} / ({ac} + {bc})) * {Q} + 0.5 + 0.000000001)
+            AS BIGINT) AS w_fix,
+       CAST(CASE WHEN floor(({ac} / ({ac} + {bc})) * {Q} + 0.5
+                             + 0.000000001) >= {Q // 2}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_match
+FROM pr, (SELECT * FROM st WHERE it = {iters}) fin
+ORDER BY pr.pair_id
+"""
+    else:
+        final = f"""
+SELECT x.field,
+       CAST(floor(1000000 * x.m + 0.0000001) AS BIGINT) AS m_micro,
+       CAST(floor(1000000 * x.u + 0.0000001) AS BIGINT) AS u_micro,
+       CAST(floor(1000000 * x.p + 0.0000001) AS BIGINT) AS p_micro
+FROM (
+    SELECT 'mktsegment' AS field, m1 AS m, u1 AS u, p FROM st WHERE it = {iters}
+    UNION ALL
+    SELECT 'nationkey', m2, u2, p FROM st WHERE it = {iters}
+    UNION ALL
+    SELECT 'acctbal', m3, u3, p FROM st WHERE it = {iters}
+) x
+ORDER BY x.field
+"""
     return f"""
 WITH RECURSIVE pr AS (
-    SELECT CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS g1,
+    SELECT a.c_custkey // 2 AS pair_id,
+           CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS g1,
            CASE WHEN a.c_nationkey = b.c_nationkey THEN 1 ELSE 0 END AS g2,
            CASE WHEN abs(CAST(floor(a.c_acctbal * 100) AS BIGINT)
                          - CAST(floor(b.c_acctbal * 100) AS BIGINT)) < 50000
@@ -1948,13 +2003,13 @@ WITH RECURSIVE pr AS (
            CAST(0.5 AS DOUBLE) AS u3
     UNION ALL
     SELECT it + 1,
-           CAST(S AS DOUBLE) / CAST(N * {Q} AS DOUBLE) AS p,
-           CAST(S1 AS DOUBLE) / CAST(S AS DOUBLE) AS m1,
-           CAST(S2 AS DOUBLE) / CAST(S AS DOUBLE) AS m2,
-           CAST(S3 AS DOUBLE) / CAST(S AS DOUBLE) AS m3,
-           CAST(T1 AS DOUBLE) / CAST(T AS DOUBLE) AS u1,
-           CAST(T2 AS DOUBLE) / CAST(T AS DOUBLE) AS u2,
-           CAST(T3 AS DOUBLE) / CAST(T AS DOUBLE) AS u3
+           {cl('S', f'N * {Q}')} AS p,
+           {cl('S1', 'S')} AS m1,
+           {cl('S2', 'S')} AS m2,
+           {cl('S3', 'S')} AS m3,
+           {cl('T1', 'T')} AS u1,
+           {cl('T2', 'T')} AS u2,
+           {cl('T3', 'T')} AS u3
     FROM (
         SELECT it,
                {n_expr} AS N,
@@ -1973,23 +2028,13 @@ WITH RECURSIVE pr AS (
         ) inner_w
     ) sums
 )
-SELECT x.field,
-       CAST(floor(1000000 * x.m + 0.0000001) AS BIGINT) AS m_micro,
-       CAST(floor(1000000 * x.u + 0.0000001) AS BIGINT) AS u_micro,
-       CAST(floor(1000000 * x.p + 0.0000001) AS BIGINT) AS p_micro
-FROM (
-    SELECT 'mktsegment' AS field, m1 AS m, u1 AS u, p FROM st WHERE it = {iters}
-    UNION ALL
-    SELECT 'nationkey', m2, u2, p FROM st WHERE it = {iters}
-    UNION ALL
-    SELECT 'acctbal', m3, u3, p FROM st WHERE it = {iters}
-) x
-ORDER BY x.field
+{final}
 """
 
 
 ORACLE_SQL["fs_em_update"] = _fs_em_sql(1)
 ORACLE_SQL["fellegi_sunter_em"] = _fs_em_sql(20)
+ORACLE_SQL["fs_classify"] = _fs_em_sql(20, classify=True)
 
 # Blocking-quality metrics: candidates from the same full-fidelity band
 # keys as minhash_cluster_ids; truth = identical-text pairs via md5.

@@ -5884,6 +5884,8 @@ _FS_M0 = (0.9375, 0.9375, 0.9375)
 _FS_U0 = (0.25, 0.0625, 0.5)
 _FS_FIELDS = ("mktsegment", "nationkey", "acctbal")
 _FS_Q = 1 << 20  # E-step weight fixed-point quantum
+_FS_EPS = 2.0**-20  # parameter clamp (exact binary double)
+_FS_ONE_MINUS_EPS = 1.0 - 2.0**-20  # exact: 0.99999904632568359375
 
 
 def _fs_combo_counts(sf_dir: str) -> np.ndarray:
@@ -5978,9 +5980,19 @@ def _fs_em_step(counts: np.ndarray, p, m, u):
             if bits[k]:
                 Sk[k] += n * wfix
                 Tk[k] += n * (_FS_Q - wfix)
-    new_m = tuple(Sk[k] / S for k in range(3))
-    new_u = tuple(Tk[k] / T for k in range(3))
-    new_p = S / (N * _FS_Q)
+    # clamp away from {0, 1} (exact binary 2^-20 bounds, mirrored
+    # literal-for-literal in the SQL twin): perfectly-separated data
+    # otherwise drives m -> 1 / u -> 0 exactly and zeroes BOTH mixture
+    # likelihoods for mixed combos on the next E-step
+    eps = _FS_EPS
+    hi = _FS_ONE_MINUS_EPS
+
+    def cl(num: int, den: int) -> float:
+        return min(max(num / den if den > 0 else eps, eps), hi)
+
+    new_m = tuple(cl(Sk[k], S) for k in range(3))
+    new_u = tuple(cl(Tk[k], T) for k in range(3))
+    new_p = cl(S, N * _FS_Q)
     return new_p, new_m, new_u
 
 
@@ -6028,6 +6040,93 @@ def q_fellegi_sunter_em(sf_dir: str):
     for _ in range(_FS_ITERS):
         p, m, u = _fs_em_step(counts, p, m, u)
     return _fs_result_table(p, m, u)
+
+
+def q_fs_classify(sf_dir: str):
+    """Fellegi-Sunter DECISION step: the converged EM parameters score
+    every pair's posterior match probability and pairs with w >= 1/2
+    classify as matches — the apply-the-model half of probabilistic
+    record linkage. Distributed: the combo histogram fits the model
+    (one pass), then a second pass re-emits each pair's combo and maps
+    it through the 8-entry combo → (w_fix, is_match) table (broadcast;
+    the posterior depends only on the binary comparison vector). All
+    outputs integer (1/2^20 fixed point) → bit-exact SQL twin."""
+    counts = _fs_combo_counts(sf_dir)
+    p, m, u = _FS_P0, list(_FS_M0), list(_FS_U0)
+    for _ in range(_FS_ITERS):
+        p, m, u = _fs_em_step(counts, p, m, u)
+
+    import math
+
+    wfix_by_combo = np.empty(8, dtype=np.int64)
+    for c in range(8):
+        bits = ((c >> 2) & 1, (c >> 1) & 1, c & 1)
+        a = p
+        b = 1.0 - p
+        for k in range(3):
+            a = a * (m[k] if bits[k] else 1.0 - m[k])
+            b = b * (u[k] if bits[k] else 1.0 - u[k])
+        wfix_by_combo[c] = int(
+            math.floor(a / (a + b) * _FS_Q + 0.5 + 1e-9)
+        )
+    wref = ray.put(wfix_by_combo)
+
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def part_emit(t: pa.Table) -> pa.Table:
+        ck = np.asarray(t["c_custkey"], dtype=np.int64)
+        pid = ck // 2
+        pb = (splitmix64(pid.astype(np.uint64)) % np.uint64(nparts)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "pb": pa.array(pb),
+                "pair_id": pa.array(pid),
+                "c_custkey": t["c_custkey"],
+                "seg": t["c_mktsegment"],
+                "nat": t["c_nationkey"],
+                "bal_cents": pa.array(
+                    _cents(np.asarray(t["c_acctbal"], dtype=np.float64))
+                ),
+            }
+        )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        wtab = ray.get(wref)
+        df = g.sort_values(["pair_id", "c_custkey"], kind="stable")
+        pid = df["pair_id"].to_numpy(np.int64)
+        i = np.flatnonzero(pid[:-1] == pid[1:])
+        seg = df["seg"].to_numpy(object)
+        nat = df["nat"].to_numpy(np.int64)
+        bal = df["bal_cents"].to_numpy(np.int64)
+        combo = (
+            (seg[i] == seg[i + 1]) * 4
+            + (nat[i] == nat[i + 1]) * 2
+            + (np.abs(bal[i] - bal[i + 1]) < 50000) * 1
+        ).astype(np.int64)
+        w = wtab[combo]
+        return pd.DataFrame(
+            {
+                "pair_id": pid[i],
+                "combo": combo,
+                "w_fix": w,
+                "is_match": (w >= _FS_Q // 2).astype(np.int64),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal"],
+        )
+        .map_batches(part_emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pb")
+        .map_groups(classify, batch_format="pandas")
+    )
 
 
 def q_blocking_quality(sf_dir: str):
@@ -6304,5 +6403,6 @@ QUERIES = {
     "meta_blocking": q_meta_blocking,
     "fs_em_update": q_fs_em_update,
     "fellegi_sunter_em": q_fellegi_sunter_em,
+    "fs_classify": q_fs_classify,
     "blocking_quality": q_blocking_quality,
 }

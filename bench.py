@@ -118,8 +118,9 @@ def main() -> None:
     # [113.8, 45.4, 43.6] with one warm-up pass: leg 1 pays object-store
     # eviction of the warm-up's blocks; legs 2-3 agree within 4%). Two
     # passes reach the steady state the timed legs are meant to measure.
-    dedup_pipeline(corpus).assignments.count()
-    dedup_pipeline(corpus).assignments.count()
+    n_warm = int(os.environ.get("APR_BENCH_WARMUPS", "2"))
+    for _ in range(n_warm):
+        dedup_pipeline(corpus).assignments.count()
 
     # three timed runs (post-warm-up), min reported: single-shot numbers
     # on this sandbox swing ±20% with ambient load (BASELINE.md noise
@@ -243,6 +244,9 @@ def scaling(lo: int = 8, hi: int = 32, reps: int = 3) -> None:
             GRAFT_SF_DIR=SF_DIR,
             APR_BENCH_SKIP_QUERIES="1",
             APR_BENCH_E2E_RUNS="2",
+            # one warm-up per leg: the interleaved min-of-reps already
+            # filters cold runs; two would double each leg's wall-clock
+            APR_BENCH_WARMUPS="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],

@@ -123,6 +123,7 @@ SQL_CHECKED = [
     "meta_blocking",
     "fs_em_update",
     "fellegi_sunter_em",
+    "fs_classify",
     "blocking_quality",
 ]
 
@@ -1037,3 +1038,56 @@ def test_blocking_quality_exact_dups_covered(ray_session, tmp_path):
     # near-identical filler docs legitimately collide in some bands;
     # the substantive check is PC == 1.0 above
     assert row["rr_micro"] > 700000
+
+
+def test_fs_classify_separates_planted_pairs(ray_session, tmp_path):
+    """After EM, all-agree pairs must classify as matches and all-
+    disagree pairs as non-matches."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    rng = np.random.default_rng(11)
+    segs = ["AUTO", "STEEL", "FURNITURE", "BUILDING", "MACHINERY"]
+    rows = {"c_custkey": [], "c_name": [], "c_nationkey": [],
+            "c_acctbal": [], "c_mktsegment": []}
+    matches = set()
+    for i in range(600):
+        match = rng.random() < 0.3
+        if match:
+            matches.add(i)
+        seg_a = segs[int(rng.integers(5))]
+        nat_a = int(rng.integers(25))
+        bal_a = float(rng.integers(0, 900000)) / 100.0
+        if match:
+            seg_b, nat_b, bal_b = seg_a, nat_a, bal_a
+        else:
+            seg_b = segs[(segs.index(seg_a) + 1) % 5]
+            nat_b = (nat_a + 1) % 25
+            bal_b = bal_a + 10000.0
+        for j, (s, n, b) in enumerate(
+            ((seg_a, nat_a, bal_a), (seg_b, nat_b, bal_b))
+        ):
+            rows["c_custkey"].append(2 * i + j)
+            rows["c_name"].append(f"c{2 * i + j}")
+            rows["c_nationkey"].append(n)
+            rows["c_acctbal"].append(b)
+            rows["c_mktsegment"].append(s)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(rows["c_custkey"], type=pa.int64()),
+                "c_name": rows["c_name"],
+                "c_nationkey": pa.array(rows["c_nationkey"], type=pa.int64()),
+                "c_acctbal": pa.array(rows["c_acctbal"], type=pa.float64()),
+                "c_mktsegment": rows["c_mktsegment"],
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    df = QUERIES["fs_classify"](str(tmp_path)).to_pandas()
+    assert len(df) == 600
+    pred = set(df[df["is_match"] == 1]["pair_id"].tolist())
+    assert pred == matches
