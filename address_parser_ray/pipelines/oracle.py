@@ -2071,3 +2071,82 @@ FROM agg
 """
 
 ORACLE_SQL["blocking_quality"] = _minhash_keys_sql().rstrip() + _BQ_TAIL
+
+# DSIR importance weights: the bigram_lm_scores machinery twice — a
+# target model (lang='en' slice) and the raw model — same fixed-point
+# conditional probabilities; target-unseen bigrams contribute 0.
+ORACLE_SQL["dsir_weights"] = """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(
+                   regexp_split_to_array(trim(COALESCE(text, '')),
+                                         '\\s+'),
+                   x -> x <> '') AS tk
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, lang, lower(tk[i]) AS w1, lower(tk[i+1]) AS w2
+        FROM (
+            SELECT doc_id, lang, tk, unnest(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2
+        )
+    ), bg_r AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
+        FROM tok GROUP BY 1, 2
+    ), pref_r AS (
+        SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_pref
+        FROM bg_r GROUP BY 1
+    ), bg_t AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
+        FROM tok WHERE lang = 'en' GROUP BY 1, 2
+    ), pref_t AS (
+        SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_pref
+        FROM bg_t GROUP BY 1
+    ), scored AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(COALESCE((bt.c_bg * 1000000) // pt.c_pref, 0))
+                    AS BIGINT) AS ts,
+               CAST(sum((br.c_bg * 1000000) // pr.c_pref) AS BIGINT) AS rs
+        FROM tok t
+        JOIN bg_r br ON br.w1 = t.w1 AND br.w2 = t.w2
+        JOIN pref_r pr ON pr.w1 = t.w1
+        LEFT JOIN bg_t bt ON bt.w1 = t.w1 AND bt.w2 = t.w2
+        LEFT JOIN pref_t pt ON pt.w1 = t.w1
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(ts, 0) AS BIGINT) AS target_score,
+           CAST(COALESCE(rs, 0) AS BIGINT) AS raw_score,
+           CAST(COALESCE(ts, 0) - COALESCE(rs, 0) AS BIGINT) AS dsir_weight
+    FROM documents d LEFT JOIN scored USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+# Token-set similarity join: blocks on shared tokens, Dice in integer
+# micro units (floor division both sides); single-space tokenization.
+ORACLE_SQL["token_set_pairs"] = """
+    WITH d AS (
+        SELECT DISTINCT p_name FROM part
+    ), t AS (
+        SELECT p_name,
+               unnest(list_distinct(list_filter(
+                   string_split(p_name, ' '), x -> x <> ''))) AS tok
+        FROM d
+    ), n AS (
+        SELECT p_name, CAST(count(*) AS BIGINT) AS ntok FROM t GROUP BY 1
+    ), inter AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(count(*) AS BIGINT) AS ni
+        FROM t a JOIN t b ON a.tok = b.tok AND a.p_name < b.p_name
+        GROUP BY 1, 2
+    )
+    SELECT i.name_a, i.name_b, i.ni AS n_shared,
+           CAST((2 * i.ni * 1000000) // (na.ntok + nb.ntok) AS BIGINT)
+               AS dice_micro
+    FROM inter i
+    JOIN n na ON na.p_name = i.name_a
+    JOIN n nb ON nb.p_name = i.name_b
+    WHERE i.ni >= 1
+    ORDER BY 1, 2
+"""

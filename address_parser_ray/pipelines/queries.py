@@ -6042,6 +6042,276 @@ def q_fellegi_sunter_em(sf_dir: str):
     return _fs_result_table(p, m, u)
 
 
+def q_token_set_pairs(sf_dir: str):
+    """Token-SET similarity self-join (the third similarity the
+    north-star names beside Jaccard and Jaro-Winkler): distinct part
+    names block on shared tokens (postings groupby — the meta_blocking
+    shape), pairs sharing >= 1 token score Dice = 2|A∩B| / (|A|+|B|)
+    in pure-integer micro units (2·ni·10^6 // (na+nb) — floor division,
+    hash-exact in SQL). Names tokenize on single spaces (the TPC-H
+    separator) into distinct token sets. Shuffle carries (token, name)
+    postings once; intersection counts combine per pair-hash bucket."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def postings(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        names: list = []
+        toks: list = []
+        counts: list = []
+        seen = set()
+        for nm in t["p_name"].to_pylist():
+            if nm in seen:
+                continue
+            seen.add(nm)
+            ts = sorted({w for w in (nm or "").split(" ") if w})
+            names.extend([nm] * len(ts))
+            toks.extend(ts)
+            counts.extend([len(ts)] * len(ts))
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        x.encode("utf-8"), digest_size=8
+                    ).digest(),
+                    "little",
+                )
+                for x in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        return pa.table(
+            {
+                "tb": pa.array(
+                    (splitmix64(h) % np.uint64(nparts)).astype(np.int64)
+                ),
+                "tok": pa.array(toks, type=pa.string()),
+                "name": pa.array(names, type=pa.string()),
+                "ntok": pa.array(np.asarray(counts, dtype=np.int64)),
+            }
+        )
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # distinct (tok, name) within the bucket: a name seen in several
+        # batches re-emits its postings — dedup before pairing
+        df = g.drop_duplicates(["tok", "name"]).sort_values(
+            ["tok", "name"], kind="stable"
+        )
+        toks = df["tok"].to_numpy(object)
+        names = df["name"].to_numpy(object)
+        ntok = df["ntok"].to_numpy(np.int64)
+        new = np.concatenate([[True], toks[1:] != toks[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(toks)))
+        out_a: list = []
+        out_b: list = []
+        out_na: list = []
+        out_nb: list = []
+        for s in np.unique(lens):
+            if s < 2:
+                continue
+            sel = starts[lens == s]
+            block_n = names[sel[:, None] + np.arange(s)[None, :]]
+            block_k = ntok[sel[:, None] + np.arange(s)[None, :]]
+            iu, ju = np.triu_indices(int(s), k=1)
+            out_a.append(block_n[:, iu].ravel())
+            out_b.append(block_n[:, ju].ravel())
+            out_na.append(block_k[:, iu].ravel())
+            out_nb.append(block_k[:, ju].ravel())
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "name_a": pd.Series([], dtype=object),
+                    "name_b": pd.Series([], dtype=object),
+                    "na": pd.Series([], dtype=np.int64),
+                    "nb": pd.Series([], dtype=np.int64),
+                    "ni": pd.Series([], dtype=np.int64),
+                }
+            )
+        pk = pd.DataFrame(
+            {
+                "name_a": np.concatenate(out_a),
+                "name_b": np.concatenate(out_b),
+                "na": np.concatenate(out_na),
+                "nb": np.concatenate(out_nb),
+            }
+        )
+        h = pk.groupby(["name_a", "name_b"], sort=False, as_index=False).agg(
+            na=("na", "first"), nb=("nb", "first"), ni=("na", "size")
+        )
+        return h.astype({"na": np.int64, "nb": np.int64, "ni": np.int64})
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ab = [
+            a + "\x00" + b
+            for a, b in zip(
+                t["name_a"].to_pylist(), t["name_b"].to_pylist()
+            )
+        ]
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        x.encode("utf-8"), digest_size=8
+                    ).digest(),
+                    "little",
+                )
+                for x in ab
+            ),
+            dtype=np.uint64,
+            count=len(ab),
+        )
+        return t.append_column(
+            "pb",
+            pa.array((splitmix64(h) % np.uint64(nparts)).astype(np.int64)),
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby(["name_a", "name_b"], sort=False, as_index=False).agg(
+            na=("na", "first"), nb=("nb", "first"), ni=("ni", "sum")
+        )
+        h = h[h["ni"] >= 1]
+        ni = h["ni"].to_numpy(np.int64)
+        den = h["na"].to_numpy(np.int64) + h["nb"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "name_a": h["name_a"].to_numpy(object),
+                "name_b": h["name_b"].to_numpy(object),
+                "n_shared": ni,
+                "dice_micro": 2 * ni * 1_000_000 // den,
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+        .map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tb")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .map_batches(add_pb, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pb")
+        .map_groups(combine, batch_format="pandas")
+        .materialize()
+    )
+    if out.count() == 0:
+        return pa.schema(
+            [
+                ("name_a", pa.string()),
+                ("name_b", pa.string()),
+                ("n_shared", pa.int64()),
+                ("dice_micro", pa.int64()),
+            ]
+        ).empty_table()
+    return out
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023): every document scores under TWO bigram models — a target LM
+    (here: the lang='en' slice) and the raw-corpus LM — and the
+    importance weight is the score difference; resampling by this
+    weight tilts a raw corpus toward the target distribution. Both
+    models train distributed (per-batch bigram partials → single-key
+    combine), broadcast once via ``ray.put``, and one scoring pass
+    hash-joins each batch's flattened bigram stream against both (the
+    ``bigram_lm_scores`` machinery, twice). Scores are PURE INTEGER
+    fixed-point conditional probabilities (c·10^6 // prefix — no libm
+    logs to drift), so the whole operator is hash-exact in SQL; bigrams
+    unseen in the target model contribute 0. At 100 TB the models prune
+    to top-K bigrams before broadcast; here they stay exact for the
+    oracle."""
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def partial_all(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c = Counter()
+        for text in df["text"]:
+            toks = [w.lower() for w in _ws_tokens(text) if w]
+            c.update(zip(toks, toks[1:]))
+        return pd.DataFrame(
+            {
+                "w1": [k[0] for k in c],
+                "w2": [k[1] for k in c],
+                "part_n": np.fromiter(
+                    c.values(), dtype=np.int64, count=len(c)
+                ),
+            }
+        )
+
+    def partial_target(df: pd.DataFrame) -> pd.DataFrame:
+        return partial_all(df[df["lang"] == "en"])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["w1", "w2"], sort=False, as_index=False)[
+            "part_n"
+        ].sum()
+        out["c_prefix"] = out.groupby("w1", sort=False)["part_n"].transform(
+            "sum"
+        )
+        return out.rename(columns={"part_n": "c_bg"})
+
+    def train(partial_fn) -> pd.DataFrame:
+        m = (
+            docs.map_batches(partial_fn, batch_format="pandas")
+            .groupby("w1")
+            .map_groups(combine, batch_format="pandas")
+            .to_pandas()
+        )
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series([], dtype=object),
+                    "w2": pd.Series([], dtype=object),
+                    "score": pd.Series([], dtype=np.int64),
+                }
+            )
+        m["score"] = m["c_bg"].to_numpy(np.int64) * 1_000_000 // m[
+            "c_prefix"
+        ].to_numpy(np.int64)
+        return m[["w1", "w2", "score"]]
+
+    t_ref = ray.put(train(partial_target))
+    r_ref = ray.put(train(partial_all))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        mt = ray.get(t_ref)
+        mr = ray.get(r_ref)
+        ids, w1s, w2s, nbg = [], [], [], []
+        for d, text in zip(df["doc_id"], df["text"]):
+            toks = [w.lower() for w in _ws_tokens(text) if w]
+            ids += [d] * max(0, len(toks) - 1)
+            w1s += toks[:-1]
+            w2s += toks[1:]
+            nbg.append(max(0, len(toks) - 1))
+        flat = pd.DataFrame(
+            {"doc_id": np.asarray(ids, dtype=np.int64), "w1": w1s, "w2": w2s}
+        )
+        jt = flat.merge(mt, on=["w1", "w2"], how="left")
+        jr = flat.merge(mr, on=["w1", "w2"], how="left")
+        ts = jt.groupby("doc_id", sort=False)["score"].sum()
+        rs = jr.groupby("doc_id", sort=False)["score"].sum()
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_bigrams": np.asarray(nbg, dtype=np.int64),
+            }
+        )
+        out["target_score"] = (
+            out["doc_id"].map(ts).fillna(0).astype(np.int64)
+        )
+        out["raw_score"] = out["doc_id"].map(rs).fillna(0).astype(np.int64)
+        out["dsir_weight"] = out["target_score"] - out["raw_score"]
+        return out
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 def q_fs_classify(sf_dir: str):
     """Fellegi-Sunter DECISION step: the converged EM parameters score
     every pair's posterior match probability and pairs with w >= 1/2
@@ -6404,5 +6674,7 @@ QUERIES = {
     "fs_em_update": q_fs_em_update,
     "fellegi_sunter_em": q_fellegi_sunter_em,
     "fs_classify": q_fs_classify,
+    "dsir_weights": q_dsir_weights,
+    "token_set_pairs": q_token_set_pairs,
     "blocking_quality": q_blocking_quality,
 }

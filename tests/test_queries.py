@@ -125,6 +125,8 @@ SQL_CHECKED = [
     "fellegi_sunter_em",
     "fs_classify",
     "blocking_quality",
+    "dsir_weights",
+    "token_set_pairs",
 ]
 
 
@@ -1091,3 +1093,85 @@ def test_fs_classify_separates_planted_pairs(ray_session, tmp_path):
     assert len(df) == 600
     pred = set(df[df["is_match"] == 1]["pair_id"].tolist())
     assert pred == matches
+
+
+def test_dsir_weights_tilt_toward_target(ray_session, tmp_path):
+    """Docs matching the target (en) bigram distribution must weight
+    higher than docs drawn from the other distribution; weights are
+    pure-integer and deterministic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    texts = (
+        ["the quick brown fox jumps"] * 5
+        + ["le renard brun rapide saute"] * 5
+        + ["the quick brown fox leaps"]      # en-like holdout
+        + ["le renard brun rapide dort"]     # fr-like holdout
+    )
+    langs = ["en"] * 5 + ["fr"] * 5 + ["en", "fr"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, 13), type=pa.int64()),
+                "text": texts,
+                "lang": langs,
+                "source": ["s"] * 12,
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = (
+        QUERIES["dsir_weights"](str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(df) == 12
+    # the en-like holdout (doc 11) shares 3 of 4 bigrams with the target
+    # model; the fr-like holdout (doc 12) shares none
+    assert df.loc[11, "dsir_weight"] > df.loc[12, "dsir_weight"]
+    assert df.loc[12, "target_score"] == 0
+    assert (df.loc[[1, 2, 3], "dsir_weight"] >= 0).all()
+    d1, d2 = (
+        QUERIES["dsir_weights"](str(tmp_path)).to_pandas().sort_values("doc_id"),
+        QUERIES["dsir_weights"](str(tmp_path)).to_pandas().sort_values("doc_id"),
+    )
+    assert (d1["dsir_weight"].to_numpy() == d2["dsir_weight"].to_numpy()).all()
+
+
+def test_token_set_pairs_dice(ray_session, tmp_path):
+    """Dice micro-units over shared-token blocks: hand-checkable pairs,
+    duplicate part rows must not double-count postings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    names = [
+        "red shiny copper kettle",
+        "red shiny copper pot",      # shares 3 of 4 tokens with kettle
+        "red kettle",                # shares 2 with the first
+        "green plastic spoon",       # shares none (>=2)
+        "red shiny copper kettle",   # exact duplicate row
+    ]
+    pq.write_table(
+        pa.table({"p_name": names, "p_partkey": pa.array(range(5), type=pa.int64())}),
+        str(tmp_path / "part.parquet"),
+    )
+    df = QUERIES["token_set_pairs"](str(tmp_path)).to_pandas()
+    got = {
+        (a, b): (s, d)
+        for a, b, s, d in zip(
+            df["name_a"], df["name_b"], df["n_shared"], df["dice_micro"]
+        )
+    }
+    k1 = ("red shiny copper kettle", "red shiny copper pot")
+    k2 = ("red kettle", "red shiny copper kettle")
+    k3 = ("red kettle", "red shiny copper pot")
+    assert got[k1] == (3, 2 * 3 * 1_000_000 // 8)
+    assert got[k2] == (2, 2 * 2 * 1_000_000 // 6)
+    assert got[k3] == (1, 2 * 1 * 1_000_000 // 6)
+    assert len(got) == 3
