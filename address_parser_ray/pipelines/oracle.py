@@ -2150,3 +2150,37 @@ ORACLE_SQL["token_set_pairs"] = """
     WHERE i.ni >= 1
     ORDER BY 1, 2
 """
+
+# Distributed linear-model gradient step: integer features/labels/
+# weights make the full-batch gradient order-free and hash-exact.
+ORACLE_SQL["linreg_grad_step"] = """
+    WITH f AS (
+        SELECT doc_id,
+               1 AS x_bias,
+               len(regexp_split_to_array(trim(COALESCE(text, '')),
+                                         '\\s+')) AS x_tok,
+               length(COALESCE(text, ''))
+                   - length(regexp_replace(COALESCE(text, ''),
+                                           '[.,;:!?]', '', 'g')) AS x_punct,
+               n_chars AS x_nch,
+               CASE WHEN lang = 'en' THEN 1048576 ELSE 0 END AS y
+        FROM documents
+    ), r AS (
+        SELECT *,
+               (x_bias * 1024 + x_tok * 2048 + x_punct * 3072
+                + x_nch * 4096) - y AS res
+        FROM f
+    ), g AS (
+        SELECT 'bias' AS feature,
+               CAST(sum(x_bias * res) AS BIGINT) AS grad,
+               CAST(1024 AS BIGINT) AS w0 FROM r
+        UNION ALL
+        SELECT 'n_tokens', CAST(sum(x_tok * res) AS BIGINT), 2048 FROM r
+        UNION ALL
+        SELECT 'punct_chars', CAST(sum(x_punct * res) AS BIGINT), 3072 FROM r
+        UNION ALL
+        SELECT 'n_chars', CAST(sum(x_nch * res) AS BIGINT), 4096 FROM r
+    )
+    SELECT feature, grad, CAST(w0 - grad AS BIGINT) AS w_next
+    FROM g ORDER BY feature
+"""

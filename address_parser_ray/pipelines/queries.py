@@ -6042,6 +6042,70 @@ def q_fellegi_sunter_em(sf_dir: str):
     return _fs_result_table(p, m, u)
 
 
+_LINREG_W0 = (1, 2, 3, 4)  # initial weights, in 2^10 fixed-point units
+_LINREG_S = 1 << 20  # label scale
+
+
+def q_linreg_grad_step(sf_dir: str):
+    """Distributed full-batch gradient step for a linear quality model
+    (squared loss): features x = (1, n_tokens, punct_chars, n_chars)
+    per doc (all INTEGER — the same counters as ``quality_flags``),
+    label y = [lang = 'en'] scaled by 2^20, weights in 2^10 fixed
+    point. The gradient g_j = Σ_i x_ij · r_i with residual
+    r_i = Σ_k x_ik w_k − y_i·S is ALL integer arithmetic, so partial
+    per-batch sums combine order-free and the SQL twin is hash-exact —
+    the canonical data-parallel SGD shape (compute ∥ combine) with
+    none of the float-summation drift. Output: one row per feature
+    (feature, grad, w_next = w·2^10 − g)."""
+    docs = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = ws_token_count_series(df["text"]).to_numpy(np.int64)
+        punct = (
+            df["text"].fillna("").str.count(r"[.,;:!?]").to_numpy(np.int64)
+        )
+        nch = df["n_chars"].to_numpy(np.int64)
+        ones = np.ones(len(df), dtype=np.int64)
+        X = np.stack([ones, n_tok, punct, nch], axis=1)
+        y = (df["lang"] == "en").to_numpy().astype(np.int64) * _LINREG_S
+        w = np.asarray(_LINREG_W0, dtype=np.int64) * (1 << 10)
+        r = X @ w - y
+        g = X.T @ r
+        return pd.DataFrame(
+            {
+                "feature": ["bias", "n_tokens", "punct_chars", "n_chars"],
+                "part_g": g.astype(np.int64),
+            }
+        )
+
+    panel = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("feature")
+        .map_groups(
+            lambda grp: pd.DataFrame(
+                {
+                    "feature": [grp["feature"].iloc[0]],
+                    "grad": [np.int64(grp["part_g"].sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("feature")
+        .reset_index(drop=True)
+    )
+    w_by = dict(
+        zip(
+            ["bias", "n_tokens", "punct_chars", "n_chars"],
+            [w * (1 << 10) for w in _LINREG_W0],
+        )
+    )
+    panel["w_next"] = np.asarray(
+        [w_by[f] for f in panel["feature"]], dtype=np.int64
+    ) - panel["grad"].to_numpy(np.int64)
+    return pa.Table.from_pandas(panel, preserve_index=False)
+
+
 def q_token_set_pairs(sf_dir: str):
     """Token-SET similarity self-join (the third similarity the
     north-star names beside Jaccard and Jaro-Winkler): distinct part
@@ -6676,5 +6740,6 @@ QUERIES = {
     "fs_classify": q_fs_classify,
     "dsir_weights": q_dsir_weights,
     "token_set_pairs": q_token_set_pairs,
+    "linreg_grad_step": q_linreg_grad_step,
     "blocking_quality": q_blocking_quality,
 }

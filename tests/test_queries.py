@@ -127,6 +127,7 @@ SQL_CHECKED = [
     "blocking_quality",
     "dsir_weights",
     "token_set_pairs",
+    "linreg_grad_step",
 ]
 
 
@@ -1175,3 +1176,52 @@ def test_token_set_pairs_dice(ray_session, tmp_path):
     assert got[k2] == (2, 2 * 2 * 1_000_000 // 6)
     assert got[k3] == (1, 2 * 1 * 1_000_000 // 6)
     assert len(got) == 3
+
+
+def test_linreg_grad_step_hand_computed(ray_session, tmp_path):
+    """Gradient on a two-doc fixture must match the hand-computed
+    integer value regardless of batch split."""
+    import numpy as np
+
+    from address_parser_ray.pipelines.queries import (
+        _LINREG_S,
+        _LINREG_W0,
+        QUERIES,
+    )
+
+    texts = ["one two three.", "quatre cinq"]
+    langs = ["en", "fr"]
+    _write_docs(tmp_path, texts)
+    # overwrite langs (fixture writes all 'py')
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": texts,
+                "lang": langs,
+                "source": ["s", "s"],
+                "n_chars": pa.array(
+                    [len(t) for t in texts], type=pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = (
+        QUERIES["linreg_grad_step"](str(tmp_path))
+        .to_pandas()
+        .set_index("feature")
+    )
+    X = np.array(
+        [[1, 3, 1, len(texts[0])], [1, 2, 0, len(texts[1])]],
+        dtype=np.int64,
+    )
+    y = np.array([1, 0], dtype=np.int64) * _LINREG_S
+    w = np.asarray(_LINREG_W0, dtype=np.int64) * (1 << 10)
+    g = X.T @ (X @ w - y)
+    for i, f in enumerate(["bias", "n_tokens", "punct_chars", "n_chars"]):
+        assert df.loc[f, "grad"] == g[i]
+        assert df.loc[f, "w_next"] == w[i] - g[i]
