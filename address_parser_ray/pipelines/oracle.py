@@ -2184,3 +2184,39 @@ ORACLE_SQL["linreg_grad_step"] = """
     SELECT feature, grad, CAST(w0 - grad AS BIGINT) AS w_next
     FROM g ORDER BY feature
 """
+
+# ER training pairs: (2i, 2i+1) positives + invertible modular
+# negatives (i, i+37 mod n); comparison vectors as in the FS ops.
+ORACLE_SQL["er_training_pairs"] = """
+    WITH cnt AS (SELECT count(*) AS n FROM customer),
+    feat AS (
+        SELECT c_custkey, c_mktsegment, c_nationkey,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
+        FROM customer
+    ), pos AS (
+        SELECT 'pos' AS pair_type, a.c_custkey AS key_a,
+               b.c_custkey AS key_b,
+               a.c_mktsegment AS sa, b.c_mktsegment AS sb,
+               a.c_nationkey AS na, b.c_nationkey AS nb,
+               a.bal AS ba, b.bal AS bb
+        FROM feat a JOIN feat b ON b.c_custkey = a.c_custkey + 1
+        WHERE a.c_custkey % 2 = 0
+    ), neg AS (
+        SELECT 'neg' AS pair_type, a.c_custkey AS key_a,
+               b.c_custkey AS key_b,
+               a.c_mktsegment, b.c_mktsegment,
+               a.c_nationkey, b.c_nationkey, a.bal, b.bal
+        FROM feat a
+        JOIN cnt ON TRUE
+        JOIN feat b ON b.c_custkey = (a.c_custkey + 37) % cnt.n
+        WHERE a.c_custkey <> b.c_custkey
+    ), u AS (
+        SELECT * FROM pos UNION ALL SELECT * FROM neg
+    )
+    SELECT pair_type, key_a, key_b,
+           CAST(CASE WHEN sa = sb THEN 1 ELSE 0 END AS BIGINT) AS g1,
+           CAST(CASE WHEN na = nb THEN 1 ELSE 0 END AS BIGINT) AS g2,
+           CAST(CASE WHEN abs(ba - bb) < 50000 THEN 1 ELSE 0 END
+                AS BIGINT) AS g3
+    FROM u ORDER BY 1, 2, 3
+"""

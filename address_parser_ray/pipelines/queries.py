@@ -6042,6 +6042,103 @@ def q_fellegi_sunter_em(sf_dir: str):
     return _fs_result_table(p, m, u)
 
 
+_ER_NEG_SHIFT = 37  # negative-pair partner offset (invertible: j = i+37 mod n)
+
+
+def q_er_training_pairs(sf_dir: str):
+    """Training-set construction for a learned linkage model: positive
+    pairs = the deterministic (2i, 2i+1) twins, negative pairs = each
+    record paired with the one +37 (mod n) away — an INVERTIBLE offset,
+    so every row knows both pairs it belongs to and emits itself under
+    each pair key locally (no driver-side pair list, no inverse-hash
+    lookup). One pair-key-bucketed shuffle co-locates both members;
+    each bucket assembles comparison vectors (g1 = same mktsegment,
+    g2 = same nationkey, g3 = |Δ bal_cents| < 50000) vectorized.
+    Output: (pair_type, key_a, key_b, g1, g2, g3) — the labeled
+    comparison-vector table a Fellegi-Sunter / logistic trainer
+    consumes. Assumes contiguous 0..n-1 custkeys (the fixture
+    contract; asserted by the count)."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    n = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+
+    def emit(t: pa.Table) -> pa.Table:
+        ck = np.asarray(t["c_custkey"], dtype=np.int64)
+        seg = t["c_mktsegment"]
+        nat = np.asarray(t["c_nationkey"], dtype=np.int64)
+        bal = _cents(np.asarray(t["c_acctbal"], dtype=np.float64))
+        # each row belongs to: its positive pair, the negative pair it
+        # LEADS (i, i+37 mod n) and the one it TRAILS (i-37 mod n, i)
+        pos_key = ck // 2 * 2 + 0  # even sentinel space: 2*pid
+        neg_lead = 2 * (ck % n) + 1  # odd space keyed by the leader id
+        neg_trail = 2 * ((ck - _ER_NEG_SHIFT) % n) + 1
+        keys = np.concatenate([pos_key, neg_lead, neg_trail])
+        rows = np.concatenate([np.arange(len(ck))] * 3)
+        roles = np.concatenate(
+            [
+                (ck % 2).astype(np.int64),  # positive: even row = a
+                np.zeros(len(ck), dtype=np.int64),  # leader = a
+                np.ones(len(ck), dtype=np.int64),  # trailer = b
+            ]
+        )
+        pb = (
+            splitmix64(keys.astype(np.uint64)) % np.uint64(nparts)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "pb": pa.array(pb),
+                "pkey": pa.array(keys),
+                "role": pa.array(roles),
+                "c_custkey": pa.array(ck.take(rows)),
+                "seg": seg.take(pa.array(rows)),
+                "nat": pa.array(nat.take(rows)),
+                "bal_cents": pa.array(bal.take(rows)),
+            }
+        )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["pkey", "role", "c_custkey"], kind="stable")
+        pk = df["pkey"].to_numpy(np.int64)
+        role = df["role"].to_numpy(np.int64)
+        i = np.flatnonzero(
+            (pk[:-1] == pk[1:]) & (role[:-1] == 0) & (role[1:] == 1)
+        )
+        ck = df["c_custkey"].to_numpy(np.int64)
+        seg = df["seg"].to_numpy(object)
+        nat = df["nat"].to_numpy(np.int64)
+        bal = df["bal_cents"].to_numpy(np.int64)
+        a, b = ck[i], ck[i + 1]
+        keep = a != b  # degenerate negatives when n <= 37
+        i = i[keep]
+        a, b = a[keep], b[keep]
+        return pd.DataFrame(
+            {
+                "pair_type": np.where(pk[i] % 2 == 0, "pos", "neg"),
+                "key_a": a,
+                "key_b": b,
+                "g1": (seg[i] == seg[i + 1]).astype(np.int64),
+                "g2": (nat[i] == nat[i + 1]).astype(np.int64),
+                "g3": (np.abs(bal[i] - bal[i + 1]) < 50000).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal"],
+        )
+        .map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pb")
+        .map_groups(assemble, batch_format="pandas")
+    )
+
+
 _LINREG_W0 = (1, 2, 3, 4)  # initial weights, in 2^10 fixed-point units
 _LINREG_S = 1 << 20  # label scale
 
@@ -6741,5 +6838,6 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "token_set_pairs": q_token_set_pairs,
     "linreg_grad_step": q_linreg_grad_step,
+    "er_training_pairs": q_er_training_pairs,
     "blocking_quality": q_blocking_quality,
 }

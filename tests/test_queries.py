@@ -128,6 +128,7 @@ SQL_CHECKED = [
     "dsir_weights",
     "token_set_pairs",
     "linreg_grad_step",
+    "er_training_pairs",
 ]
 
 
@@ -1225,3 +1226,40 @@ def test_linreg_grad_step_hand_computed(ray_session, tmp_path):
     for i, f in enumerate(["bias", "n_tokens", "punct_chars", "n_chars"]):
         assert df.loc[f, "grad"] == g[i]
         assert df.loc[f, "w_next"] == w[i] - g[i]
+
+
+def test_er_training_pairs_structure(ray_session, tmp_path):
+    """n=6 customers: 3 positives; negatives degenerate (shift 37 mod 6
+    = shift 1) but never self-pairs or duplicates of a positive's key
+    pair; comparison bits hand-checked."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(6), type=pa.int64()),
+                "c_name": [f"c{i}" for i in range(6)],
+                "c_nationkey": pa.array([1, 1, 2, 3, 4, 4], type=pa.int64()),
+                "c_acctbal": pa.array(
+                    [10.0, 10.0, 999.0, 998.0, 5.0, 90000.0],
+                    type=pa.float64(),
+                ),
+                "c_mktsegment": ["A", "A", "B", "C", "D", "D"],
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    df = QUERIES["er_training_pairs"](str(tmp_path)).to_pandas()
+    pos = df[df["pair_type"] == "pos"].set_index("key_a").sort_index()
+    assert len(pos) == 3
+    # pair (0,1): same seg, same nation, same balance
+    assert (pos.loc[0, ["g1", "g2", "g3"]] == [1, 1, 1]).all()
+    # pair (4,5): same seg/nation, balance differs by ~9e6 cents
+    assert (pos.loc[4, ["g1", "g2", "g3"]] == [1, 1, 0]).all()
+    neg = df[df["pair_type"] == "neg"]
+    # shift 37 % 6 = 1: each i pairs with i+1 mod 6 -> 6 negatives
+    assert len(neg) == 6
+    assert (neg["key_a"] != neg["key_b"]).all()
