@@ -2220,3 +2220,22 @@ ORACLE_SQL["er_training_pairs"] = """
                 AS BIGINT) AS g3
     FROM u ORDER BY 1, 2, 3
 """
+
+# Tumbling-window event dedup counts; window = epoch-hour bucket.
+ORACLE_SQL["window_dedup_stats"] = """
+    WITH e AS (
+        SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS w,
+               user_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), k AS (
+        SELECT w, user_id, event_type, cents,
+               CAST(count(*) AS BIGINT) AS c
+        FROM e GROUP BY 1, 2, 3, 4
+    )
+    SELECT w AS window_hour,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(c) - count(*) AS BIGINT) AS n_dupes
+    FROM k GROUP BY 1 ORDER BY 1
+"""

@@ -6042,6 +6042,94 @@ def q_fellegi_sunter_em(sf_dir: str):
     return _fs_result_table(p, m, u)
 
 
+def q_window_dedup_stats(sf_dir: str):
+    """Streaming-shaped dedup: events dedup WITHIN 1-hour tumbling
+    windows by (user_id, event_type, value-cents) — the
+    at-least-once-ingest cleanup every event pipeline runs. Key insight
+    for scale: bucket on the FULL dedup key hash, so each distinct key
+    lives in exactly one bucket and per-bucket unique counts sum
+    exactly — one single-key shuffle, no count-distinct exchange.
+    Output per window: (window_start_hour, n_events, n_unique,
+    n_dupes)."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def emit(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        w = ts // 3_600_000_000
+        uid = np.asarray(t["user_id"], dtype=np.int64)
+        cents = _cents(np.asarray(t["value"], dtype=np.float64))
+        import hashlib
+
+        et = t["event_type"]
+        eth = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        (x or "").encode("utf-8"), digest_size=8
+                    ).digest(),
+                    "little",
+                )
+                for x in et.to_pylist()
+            ),
+            dtype=np.uint64,
+            count=t.num_rows,
+        )
+        key = (
+            splitmix64(w.astype(np.uint64))
+            ^ splitmix64(uid.astype(np.uint64))
+            ^ splitmix64(cents.astype(np.uint64))
+            ^ eth
+        )
+        kb = (splitmix64(key) % np.uint64(nparts)).astype(np.int64)
+        return pa.table(
+            {
+                "kb": pa.array(kb),
+                "w": pa.array(w),
+                "user_id": pa.array(uid),
+                "event_type": et,
+                "cents": pa.array(cents),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby(
+            ["w", "user_id", "event_type", "cents"], sort=False, as_index=False
+        ).size()
+        out = h.groupby("w", sort=False, as_index=False).agg(
+            part_events=("size", "sum"), part_unique=("size", "count")
+        )
+        return out.astype(
+            {"part_events": np.int64, "part_unique": np.int64}
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        ne = int(g["part_events"].sum())
+        nu = int(g["part_unique"].sum())
+        return pd.DataFrame(
+            {
+                "window_hour": [np.int64(g["w"].iloc[0])],
+                "n_events": [np.int64(ne)],
+                "n_unique": [np.int64(nu)],
+                "n_dupes": [np.int64(ne - nu)],
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["ts", "user_id", "event_type", "value"],
+        )
+        .map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("w")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 _ER_NEG_SHIFT = 37  # negative-pair partner offset (invertible: j = i+37 mod n)
 
 
@@ -6839,5 +6927,6 @@ QUERIES = {
     "token_set_pairs": q_token_set_pairs,
     "linreg_grad_step": q_linreg_grad_step,
     "er_training_pairs": q_er_training_pairs,
+    "window_dedup_stats": q_window_dedup_stats,
     "blocking_quality": q_blocking_quality,
 }

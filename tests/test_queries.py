@@ -129,6 +129,7 @@ SQL_CHECKED = [
     "token_set_pairs",
     "linreg_grad_step",
     "er_training_pairs",
+    "window_dedup_stats",
 ]
 
 
@@ -1263,3 +1264,38 @@ def test_er_training_pairs_structure(ray_session, tmp_path):
     # shift 37 % 6 = 1: each i pairs with i+1 mod 6 -> 6 negatives
     assert len(neg) == 6
     assert (neg["key_a"] != neg["key_b"]).all()
+
+
+def test_window_dedup_stats_counts(ray_session, tmp_path):
+    """Duplicates within an hour window collapse; the same key in a
+    different window does not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    H = 3_600_000_000  # us per hour
+    ts = [10, 20, 30, H + 10, H + 20]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(5), type=pa.int64()),
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 2, 1, 1], type=pa.int64()),
+                "event_type": ["click"] * 5,
+                "value": pa.array([5.0, 5.0, 5.0, 5.0, 6.0]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    df = (
+        QUERIES["window_dedup_stats"](str(tmp_path))
+        .to_pandas()
+        .set_index("window_hour")
+        .sort_index()
+    )
+    # window 0: u1 click 5.0 twice (dupe) + u2 once -> 3 events 2 unique
+    assert df.loc[0, "n_events"] == 3 and df.loc[0, "n_unique"] == 2
+    assert df.loc[0, "n_dupes"] == 1
+    # window 1: u1 5.0 and u1 6.0 -> both unique
+    assert df.loc[1, "n_events"] == 2 and df.loc[1, "n_dupes"] == 0
