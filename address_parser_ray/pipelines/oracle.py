@@ -2239,3 +2239,31 @@ ORACLE_SQL["window_dedup_stats"] = """
            CAST(sum(c) - count(*) AS BIGINT) AS n_dupes
     FROM k GROUP BY 1 ORDER BY 1
 """
+
+# Cluster-size histogram over the same recursive-CTE closure as
+# minhash_cluster_ids; log2 of an exact power of 2 is exact in both
+# engines, so the bucket boundary cannot drift.
+_MH_HIST_TAIL = """, edges AS (
+    SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+    FROM keys a JOIN keys b
+      ON a.band = b.band AND a.k = b.k AND a.doc_id <> b.doc_id
+), reach AS (
+    SELECT doc_id AS id, doc_id AS lab FROM documents
+    UNION
+    SELECT e.dst AS id, r.lab
+    FROM reach r JOIN edges e ON e.src = r.id
+), comp AS (
+    SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1
+), one AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+    FROM comp GROUP BY 1
+)
+SELECT CAST(floor(log2(sz)) AS BIGINT) AS log2_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs
+FROM one GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["cluster_size_histogram"] = (
+    _minhash_keys_sql(recursive=True).rstrip() + _MH_HIST_TAIL
+)

@@ -6042,6 +6042,64 @@ def q_fellegi_sunter_em(sf_dir: str):
     return _fs_result_table(p, m, u)
 
 
+def q_cluster_size_histogram(sf_dir: str):
+    """Cluster-size distribution of the SQL-checkable MinHash-LSH
+    clustering — THE skew diagnostic for a dedup run (a heavy tail
+    here is exactly what the flagship's salting/caps exist for).
+    Log2-bucketed: (log2_size, n_clusters, n_docs). Rides the full
+    ``q_minhash_cluster_ids`` path, so the whole chain shingle →
+    MinHash → bands → transitive closure → histogram is oracle-checked
+    end-to-end."""
+
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def to_cluster(t: pa.Table) -> pa.Table:
+        # a cluster spans batches (one row per doc): bucket by cluster
+        # id so the distinct happens once per cluster, not per batch
+        cid = np.asarray(t["cluster_id"], dtype=np.int64)
+        cb = (
+            splitmix64(cid.astype(np.uint64)) % np.uint64(nparts)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "cb": pa.array(cb),
+                "cluster_id": pa.array(cid),
+                "cluster_size": t["cluster_size"],
+            }
+        )
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        one = g.drop_duplicates("cluster_id")
+        sz = one["cluster_size"].to_numpy(np.int64)
+        b = np.floor(np.log2(sz)).astype(np.int64)
+        out = pd.DataFrame({"log2_size": b, "size": sz})
+        h = out.groupby("log2_size", as_index=False).agg(
+            part_clusters=("size", "count"), part_docs=("size", "sum")
+        )
+        return h.astype({"part_clusters": np.int64, "part_docs": np.int64})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "log2_size": [np.int64(g["log2_size"].iloc[0])],
+                "n_clusters": [np.int64(g["part_clusters"].sum())],
+                "n_docs": [np.int64(g["part_docs"].sum())],
+            }
+        )
+
+    return (
+        q_minhash_cluster_ids(sf_dir)
+        .map_batches(to_cluster, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cb")
+        .map_groups(hist, batch_format="pandas")
+        .groupby("log2_size")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 def q_window_dedup_stats(sf_dir: str):
     """Streaming-shaped dedup: events dedup WITHIN 1-hour tumbling
     windows by (user_id, event_type, value-cents) — the
@@ -6928,5 +6986,6 @@ QUERIES = {
     "linreg_grad_step": q_linreg_grad_step,
     "er_training_pairs": q_er_training_pairs,
     "window_dedup_stats": q_window_dedup_stats,
+    "cluster_size_histogram": q_cluster_size_histogram,
     "blocking_quality": q_blocking_quality,
 }

@@ -130,6 +130,7 @@ SQL_CHECKED = [
     "linreg_grad_step",
     "er_training_pairs",
     "window_dedup_stats",
+    "cluster_size_histogram",
 ]
 
 
@@ -1299,3 +1300,23 @@ def test_window_dedup_stats_counts(ray_session, tmp_path):
     assert df.loc[0, "n_dupes"] == 1
     # window 1: u1 5.0 and u1 6.0 -> both unique
     assert df.loc[1, "n_events"] == 2 and df.loc[1, "n_dupes"] == 0
+
+
+def test_cluster_size_histogram_buckets(ray_session, tmp_path):
+    """4 identical docs (one size-4 cluster) + 2 singletons -> buckets
+    log2=2 (1 cluster, 4 docs) and log2=0 (2 clusters, 2 docs)."""
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    texts = (
+        ["def quad(): return 4  # same payload"] * 4
+        + ["unique alpha doc with words", "another different text body"]
+    )
+    _write_docs(tmp_path, texts)
+    df = (
+        QUERIES["cluster_size_histogram"](str(tmp_path))
+        .to_pandas()
+        .set_index("log2_size")
+        .sort_index()
+    )
+    assert df.loc[2, "n_clusters"] == 1 and df.loc[2, "n_docs"] == 4
+    assert df.loc[0, "n_clusters"] == 2 and df.loc[0, "n_docs"] == 2
