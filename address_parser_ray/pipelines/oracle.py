@@ -812,6 +812,63 @@ ORACLE_SQL = {
     # the raw gram string equals the Ray side's 128-bit blake2b keys
     # (collision-free at any realistic scale). <8-token docs are zeros
     # via the LEFT JOIN.
+    # Content-defined chunking: cut after 1-based position i (4 ≤ i ≤
+    # n-1) when the 4-codepoint window hash (same four multipliers as
+    # the Ray side, mod 2^32 then mod 61) hits 0; chunks are the spans
+    # between cuts; a chunk instance is "duplicated" when its md5 occurs
+    # in ≥ 2 distinct docs. ord() = codepoint = Python ord; length() /
+    # substr() are codepoint-based = Python len / slicing; md5(string)
+    # hashes the UTF-8 bytes = hashlib.md5(chunk.encode()). Empty/NULL
+    # docs surface as zeros via the LEFT JOIN.
+    "cdc_chunk_stats": """
+        WITH d AS (
+            SELECT doc_id, COALESCE(text, '') AS s,
+                   length(COALESCE(text, '')) AS n
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, s,
+                   unnest(generate_series(4, n - 1)) AS i
+            FROM d WHERE n >= 5
+        ), cut AS (
+            SELECT doc_id, i + 1 AS st
+            FROM pos
+            WHERE (ord(substr(s, i - 3, 1)) * 2654435761
+                 + ord(substr(s, i - 2, 1)) * 40503
+                 + ord(substr(s, i - 1, 1)) * 2246822519
+                 + ord(substr(s, i,     1)) * 3266489917)
+                  % 4294967296 % 61 = 0
+        ), starts AS (
+            SELECT doc_id, 1 AS st FROM d WHERE n >= 1
+            UNION ALL
+            SELECT doc_id, st FROM cut
+        ), sp AS (
+            SELECT doc_id, st,
+                   lead(st) OVER (PARTITION BY doc_id ORDER BY st) AS nxt
+            FROM starts
+        ), ch AS (
+            SELECT sp.doc_id,
+                   md5(substr(d.s, CAST(sp.st AS INT),
+                              CAST(COALESCE(sp.nxt, d.n + 1) - sp.st AS INT)))
+                       AS h,
+                   COALESCE(sp.nxt, d.n + 1) - sp.st AS clen
+            FROM sp JOIN d USING (doc_id)
+        ), f AS (
+            SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY h
+        ), per AS (
+            SELECT c.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dup_chunks,
+                   CAST(sum(CASE WHEN f.nd >= 2 THEN c.clen ELSE 0 END)
+                        AS BIGINT) AS dup_chars
+            FROM ch c JOIN f USING (h) GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_chunks, 0) AS BIGINT) AS n_chunks,
+               CAST(COALESCE(per.dup_chunks, 0) AS BIGINT) AS dup_chunks,
+               CAST(COALESCE(per.dup_chars, 0) AS BIGINT) AS dup_chars
+        FROM d LEFT JOIN per USING (doc_id)
+    """,
     "dup_span_stats": """
         WITH toks AS (
             SELECT doc_id,
@@ -1201,6 +1258,74 @@ ORACLE_SQL = {
     # Big-big join: orders x lineitem on orderkey, revenue per priority.
     # floor(price*(1-disc)*100) is the same left-assoc IEEE expression
     # numpy evaluates.
+    # ROLLUP hierarchy with '*' sentinels (GROUPING() distinguishes a
+    # rolled-up axis from a hypothetical literal NULL, so the sentinel
+    # is unambiguous).
+    "rollup_counts": """
+        SELECT CASE WHEN GROUPING(lang) = 1 THEN '*' ELSE lang END AS lang,
+               CASE WHEN GROUPING(source) = 1 THEN '*' ELSE source END
+                   AS source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents
+        GROUP BY ROLLUP (lang, source)
+    """,
+    # Pareto frontier (maximize p_size, minimize price in integer
+    # cents): classic NOT-EXISTS dominance; equal (size, price) rows do
+    # not dominate each other, matching the engine's keep-mask.
+    "pareto_parts": """
+        WITH p AS (
+            SELECT p_partkey,
+                   CAST(p_size AS BIGINT) AS p_size,
+                   CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents
+            FROM part
+        )
+        SELECT x.p_partkey, x.p_size, x.price_cents
+        FROM p x
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p y
+            WHERE y.p_size >= x.p_size AND y.price_cents <= x.price_cents
+              AND (y.p_size > x.p_size OR y.price_cents < x.price_cents)
+        )
+    """,
+    # 3 damped PageRank power iterations unrolled as CTEs over the
+    # symmetrized customer↔supplier graph (nodes namespaced cust*2 /
+    # supp*2+1 — src always even and dst always odd in e0, so the
+    # UNION ALL symmetrization cannot create duplicates). Integer fixed
+    # point: // floor-division matches numpy // on the all-positive
+    # ranks; sums CAST to BIGINT (DuckDB sum() yields HUGEINT).
+    "pagerank_ranks": """
+        WITH e0 AS (
+            SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ), e AS (
+            SELECT src, dst FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM e0
+        ), deg AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src
+        ), i1 AS (
+            SELECT e.dst AS node,
+                   150000000 + CAST(sum((CAST(1000000000 AS BIGINT) * 85)
+                                        // (100 * deg.d))
+                                    AS BIGINT) AS r
+            FROM e JOIN deg USING (src)
+            GROUP BY e.dst
+        ), i2 AS (
+            SELECT e.dst AS node,
+                   150000000 + CAST(sum((i1.r * 85) // (100 * deg.d))
+                                    AS BIGINT) AS r
+            FROM e JOIN deg USING (src) JOIN i1 ON i1.node = e.src
+            GROUP BY e.dst
+        ), i3 AS (
+            SELECT e.dst AS node,
+                   150000000 + CAST(sum((i2.r * 85) // (100 * deg.d))
+                                    AS BIGINT) AS r
+            FROM e JOIN deg USING (src) JOIN i2 ON i2.node = e.src
+            GROUP BY e.dst
+        )
+        SELECT node AS node_id, CAST(r AS BIGINT) AS rank_fp FROM i3
+    """,
     "revenue_by_priority": """
         SELECT o.o_orderpriority,
                CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,

@@ -610,6 +610,164 @@ def q_dup_span_stats(sf_dir: str):
     )
 
 
+_CDC_MULT = np.array(
+    [2654435761, 40503, 2246822519, 3266489917], dtype=np.int64
+)
+_CDC_MOD = np.int64(1) << np.int64(32)
+_CDC_DIV = np.int64(61)  # prime → expected chunk length ≈ 61 chars
+
+
+def _cdc_chunk_spans(codepoints: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Content-defined chunk boundaries (FastCDC/rsync family, but with
+    a STATELESS 4-codepoint window hash so the identical rule is
+    expressible in SQL): cut AFTER 0-based position ``e`` (3 ≤ e ≤ n-2,
+    so no chunk is ever empty) when the window hash of codepoints
+    ``e-3..e`` is ≡ 0 (mod 61). Returns (starts, ends) half-open span
+    arrays. Fully vectorized — four strided multiplies, no recurrence,
+    unlike gear hashing whose rolling state serializes the scan."""
+    n = codepoints.size
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    if n >= 5:
+        h = (
+            codepoints[: n - 4] * _CDC_MULT[0]
+            + codepoints[1 : n - 3] * _CDC_MULT[1]
+            + codepoints[2 : n - 2] * _CDC_MULT[2]
+            + codepoints[3 : n - 1] * _CDC_MULT[3]
+        ) % _CDC_MOD
+        starts = np.concatenate(
+            [[np.int64(0)], np.flatnonzero(h % _CDC_DIV == 0) + 4]
+        )
+    else:
+        starts = np.zeros(1, dtype=np.int64)
+    return starts, np.append(starts[1:], np.int64(n))
+
+
+def q_cdc_chunk_stats(sf_dir: str):
+    """Content-defined-chunking dedup, 9th flavor (the rsync/FastCDC/
+    storage-dedup mechanism, applied to corpus text): chunk boundaries
+    come from the CONTENT (a 4-codepoint window hash ≡ 0 mod 61), so an
+    insertion near the top of a file shifts only the chunk it lands in —
+    every later chunk still byte-matches its twin in the other copy,
+    which fixed-stride chunking (``doc_chunks``) structurally cannot do.
+    Output per doc: (doc_id, n_chunks, dup_chunks, dup_chars) — total
+    chunks, chunk instances whose content occurs in ≥ 2 distinct docs,
+    and the characters those duplicated instances cover. Reference
+    analogue: the sub-document n-gram postings of
+    ``fuzz/inexus_parser.py:468-889``, inverted to chunk granularity.
+
+    Shape (identical contract to :func:`q_dup_span_stats`): one content
+    pass emits (bucket, chunk-md5 key, doc_id, cnt, clen) postings
+    pre-counted per (doc, chunk) and hash-bucketed by key — content
+    itself never shuffles, only 16-byte digests; document-frequency and
+    per-doc partials are one vectorized pandas pass per bucket; a
+    single-key ``groupby(doc_id)`` Sum combines. A key=b'' marker row
+    per doc (bucketed by doc id) keeps empty docs in the output."""
+    import hashlib
+    from collections import Counter
+
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def emit(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        docs, keys, cnts, lens = [], [], [], []
+        for d, text in zip(doc_ids, texts):
+            s = text or ""
+            docs.append(d)  # marker row: presence with zero chunks
+            keys.append(b"")
+            cnts.append(0)
+            lens.append(0)
+            if not s:
+                continue
+            cps = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            starts, ends = _cdc_chunk_spans(cps)
+            c: Counter = Counter()
+            clen: dict[bytes, int] = {}
+            for lo, hi in zip(starts, ends):
+                k = hashlib.md5(s[lo:hi].encode()).digest()
+                c[k] += 1
+                clen[k] = int(hi - lo)
+            for k, m in c.items():
+                docs.append(d)
+                keys.append(k)
+                cnts.append(m)
+                lens.append(clen[k])
+        doc_arr = np.asarray(docs, dtype=np.int64)
+        pref = np.array(
+            [int.from_bytes(k[:8], "little") if k else 0 for k in keys],
+            dtype=np.uint64,
+        )
+        is_marker = np.array([not k for k in keys], dtype=bool)
+        mixed = np.where(is_marker, doc_arr.view(np.uint64), pref)
+        bucket = (splitmix64(mixed) % np.uint64(nparts)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "key": pa.array(keys, type=pa.binary()),
+                "doc_id": pa.array(doc_arr),
+                "cnt": pa.array(np.asarray(cnts, dtype=np.int64)),
+                "clen": pa.array(np.asarray(lens, dtype=np.int64)),
+            }
+        )
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        marker = g["key"].str.len() == 0
+        chunks = g[~marker]
+        parts = [
+            pd.DataFrame(
+                {
+                    "doc_id": g.loc[marker, "doc_id"].to_numpy(np.int64),
+                    "part_n": np.int64(0),
+                    "part_dc": np.int64(0),
+                    "part_dch": np.int64(0),
+                }
+            )
+        ]
+        if len(chunks):
+            nd = chunks.groupby("key")["doc_id"].transform("nunique")
+            dup = (nd >= 2).to_numpy()
+            cnt = chunks["cnt"].to_numpy(np.int64)
+            clen = chunks["clen"].to_numpy(np.int64)
+            per = (
+                pd.DataFrame(
+                    {
+                        "doc_id": chunks["doc_id"].to_numpy(np.int64),
+                        "part_n": cnt,
+                        "part_dc": np.where(dup, cnt, 0),
+                        "part_dch": np.where(dup, cnt * clen, 0),
+                    }
+                )
+                .groupby("doc_id", sort=False, as_index=False)
+                .sum()
+            )
+            parts.append(per)
+        out = pd.concat(parts, ignore_index=True)
+        for c in ("part_n", "part_dc", "part_dch"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("part_n", alias_name="n_chunks"),
+            Sum("part_dc", alias_name="dup_chunks"),
+            Sum("part_dch", alias_name="dup_chars"),
+        )
+        .sort("doc_id")
+    )
+
+
 def _span_posting_emitter(extra_col: str | None, nparts: int, W: int = 8):
     """Shared window-posting emitter for the span-analysis family
     (:func:`q_dup_span_stats` semantics): one row per DISTINCT 8-token
@@ -4442,6 +4600,332 @@ def q_bigram_lm_scores(sf_dir: str):
     return docs.map_batches(score, batch_format="pandas")
 
 
+def q_rollup_counts(sf_dir: str):
+    """Multi-level ROLLUP aggregate — (lang, source), (lang), and grand
+    total in ONE pass: each batch partial-aggregates locally and emits
+    rows for all three levels ('*' marks a rolled-up axis), so the
+    hierarchy costs zero extra shuffles over a flat groupby. The combine
+    groups on a single FUSED key (lang + unit-separator + source) —
+    composite-key aggregate shuffles pay a full multi-column sort in
+    Ray's sort shuffle, while the fused single key sorts once (see
+    q_event_value_percentiles). Pre-combine volume is ≤ (langs·sources
+    + langs + 1) rows per block regardless of input size — the standard
+    warehouse CUBE/ROLLUP trick of pushing every level into the partial."""
+    SEP = "\x1f"
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        base = (
+            df.groupby(["lang", "source"], sort=False)
+            .agg(n=("n_chars", "size"), chars=("n_chars", "sum"))
+            .reset_index()
+        )
+        lv1 = (
+            base.groupby("lang", sort=False)
+            .agg(n=("n", "sum"), chars=("chars", "sum"))
+            .reset_index()
+        )
+        rows = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "k": base["lang"] + SEP + base["source"],
+                        "n": base["n"],
+                        "chars": base["chars"],
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "k": lv1["lang"] + SEP + "*",
+                        "n": lv1["n"],
+                        "chars": lv1["chars"],
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "k": ["*" + SEP + "*"],
+                        "n": [int(base["n"].sum())],
+                        "chars": [int(base["chars"].sum())],
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+        rows["n"] = rows["n"].astype("int64")
+        rows["chars"] = rows["chars"].astype("int64")
+        return rows
+
+    def split_key(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["k"].str.split(SEP, expand=True)
+        return pd.DataFrame(
+            {
+                "lang": parts[0],
+                "source": parts[1],
+                "n_docs": df["n_docs"].astype("int64"),
+                "n_chars": df["n_chars"].astype("int64"),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["lang", "source", "n_chars"])
+        .map_batches(partials, batch_format="pandas")
+        .groupby("k")
+        .aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("chars", alias_name="n_chars"),
+        )
+        .map_batches(split_key, batch_format="pandas")
+        .sort(["lang", "source"])
+    )
+
+
+def _skyline_2d(size: np.ndarray, price: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2-D Pareto frontier (maximize ``size``,
+    minimize ``price``): a row is dominated iff some row has size ≥ and
+    price ≤ with at least one strict. Equal (size, price) rows do not
+    dominate each other — all survive. Vectorized: per-size min price,
+    then a strict running-min scan over sizes descending."""
+    if size.size == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((price, -size))  # size desc, price asc
+    s, p = size[order], price[order]
+    first = np.concatenate([[True], s[1:] != s[:-1]])
+    # min price of any STRICTLY larger size, as a running prefix
+    grp_min = p[first]  # per distinct size (sorted asc within size)
+    best_above = np.concatenate(
+        [[np.iinfo(np.int64).max], np.minimum.accumulate(grp_min)[:-1]]
+    )
+    seg = np.cumsum(first) - 1
+    keep_sorted = (p == grp_min[seg]) & (p < best_above[seg])
+    keep = np.zeros(size.size, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def q_pareto_parts(sf_dir: str):
+    """Skyline / Pareto-dominance query over parts (maximize p_size,
+    minimize price): return every part no other part beats on both
+    axes — the dominance-query class, distinct from top-k/rank/window.
+    Price compares in integer cents (floor(p_retailprice·100), the same
+    IEEE expression both engines evaluate), so parity is exact.
+
+    Shape: the skyline operator is ALGEBRAIC — skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)) — so each batch reduces to its
+    local frontier first (vectorized lexsort + running-min scan) and
+    only frontier-sized remnants move to the single combine group. At
+    10^12 rows the shuffle carries ~√-law-sized frontiers per block,
+    never the table; the final group is frontier-sized by the 2-D
+    anti-chain bound (≤ #distinct sizes)."""
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        size = np.asarray(t["p_size"], dtype=np.int64)
+        price = np.floor(
+            np.asarray(t["p_retailprice"], dtype=np.float64) * 100
+        ).astype(np.int64)
+        keep = _skyline_2d(size, price)
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(int(keep.sum()), dtype=np.int64)),
+                "p_partkey": pa.array(
+                    np.asarray(t["p_partkey"], dtype=np.int64)[keep]
+                ),
+                "p_size": pa.array(size[keep]),
+                "price_cents": pa.array(price[keep]),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        keep = _skyline_2d(
+            g["p_size"].to_numpy(np.int64),
+            g["price_cents"].to_numpy(np.int64),
+        )
+        out = g.loc[keep, ["p_partkey", "p_size", "price_cents"]]
+        return out.astype("int64")
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_size", "p_retailprice"],
+        )
+        .map_batches(local_skyline, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(combine, batch_format="pandas")
+        .sort("p_partkey")
+    )
+
+
+_PR_R0 = 1_000_000_000  # initial rank, integer fixed point
+_PR_BASE = 150_000_000  # (1 - 0.85) * R0 teleport term
+
+
+def q_pagerank_ranks(sf_dir: str):
+    """Iterative PageRank (3 damped power iterations, d = 0.85) over the
+    symmetrized customer↔supplier graph (edge = "this customer bought
+    from this supplier", from orders ⋈ lineitem) — the iterative
+    GRAPH-RANKING class of distributed algorithm (vs the repo's
+    connected components / k-means / EM / gradient loops). Integer fixed
+    point end to end: contribution(u→v) = (r_u * 85) // (100 * deg_u),
+    new r_v = 150000000 + Σ contribs — floor semantics identical in
+    numpy and the unrolled-CTE DuckDB oracle, so parity is exact, not
+    float-tolerant.
+
+    Shape: edges come from the co-partitioned big-big join (bucket by
+    orderkey — neither fact side broadcasts), deduped by pair-hash
+    bucket, then land hash-bucketed BY SOURCE NODE — which means a
+    node's outdegree and its outgoing contributions are both computable
+    inside its bucket with no further data movement. Each iteration is
+    exactly two single-key shuffles: (ranks ∪ edges) by src bucket →
+    per-bucket vectorized contrib emission pre-summed per (bucket, dst),
+    then by dst bucket → per-node sum + teleport. Rank panels (one row
+    per node) are materialized per iteration to keep lineage flat; at
+    10^12 files the analogue checkpoints them as parquet, exactly like
+    the flagship's stage checkpoints. Nodes are namespaced
+    (cust*2 / supp*2+1); symmetrizing leaves no dangling nodes, so the
+    teleport constant needs no dangling-mass correction."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def _bucket_of(a: np.ndarray) -> np.ndarray:
+        return (
+            splitmix64(a.astype(np.int64).view(np.uint64))
+            % np.uint64(nparts)
+        ).astype(np.int64)
+
+    # ---- stage 1: distinct (cust, supp) edges via co-partitioned join
+    def tag_orders(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["o_orderkey"], dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(k)),
+                "key": pa.array(k),
+                "val": pa.array(np.asarray(t["o_custkey"], dtype=np.int64)),
+                "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+            }
+        )
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["l_orderkey"], dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(k)),
+                "key": pa.array(k),
+                "val": pa.array(np.asarray(t["l_suppkey"], dtype=np.int64)),
+                "side": pa.array(np.ones(len(k), dtype=np.int8)),
+            }
+        )
+
+    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["side"] == 0, ["key", "val"]].rename(columns={"val": "c"})
+        li = g.loc[g["side"] == 1, ["key", "val"]].rename(columns={"val": "s"})
+        j = li.merge(o, on="key")[["c", "s"]].drop_duplicates()
+        src = j["c"].to_numpy(np.int64) * 2
+        dst = j["s"].to_numpy(np.int64) * 2 + 1
+        # dedup within this orderkey bucket; the same pair can still
+        # arrive from other orderkeys → rebucket by pair hash for the
+        # global distinct
+        pair = splitmix64(src.view(np.uint64)) ^ dst.view(np.uint64)
+        return pd.DataFrame(
+            {
+                "bucket": (
+                    splitmix64(pair) % np.uint64(nparts)
+                ).astype(np.int64),
+                "src": src,
+                "dst": dst,
+            }
+        )
+
+    def distinct_symmetrize(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[["src", "dst"]].drop_duplicates()
+        src = e["src"].to_numpy(np.int64)
+        dst = e["dst"].to_numpy(np.int64)
+        both_src = np.concatenate([src, dst])
+        both_dst = np.concatenate([dst, src])
+        return pd.DataFrame(
+            {
+                "bucket": _bucket_of(both_src),
+                "a": both_src,  # src node — the bucketing key
+                "b": both_dst,  # dst node
+                "side": np.zeros(both_src.size, dtype=np.int8),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(tag_orders, batch_format="pyarrow")
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    ).map_batches(tag_items, batch_format="pyarrow")
+    edges = (
+        orders.union(items)
+        .groupby("bucket")
+        .map_groups(bucket_edges, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(distinct_symmetrize, batch_format="pandas")
+        .materialize()  # node-pair panel ≪ fact inputs; reused 3×
+    )
+
+    # ---- stage 2: three power iterations, two shuffles each
+    def emit_contribs(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 0]
+        src = e["a"].to_numpy(np.int64)
+        dst = e["b"].to_numpy(np.int64)
+        if src.size == 0:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "node": pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        r = g[g["side"] == 1]
+        if len(r):  # ranks from the previous iteration ride the union
+            rmap = pd.Series(
+                r["b"].to_numpy(np.int64), index=r["a"].to_numpy(np.int64)
+            )
+            rsrc = rmap.reindex(src).to_numpy(np.int64)
+        else:  # first iteration: every node starts at R0
+            rsrc = np.full(src.size, _PR_R0, dtype=np.int64)
+        deg = pd.Series(src).groupby(src).transform("size").to_numpy(np.int64)
+        contrib = (rsrc * 85) // (100 * deg)
+        out = (
+            pd.DataFrame({"node": dst, "c": contrib})
+            .groupby("node", sort=False, as_index=False)
+            .sum()  # partial-agg before the dst shuffle
+        )
+        out["bucket"] = _bucket_of(out["node"].to_numpy(np.int64))
+        return out[["bucket", "node", "c"]].astype("int64")
+
+    def combine_ranks(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("node", sort=False, as_index=False)["c"].sum()
+        node = per["node"].to_numpy(np.int64)
+        r = _PR_BASE + per["c"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "bucket": _bucket_of(node),
+                "a": node,
+                "b": r,
+                "side": np.ones(node.size, dtype=np.int8),
+            }
+        )
+
+    ranks = None
+    for _ in range(3):
+        stream = edges if ranks is None else edges.union(ranks)
+        ranks = (
+            stream.groupby("bucket")
+            .map_groups(emit_contribs, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(combine_ranks, batch_format="pandas")
+            .materialize()  # node-sized panel; flattens the lineage
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"node_id": t["a"], "rank_fp": t["b"]})
+
+    return ranks.map_batches(finish, batch_format="pyarrow").sort("node_id")
+
+
 def q_revenue_by_priority(sf_dir: str):
     """Big–big CO-PARTITIONED hash join — the one join shape the repo
     had not yet demonstrated: orders ⋈ lineitem on orderkey where BOTH
@@ -6954,6 +7438,7 @@ QUERIES = {
     "type_prefix_counts": q_type_prefix_counts,
     "top_tokens_per_doc": q_top_tokens_per_doc,
     "dup_span_stats": q_dup_span_stats,
+    "cdc_chunk_stats": q_cdc_chunk_stats,
     "gram_novelty": q_gram_novelty,
     "source_overlap": q_source_overlap,
     "event_gap_histogram": q_event_gap_histogram,
@@ -6963,6 +7448,9 @@ QUERIES = {
     "gram_components": q_gram_components,
     "bigram_lm_scores": q_bigram_lm_scores,
     "revenue_by_priority": q_revenue_by_priority,
+    "pagerank_ranks": q_pagerank_ranks,
+    "pareto_parts": q_pareto_parts,
+    "rollup_counts": q_rollup_counts,
     "user_running_totals": q_user_running_totals,
     "minhash_band_keys": q_minhash_band_keys,
     "minhash_cluster_ids": q_minhash_cluster_ids,

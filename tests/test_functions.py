@@ -244,3 +244,73 @@ def test_media_pgm_roundtrip_and_codec_errors():
         decode_image(b"\xff\xd8\xff\xe0rest")
     with pytest.raises(NotImplementedError, match="png"):
         decode_image(b"\x89PNG\r\n")
+
+
+def test_cdc_chunk_spans_partition_and_shift_resilience():
+    """CDC spans must exactly partition the text into non-empty chunks,
+    and — the property that motivates content-defined over fixed-stride
+    chunking — an insertion near the front must leave the chunk set
+    after the edit point intact (boundaries re-synchronize)."""
+    from address_parser_ray.pipelines.queries import _cdc_chunk_spans
+
+    rng = np.random.default_rng(11)
+    alphabet = np.array(list("abcdefgh XYZ.,\n"), dtype="<U1")
+    for trial in range(20):
+        n = int(rng.integers(0, 800))
+        s = "".join(rng.choice(alphabet, size=n))
+        cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        starts, ends = _cdc_chunk_spans(cps)
+        if n == 0:
+            assert starts.size == 0
+            continue
+        # exact partition, no empty chunk
+        assert starts[0] == 0 and ends[-1] == n
+        assert (starts[1:] == ends[:-1]).all()
+        assert (ends > starts).all()
+
+    # shift resilience: insert 3 chars at position 10 of a 600-char text;
+    # the multiset of chunk contents may only change near the edit.
+    s = "".join(rng.choice(alphabet, size=600))
+    s2 = s[:10] + "@@@" + s[10:]
+
+    def chunks(text):
+        cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        st, en = _cdc_chunk_spans(cp)
+        return [text[a:b] for a, b in zip(st, en)]
+
+    c1, c2 = chunks(s), chunks(s2)
+    # every chunk that starts after the edit's resync window is shared
+    from collections import Counter
+
+    common = sum((Counter(c1) & Counter(c2)).values())
+    assert common >= len(c1) - 3  # at most the edit-local chunks differ
+
+
+def test_skyline_2d_matches_bruteforce():
+    """Pareto keep-mask vs O(n²) dominance brute force, including ties
+    on one or both axes (equal pairs never dominate each other)."""
+    from address_parser_ray.pipelines.queries import _skyline_2d
+
+    rng = np.random.default_rng(3)
+    for _ in range(150):
+        n = int(rng.integers(0, 40))
+        s = rng.integers(0, 6, n).astype(np.int64)
+        p = rng.integers(0, 8, n).astype(np.int64)
+        k = _skyline_2d(s, p)
+        brute = np.array(
+            [
+                not any(
+                    s[j] >= s[i]
+                    and p[j] <= p[i]
+                    and (s[j] > s[i] or p[j] < p[i])
+                    for j in range(n)
+                )
+                for i in range(n)
+            ],
+            dtype=bool,
+        )
+        assert (k == brute).all()

@@ -97,6 +97,7 @@ SQL_CHECKED = [
     "type_prefix_counts",
     "top_tokens_per_doc",
     "dup_span_stats",
+    "cdc_chunk_stats",
     "simhash_hamming_pairs",
     "gram_novelty",
     "source_overlap",
@@ -131,6 +132,9 @@ SQL_CHECKED = [
     "er_training_pairs",
     "window_dedup_stats",
     "cluster_size_histogram",
+    "pagerank_ranks",
+    "pareto_parts",
+    "rollup_counts",
 ]
 
 
@@ -333,6 +337,7 @@ NULL_SAFE = [
     "langid_pred",
     "ngram_jaccard_stats",
     "dup_span_stats",
+    "cdc_chunk_stats",
     "type_prefix_counts",
     "top_tokens_per_doc",
     "gram_novelty",
