@@ -1258,6 +1258,30 @@ ORACLE_SQL = {
     # Big-big join: orders x lineitem on orderkey, revenue per priority.
     # floor(price*(1-disc)*100) is the same left-assoc IEEE expression
     # numpy evaluates.
+    # SCD2 intervals over the deterministic 3-version change stream
+    # (v0 = base, v1 = every 5th doc, v2 = every 15th): valid_to = next
+    # version of the same key via lead(), 9999 sentinel = open row.
+    "scd2_history": """
+        WITH h AS (
+            SELECT doc_id, 0 AS version, source, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id, 1, 'v1', n_chars + 100 FROM documents
+            WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id, 2, 'v2', n_chars + 200 FROM documents
+            WHERE doc_id % 15 = 0
+        )
+        SELECT doc_id,
+               CAST(version AS BIGINT) AS version,
+               source,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(COALESCE(lead(version) OVER w, 9999) AS BIGINT)
+                   AS valid_to,
+               CAST(CASE WHEN lead(version) OVER w IS NULL
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        FROM h
+        WINDOW w AS (PARTITION BY doc_id ORDER BY version)
+    """,
     # ROLLUP hierarchy with '*' sentinels (GROUPING() distinguishes a
     # rolled-up axis from a hypothetical literal NULL, so the sentinel
     # is unambiguous).

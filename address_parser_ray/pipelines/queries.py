@@ -4600,6 +4600,92 @@ def q_bigram_lm_scores(sf_dir: str):
     return docs.map_batches(score, batch_format="pandas")
 
 
+def q_scd2_history(sf_dir: str):
+    """SCD-Type-2 dimension build — turn a versioned change stream into
+    VALIDITY INTERVALS (valid_to = next version, 9999 sentinel = open;
+    is_current flag), the warehouse-history sibling of the final-state
+    CDC merges (``upsert_latest`` keeps only the winner;
+    ``cdc_with_deletes`` adds tombstones; SCD2 keeps EVERY version with
+    its lifespan). The change stream is derived deterministically from
+    documents exactly like ``q_cdc_with_deletes``'s delta: v0 = base
+    row, v1 touches every 5th doc, v2 every 15th.
+
+    Shape: the three version streams union and hash-bucket by key in
+    ONE single-key shuffle; each bucket builds intervals in one
+    vectorized lexsort + shift (a row's valid_to is the next version of
+    the SAME key — all of a key's versions co-locate because the bucket
+    key is the dimension key). At 10^12 rows this is the standard
+    reduce-side history rebuild: shuffle ∝ change-stream size, no
+    window function over a global sort."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def emit_versions(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        nc = np.asarray(t["n_chars"], dtype=np.int64)
+        m1 = ids % 5 == 0
+        m2 = ids % 15 == 0
+        out_ids = np.concatenate([ids, ids[m1], ids[m2]])
+        out_src = np.concatenate(
+            [src, np.full(int(m1.sum()), "v1", object),
+             np.full(int(m2.sum()), "v2", object)]
+        )
+        out_nc = np.concatenate([nc, nc[m1] + 100, nc[m2] + 200])
+        out_ver = np.concatenate(
+            [
+                np.zeros(ids.size, dtype=np.int64),
+                np.ones(int(m1.sum()), dtype=np.int64),
+                np.full(int(m2.sum()), 2, dtype=np.int64),
+            ]
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (
+                        splitmix64(out_ids.view(np.uint64))
+                        % np.uint64(nparts)
+                    ).astype(np.int64)
+                ),
+                "doc_id": pa.array(out_ids),
+                "version": pa.array(out_ver),
+                "source": pa.array(out_src.tolist(), type=pa.string()),
+                "n_chars": pa.array(out_nc),
+            }
+        )
+
+    def build_intervals(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy(np.int64)
+        ver = g["version"].to_numpy(np.int64)
+        order = np.lexsort((ver, ids))
+        ids, ver = ids[order], ver[order]
+        g = g.iloc[order]
+        nxt_same = np.concatenate([ids[1:] == ids[:-1], [False]])
+        valid_to = np.where(
+            nxt_same, np.concatenate([ver[1:], [0]]), np.int64(9999)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "version": ver,
+                "source": g["source"].to_numpy(),
+                "n_chars": g["n_chars"].to_numpy(np.int64),
+                "valid_to": valid_to.astype(np.int64),
+                "is_current": (~nxt_same).astype(np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "source", "n_chars"])
+        .map_batches(emit_versions, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(build_intervals, batch_format="pandas")
+        .sort(["doc_id", "version"])
+    )
+
+
 def q_rollup_counts(sf_dir: str):
     """Multi-level ROLLUP aggregate — (lang, source), (lang), and grand
     total in ONE pass: each batch partial-aggregates locally and emits
@@ -7451,6 +7537,7 @@ QUERIES = {
     "pagerank_ranks": q_pagerank_ranks,
     "pareto_parts": q_pareto_parts,
     "rollup_counts": q_rollup_counts,
+    "scd2_history": q_scd2_history,
     "user_running_totals": q_user_running_totals,
     "minhash_band_keys": q_minhash_band_keys,
     "minhash_cluster_ids": q_minhash_cluster_ids,

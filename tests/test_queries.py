@@ -135,6 +135,7 @@ SQL_CHECKED = [
     "pagerank_ranks",
     "pareto_parts",
     "rollup_counts",
+    "scd2_history",
 ]
 
 
