@@ -2416,3 +2416,117 @@ FROM one GROUP BY 1 ORDER BY 1
 ORACLE_SQL["cluster_size_histogram"] = (
     _minhash_keys_sql(recursive=True).rstrip() + _MH_HIST_TAIL
 )
+
+# Triangle count over the supplier co-order graph: distinct per-order
+# supplier pairs, degree-(d, node) edge orientation, wedge = ordered
+# out-neighbor pair, triangle = wedge whose closing directed edge
+# exists. Row-value comparisons make the rank rule identical to the
+# engine's lexsort((node, deg)).
+ORACLE_SQL["graph_triangles"] = """
+    WITH e0 AS (
+        SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS s1,
+               greatest(a.l_suppkey, b.l_suppkey) AS s2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT s1 AS node FROM e0
+            UNION ALL SELECT s2 FROM e0
+        ) GROUP BY 1
+    ), dire AS (
+        SELECT CASE WHEN (d1.d, e0.s1) < (d2.d, e0.s2)
+                    THEN e0.s1 ELSE e0.s2 END AS u,
+               CASE WHEN (d1.d, e0.s1) < (d2.d, e0.s2)
+                    THEN e0.s2 ELSE e0.s1 END AS v
+        FROM e0
+        JOIN deg d1 ON d1.node = e0.s1
+        JOIN deg d2 ON d2.node = e0.s2
+    ), wedge AS (
+        SELECT CASE WHEN (da.d, e1.v) < (db.d, e2.v)
+                    THEN e1.v ELSE e2.v END AS x,
+               CASE WHEN (da.d, e1.v) < (db.d, e2.v)
+                    THEN e2.v ELSE e1.v END AS y
+        FROM dire e1
+        JOIN dire e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN deg da ON da.node = e1.v
+        JOIN deg db ON db.node = e2.v
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM wedge) AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM wedge w JOIN dire d ON d.u = w.x AND d.v = w.y
+           ) AS n_triangles
+"""
+
+# Count-Min sketch: 60-bit md5 fold (the distinct_kmv idiom), buckets
+# b_i = (h_lo + i*h_hi) mod 512 for rows i=0..3, cell sums over ALL
+# tokens, point estimate = min over rows for the top-10 exact tokens.
+ORACLE_SQL["countmin_estimates"] = """
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(
+            COALESCE(text, ''),
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS token
+        FROM documents
+    ), cnt AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1
+    ), hv AS (
+        SELECT token, n,
+               list_reduce(
+                   list_transform(
+                       split(substr(md5(token), 1, 15), ''),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
+                   (a, b) -> a * 16 + b) AS h
+        FROM cnt
+    ), cell AS (
+        SELECT i.i AS row_i,
+               (h % 1073741824 + i.i * (h // 1073741824)) % 512 AS b,
+               CAST(sum(n) AS BIGINT) AS cn
+        FROM hv CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+        GROUP BY 1, 2
+    ), topq AS (
+        SELECT token, n, h,
+               row_number() OVER (ORDER BY n DESC, token ASC) AS rk
+        FROM hv
+    )
+    SELECT t.token,
+           t.n AS exact_n,
+           CAST(min(c.cn) AS BIGINT) AS cms_est,
+           CAST(min(c.cn) - t.n AS BIGINT) AS overcount
+    FROM topq t
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+    JOIN cell c ON c.row_i = i.i
+       AND c.b = (t.h % 1073741824 + i.i * (t.h // 1073741824)) % 512
+    WHERE t.rk <= 10
+    GROUP BY 1, 2
+"""
+
+# Winsorized length stats: the event_value_percentiles integer rank
+# rule over a (lang, n_chars) histogram, then the clipped integer sum.
+ORACLE_SQL["winsorized_stats"] = """
+    WITH h AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ), c AS (
+        SELECT lang, v, n,
+               sum(n) OVER (PARTITION BY lang ORDER BY v) AS cum,
+               sum(n) OVER (PARTITION BY lang) AS total
+        FROM h
+    ), b AS (
+        SELECT lang,
+               CAST(max(total) AS BIGINT) AS n,
+               CAST(min(CASE WHEN cum >= (5 * total + 99) // 100
+                        THEN v END) AS BIGINT) AS p5,
+               CAST(min(CASE WHEN cum >= (95 * total + 99) // 100
+                        THEN v END) AS BIGINT) AS p95
+        FROM c GROUP BY 1
+    )
+    SELECT b.lang, b.n, b.p5, b.p95,
+           CAST(sum(least(greatest(h.v, b.p5), b.p95) * h.n)
+                AS BIGINT) AS wins_sum,
+           CAST(sum(least(greatest(h.v, b.p5), b.p95) * h.n) * 1000
+                // max(b.n) AS BIGINT) AS wins_mean_milli
+    FROM h JOIN b USING (lang)
+    GROUP BY 1, 2, 3, 4
+"""

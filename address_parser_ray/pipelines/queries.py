@@ -7441,6 +7441,405 @@ def q_blocking_quality(sf_dir: str):
     )
 
 
+def q_graph_triangles(sf_dir: str):
+    """Distributed triangle counting over the supplier co-order graph
+    (edge = two suppliers appear in the same order) — the classic
+    degree-ordered node-iterator (Cohen's MapReduce formulation / the
+    Suri–Vassilvitskii wedge-check): orient every edge from the
+    lower-(degree, id) endpoint to the higher one, emit each node's
+    out-neighbor pairs as wedges, and count wedges whose closing edge
+    exists. Degree ordering bounds per-node wedge fan-out by the
+    arboricity (O(sqrt(E)) out-degree), which is what makes the wedge
+    volume tractable on a skewed web-scale graph.
+
+    Shape: edges come from per-order supplier pair expansion inside
+    orderkey hash buckets (lineitems per order are bounded — TPC-H ≤ 7),
+    globally deduped in pair-hash buckets. The (node, degree) panel is
+    graph-node-sized (suppliers here — dimension-tiny) and broadcasts
+    via ``ray.put``; above a byte gate the rank attaches through the
+    bucketed ``pinned_join`` fallback like every other broadcast in the
+    repo. Wedges never materialize globally: each src bucket emits its
+    own wedges pre-keyed by the closing pair's hash bucket, where a
+    per-bucket semi-join against the directed edge list counts
+    triangles. Full SQL oracle (3-way self-join)."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def _bucket(a: np.ndarray) -> np.ndarray:
+        return (
+            splitmix64(a.astype(np.int64).view(np.uint64)) % np.uint64(nparts)
+        ).astype(np.int64)
+
+    def _pair_bucket(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        return (
+            splitmix64(
+                u.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                ^ v.astype(np.int64).view(np.uint64)
+            )
+            % np.uint64(nparts)
+        ).astype(np.int64)
+
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["l_orderkey"], dtype=np.int64)
+        return pa.table(
+            {
+                "ob": pa.array(_bucket(k)),
+                "okey": pa.array(k),
+                "supp": pa.array(np.asarray(t["l_suppkey"], dtype=np.int64)),
+            }
+        )
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # distinct suppliers per order, then all (s1 < s2) pairs —
+        # per-order expansion is bounded by lineitems-per-order
+        d = g[["okey", "supp"]].drop_duplicates()
+        d = d.sort_values(["okey", "supp"])
+        ok = d["okey"].to_numpy(np.int64)
+        sp = d["supp"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], ok[1:] != ok[:-1]]))
+        lens = np.diff(np.append(starts, len(ok)))
+        out_a: list = []
+        out_b: list = []
+        for s in np.unique(lens):
+            if s < 2:
+                continue
+            sel = starts[lens == s]
+            block = sp[sel[:, None] + np.arange(s)[None, :]]
+            iu, ju = np.triu_indices(int(s), k=1)
+            out_a.append(block[:, iu].ravel())
+            out_b.append(block[:, ju].ravel())
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "pb": pd.Series([], dtype=np.int64),
+                    "s1": pd.Series([], dtype=np.int64),
+                    "s2": pd.Series([], dtype=np.int64),
+                }
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        df = pd.DataFrame({"s1": a, "s2": b}).drop_duplicates()
+        df.insert(
+            0, "pb", _pair_bucket(df["s1"].to_numpy(), df["s2"].to_numpy())
+        )
+        return df
+
+    def distinct_edges(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["s1", "s2"]].drop_duplicates()
+
+    edges = (
+        items.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ob")
+        .map_groups(order_pairs, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(distinct_edges, batch_format="pandas")
+        .materialize()
+    )
+    n_edges = edges.count()
+
+    # (node, degree) panel: per-batch partial endpoint counts → one
+    # combine. Node panel ∝ graph nodes (supplier dim here); above the
+    # broadcast gate this panel attaches via pinned_join instead.
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [np.asarray(t["s1"], dtype=np.int64), np.asarray(t["s2"], dtype=np.int64)]
+        )
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {"node": pa.array(u), "pd_": pa.array(c.astype(np.int64))}
+        )
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("pd_", alias_name="deg"))
+        .to_pandas()
+        .sort_values("node")
+    )
+    n_nodes = np.int64(len(deg))
+    # rank = position in (degree, node) order; directed edge u→v iff
+    # rank_u < rank_v. searchsorted over the broadcast panel (the
+    # orders_by_nation idiom — no per-row dict lookups).
+    order = np.lexsort((deg["node"].to_numpy(np.int64), deg["deg"].to_numpy(np.int64)))
+    node_sorted = deg["node"].to_numpy(np.int64)
+    rank_by_pos = np.empty(len(deg), dtype=np.int64)
+    rank_by_pos[order] = np.arange(len(deg), dtype=np.int64)
+    rank_ref = ray.put((node_sorted, rank_by_pos))
+
+    def orient(t: pa.Table) -> pa.Table:
+        nodes, ranks = ray.get(rank_ref)
+        a = np.asarray(t["s1"], dtype=np.int64)
+        b = np.asarray(t["s2"], dtype=np.int64)
+        ra = ranks[np.searchsorted(nodes, a)]
+        rb = ranks[np.searchsorted(nodes, b)]
+        lo_first = ra < rb
+        u = np.where(lo_first, a, b)
+        v = np.where(lo_first, b, a)
+        rv = np.where(lo_first, rb, ra)
+        return pa.table(
+            {
+                "ub": pa.array(_bucket(u)),
+                "u": pa.array(u),
+                "v": pa.array(v),
+                "rv": pa.array(rv),
+            }
+        )
+
+    directed = edges.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # wedges from each src's out-neighbors (rank-ordered pair), keyed by
+    # the closing pair's hash bucket; side=1 rows are the directed edges
+    # themselves re-keyed the same way for the per-bucket semi-join
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["u", "rv"])
+        u = d["u"].to_numpy(np.int64)
+        v = d["v"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        lens = np.diff(np.append(starts, len(u)))
+        out_x: list = []
+        out_y: list = []
+        for s in np.unique(lens):
+            if s < 2:
+                continue
+            sel = starts[lens == s]
+            block = v[sel[:, None] + np.arange(s)[None, :]]  # rank-ascending
+            iu, ju = np.triu_indices(int(s), k=1)
+            out_x.append(block[:, iu].ravel())
+            out_y.append(block[:, ju].ravel())
+        if not out_x:
+            return pd.DataFrame(
+                {
+                    "pb": pd.Series([], dtype=np.int64),
+                    "x": pd.Series([], dtype=np.int64),
+                    "y": pd.Series([], dtype=np.int64),
+                    "side": pd.Series([], dtype=np.int8),
+                }
+            )
+        x = np.concatenate(out_x)
+        y = np.concatenate(out_y)
+        return pd.DataFrame(
+            {
+                "pb": _pair_bucket(x, y),
+                "x": x,
+                "y": y,
+                "side": np.zeros(len(x), dtype=np.int8),
+            }
+        )
+
+    def edge_side(df: pd.DataFrame) -> pd.DataFrame:
+        # pandas batch (not arrow) so the union with the wedge stream —
+        # whose map_groups emits pandas blocks — stays one block type
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "pb": _pair_bucket(u, v),
+                "x": u,
+                "y": v,
+                "side": np.ones(len(u), dtype=np.int8),
+            }
+        )
+
+    def close_count(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[g["side"] == 0]
+        e = g[g["side"] == 1][["x", "y"]].drop_duplicates()
+        n_w = np.int64(len(w))
+        if len(w) == 0 or len(e) == 0:
+            return pd.DataFrame({"n_w": [n_w], "n_tri": [np.int64(0)]})
+        m = w.merge(e, on=["x", "y"], how="inner")
+        return pd.DataFrame({"n_w": [n_w], "n_tri": [np.int64(len(m))]})
+
+    wedge_stream = directed.groupby("ub").map_groups(wedges, batch_format="pandas")
+    edge_stream = directed.map_batches(edge_side, batch_format="pandas")
+    panel = (
+        wedge_stream.union(edge_stream)
+        .groupby("pb")
+        .map_groups(close_count, batch_format="pandas")
+        .to_pandas()
+    )
+    n_wedges = int(panel["n_w"].sum()) if len(panel) else 0
+    n_tri = int(panel["n_tri"].sum()) if len(panel) else 0
+    return pa.table(
+        {
+            "n_nodes": pa.array([int(n_nodes)], type=pa.int64()),
+            "n_edges": pa.array([int(n_edges)], type=pa.int64()),
+            "n_wedges": pa.array([n_wedges], type=pa.int64()),
+            "n_triangles": pa.array([n_tri], type=pa.int64()),
+        }
+    )
+
+
+def q_countmin_estimates(sf_dir: str):
+    """Count-Min sketch (Cormode–Muthukrishnan) over the corpus token
+    stream: d=4 rows × w=512 buckets, Kirsch–Mitzenmacher double hashing
+    from one 60-bit md5 fold (``b_i = (h_lo + i·h_hi) mod w`` — the same
+    two-hash trick the bloom filter uses). Per-batch PARTIALS are the
+    (row, bucket) cell sums — at most d·w rows per batch regardless of
+    token volume — combined by one single-key groupby; the sketch is the
+    canonical mergeable-summary shape (state O(d·w), stream-size-free).
+    Point estimates (min over rows) are reported for the 10 globally
+    most-frequent tokens next to their exact counts, so the output
+    also certifies the CMS one-sided error: est ≥ exact always. Full
+    SQL oracle (md5-fold + integer bucket arithmetic)."""
+    import hashlib as _hl
+
+    D, W = 4, 512
+    docs = _docs(sf_dir, ["text"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _bpe_findall(df["text"])
+        n = toks.str.len().to_numpy()
+        if n.sum() == 0:
+            return pd.DataFrame(
+                {
+                    "kind": pd.Series([], dtype=np.int8),
+                    "cell": pd.Series([], dtype=np.int64),
+                    "token": pd.Series([], dtype=str),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        flat = pd.Series(np.concatenate(toks.to_numpy()))
+        cnt = flat.groupby(flat, sort=False).size()
+        tokens = cnt.index.to_numpy(dtype=object)
+        counts = cnt.to_numpy(np.int64)
+        h = np.fromiter(
+            (
+                int(_hl.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                for t in tokens
+            ),
+            dtype=np.int64,
+            count=len(tokens),
+        )
+        h_lo = h % (1 << 30)
+        h_hi = h >> 30
+        rows = []
+        for i in range(D):
+            b = (h_lo + i * h_hi) % W
+            cell = pd.DataFrame({"cell": i * W + b, "n": counts})
+            rows.append(cell)
+        cms = (
+            pd.concat(rows).groupby("cell", as_index=False)["n"].sum()
+        )
+        cms.insert(0, "kind", np.int8(0))
+        cms.insert(2, "token", "")
+        # kind=1 rows: exact per-token partial counts (the vocab_stats
+        # word-count shuffle; volume bounded by per-batch vocabulary)
+        ex = pd.DataFrame(
+            {
+                "kind": np.int8(1),
+                "cell": np.int64(-1),
+                "token": tokens.astype(str),
+                "n": counts,
+            }
+        )
+        out = pd.concat([cms, ex], ignore_index=True)
+        out["cell"] = out["cell"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    both = docs.map_batches(partials, batch_format="pandas").materialize()
+
+    cms_panel = (
+        both.filter(expr="kind == 0")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="cn"))
+        .to_pandas()
+    )
+    cms = np.zeros(D * W, dtype=np.int64)
+    cms[cms_panel["cell"].to_numpy(np.int64)] = cms_panel["cn"].to_numpy(np.int64)
+
+    exact = (
+        both.filter(expr="kind == 1")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="exact_n"))
+        .to_pandas()
+    )
+    top = exact.sort_values(
+        ["exact_n", "token"], ascending=[False, True]
+    ).head(10)
+
+    ests = []
+    for t in top["token"]:
+        h = int(_hl.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        h_lo, h_hi = h % (1 << 30), h >> 30
+        ests.append(min(int(cms[i * W + (h_lo + i * h_hi) % W]) for i in range(D)))
+    est = np.asarray(ests, dtype=np.int64)
+    exact_n = top["exact_n"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "token": pa.array(top["token"].tolist(), type=pa.string()),
+            "exact_n": pa.array(exact_n),
+            "cms_est": pa.array(est),
+            "overcount": pa.array(est - exact_n),
+        }
+    )
+
+
+def q_winsorized_stats(sf_dir: str):
+    """Winsorized length statistics per lang — the outlier-robust
+    aggregate a quality pipeline uses where a plain mean is dominated by
+    a few megabyte files: clip ``n_chars`` to the exact [p5, p95]
+    per-lang values (the ``event_value_percentiles`` integer rank rule
+    ``(p·n+99)//100`` on a compacted (lang, n_chars) histogram — one
+    corpus pass, panel bounded by langs × distinct lengths), then the
+    clipped sum/mean in pure-integer arithmetic (mean as milli-units,
+    floor division — hash-exact in SQL)."""
+    docs = _docs(sf_dir, ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pylist(),
+                "v": np.asarray(t["n_chars"], dtype=np.int64),
+            }
+        )
+        g = df.groupby(["lang", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"].tolist(), type=pa.string()),
+                "v": pa.array(g["v"].to_numpy(np.int64)),
+                "pn": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby("v", as_index=False)["pn"].sum().sort_values("v")
+        v = h["v"].to_numpy(np.int64)
+        n = h["pn"].to_numpy(np.int64)
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        p5 = int(v[np.searchsorted(cum, (5 * total + 99) // 100)])
+        p95 = int(v[np.searchsorted(cum, (95 * total + 99) // 100)])
+        clipped = np.clip(v, p5, p95)
+        wsum = int((clipped * n).sum())
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n": np.array([total], dtype=np.int64),
+                "p5": np.array([p5], dtype=np.int64),
+                "p95": np.array([p95], dtype=np.int64),
+                "wins_sum": np.array([wsum], dtype=np.int64),
+                "wins_mean_milli": np.array(
+                    [wsum * 1000 // total], dtype=np.int64
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7563,4 +7962,7 @@ QUERIES = {
     "window_dedup_stats": q_window_dedup_stats,
     "cluster_size_histogram": q_cluster_size_histogram,
     "blocking_quality": q_blocking_quality,
+    "graph_triangles": q_graph_triangles,
+    "countmin_estimates": q_countmin_estimates,
+    "winsorized_stats": q_winsorized_stats,
 }

@@ -136,6 +136,9 @@ SQL_CHECKED = [
     "pareto_parts",
     "rollup_counts",
     "scd2_history",
+    "graph_triangles",
+    "countmin_estimates",
+    "winsorized_stats",
 ]
 
 
@@ -1326,3 +1329,68 @@ def test_cluster_size_histogram_buckets(ray_session, tmp_path):
     )
     assert df.loc[2, "n_clusters"] == 1 and df.loc[2, "n_docs"] == 4
     assert df.loc[0, "n_clusters"] == 2 and df.loc[0, "n_docs"] == 2
+
+
+def test_graph_triangles_planted(ray_session, tmp_path):
+    """Orders plant K3{1,2,3} (one triangle) plus a wedge 3-4-5 with NO
+    closing 3-5 edge: exactly 1 triangle, 5 nodes, 5 distinct edges."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    orders = [
+        (100, [1, 2, 3]),  # K3 → edges 12, 13, 23
+        (200, [3, 4]),  # edge 34
+        (300, [4, 5]),  # edge 45 (wedge 3-4-5, open)
+        (400, [1, 2]),  # duplicate edge 12 via another order
+    ]
+    ok, sk = [], []
+    for o, supps in orders:
+        for s in supps:
+            ok.append(o)
+            sk.append(s)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(ok, type=pa.int64()),
+                "l_suppkey": pa.array(sk, type=pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    df = QUERIES["graph_triangles"](str(tmp_path)).to_pandas().iloc[0]
+    assert df["n_nodes"] == 5
+    assert df["n_edges"] == 5
+    assert df["n_triangles"] == 1
+    # degree-ordered emission: only node 1 (rank below both 2 and 3)
+    # emits a wedge; the open 3-4-5 wedge never materializes because
+    # edge 4-5 is directed INTO its center (deg 5 < deg 4) — exactly
+    # the fan-out suppression the ordering exists for
+    assert df["n_wedges"] == 1
+
+
+def test_countmin_one_sided_error(ray_session):
+    """CMS point estimates can only OVERcount: est >= exact for every
+    reported token, and the heaviest token's estimate is within the
+    eps*N classical bound (here simply sanity: < 2x exact at sf0.001)."""
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["countmin_estimates"](SF).to_pandas()
+    assert len(df) == 10
+    assert (df["overcount"] >= 0).all()
+    assert (df["cms_est"] == df["exact_n"] + df["overcount"]).all()
+    top = df.sort_values("exact_n", ascending=False).iloc[0]
+    assert top["cms_est"] < 2 * top["exact_n"]
+
+
+def test_winsorized_stats_bounds(ray_session):
+    """Winsorized mean lies within [p5, p95] and the clipped sum is
+    bounded by n*p95; p5 <= p95 per lang."""
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["winsorized_stats"](SF).to_pandas()
+    assert (df["p5"] <= df["p95"]).all()
+    assert (df["wins_mean_milli"] >= df["p5"] * 1000).all()
+    assert (df["wins_mean_milli"] <= df["p95"] * 1000).all()
+    assert (df["wins_sum"] <= df["n"] * df["p95"]).all()
