@@ -2417,17 +2417,17 @@ ORACLE_SQL["cluster_size_histogram"] = (
     _minhash_keys_sql(recursive=True).rstrip() + _MH_HIST_TAIL
 )
 
-# Triangle count over the supplier co-order graph: distinct per-order
-# supplier pairs, degree-(d, node) edge orientation, wedge = ordered
-# out-neighbor pair, triangle = wedge whose closing directed edge
-# exists. Row-value comparisons make the rank rule identical to the
-# engine's lexsort((node, deg)).
-ORACLE_SQL["graph_triangles"] = """
-    WITH e0 AS (
-        SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS s1,
-               greatest(a.l_suppkey, b.l_suppkey) AS s2
-        FROM lineitem a JOIN lineitem b
-          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+# Triangle count over the LSH candidate graph: distinct doc pairs
+# sharing a recomputed MinHash band key (_minhash_keys_sql), then
+# degree-(d, node) edge orientation, wedge = ordered out-neighbor
+# pair, triangle = wedge whose closing directed edge exists.
+# Row-value comparisons make the rank rule identical to the engine's
+# lexsort((node, deg)).
+_TRI_TAIL = """, e0 AS (
+        SELECT DISTINCT least(a.doc_id, b.doc_id) AS s1,
+               greatest(a.doc_id, b.doc_id) AS s2
+        FROM keys a JOIN keys b
+          ON a.band = b.band AND a.k = b.k AND a.doc_id <> b.doc_id
     ), deg AS (
         SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
             SELECT s1 AS node FROM e0
@@ -2458,6 +2458,8 @@ ORACLE_SQL["graph_triangles"] = """
             FROM wedge w JOIN dire d ON d.u = w.x AND d.v = w.y
            ) AS n_triangles
 """
+
+ORACLE_SQL["graph_triangles"] = _minhash_keys_sql().rstrip() + _TRI_TAIL
 
 # Count-Min sketch: 60-bit md5 fold (the distinct_kmv idiom), buckets
 # b_i = (h_lo + i*h_hi) mod 512 for rows i=0..3, cell sums over ALL

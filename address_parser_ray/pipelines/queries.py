@@ -7442,26 +7442,30 @@ def q_blocking_quality(sf_dir: str):
 
 
 def q_graph_triangles(sf_dir: str):
-    """Distributed triangle counting over the supplier co-order graph
-    (edge = two suppliers appear in the same order) — the classic
-    degree-ordered node-iterator (Cohen's MapReduce formulation / the
+    """Distributed triangle counting over the LSH candidate graph
+    (edge = two docs share a MinHash band key, the ``_mh_band_rows``
+    parameters with a full SQL twin) — the classic degree-ordered
+    node-iterator (Cohen's MapReduce formulation / the
     Suri–Vassilvitskii wedge-check): orient every edge from the
     lower-(degree, id) endpoint to the higher one, emit each node's
     out-neighbor pairs as wedges, and count wedges whose closing edge
     exists. Degree ordering bounds per-node wedge fan-out by the
     arboricity (O(sqrt(E)) out-degree), which is what makes the wedge
-    volume tractable on a skewed web-scale graph.
+    volume tractable on a skewed graph. On the candidate graph the
+    triangle density is the TRANSITIVITY diagnostic: near-clique
+    components validate transitive-closure clustering; triangle-poor
+    chains flag bridge edges that closure would over-merge.
 
-    Shape: edges come from per-order supplier pair expansion inside
-    orderkey hash buckets (lineitems per order are bounded — TPC-H ≤ 7),
-    globally deduped in pair-hash buckets. The (node, degree) panel is
-    graph-node-sized (suppliers here — dimension-tiny) and broadcasts
-    via ``ray.put``; above a byte gate the rank attaches through the
-    bucketed ``pinned_join`` fallback like every other broadcast in the
-    repo. Wedges never materialize globally: each src bucket emits its
-    own wedges pre-keyed by the closing pair's hash bucket, where a
-    per-bucket semi-join against the directed edge list counts
-    triangles. Full SQL oracle (3-way self-join)."""
+    Shape: band keys hash-bucket once, per-bucket run-length triu pair
+    expansion (the ``minhash_cluster_ids`` shape), pair-hash-bucket
+    distinct. The (node, degree) panel is graph-node-sized and
+    broadcasts via ``ray.put``; above a byte gate the rank attaches
+    through the bucketed ``pinned_join`` fallback like every other
+    broadcast in the repo. Wedges never materialize globally: each src
+    bucket emits its own wedges pre-keyed by the closing pair's hash
+    bucket, where a per-bucket semi-join against the directed edge
+    list counts triangles. Full SQL oracle (3-way self-join over the
+    recomputed band keys)."""
     from address_parser_ray.functions.hashing import splitmix64
     from address_parser_ray.rayutil import default_num_partitions
 
@@ -7481,36 +7485,33 @@ def q_graph_triangles(sf_dir: str):
             % np.uint64(nparts)
         ).astype(np.int64)
 
-    items = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
-    )
-
-    def tag(t: pa.Table) -> pa.Table:
-        k = np.asarray(t["l_orderkey"], dtype=np.int64)
+    def emit_keys(t: pa.Table) -> pa.Table:
+        ids, _bands, keys = _mh_band_rows(t)
+        kb = (splitmix64(keys) % np.uint64(nparts)).astype(np.int64)
         return pa.table(
             {
-                "ob": pa.array(_bucket(k)),
-                "okey": pa.array(k),
-                "supp": pa.array(np.asarray(t["l_suppkey"], dtype=np.int64)),
+                "kb": pa.array(kb),
+                "key": pa.array(keys.view(np.int64)),
+                "doc_id": pa.array(ids),
             }
         )
 
-    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # distinct suppliers per order, then all (s1 < s2) pairs —
-        # per-order expansion is bounded by lineitems-per-order
-        d = g[["okey", "supp"]].drop_duplicates()
-        d = d.sort_values(["okey", "supp"])
-        ok = d["okey"].to_numpy(np.int64)
-        sp = d["supp"].to_numpy(np.int64)
-        starts = np.flatnonzero(np.concatenate([[True], ok[1:] != ok[:-1]]))
-        lens = np.diff(np.append(starts, len(ok)))
+    def key_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # distinct (key, doc) then run-length triu pair expansion per
+        # key — the minhash_cluster_ids edge shape, emitted s1 < s2
+        d = g[["key", "doc_id"]].drop_duplicates()
+        d = d.sort_values(["key", "doc_id"])
+        ky = d["key"].to_numpy(np.int64)
+        ids = d["doc_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], ky[1:] != ky[:-1]]))
+        lens = np.diff(np.append(starts, len(ky)))
         out_a: list = []
         out_b: list = []
         for s in np.unique(lens):
             if s < 2:
                 continue
             sel = starts[lens == s]
-            block = sp[sel[:, None] + np.arange(s)[None, :]]
+            block = ids[sel[:, None] + np.arange(s)[None, :]]
             iu, ju = np.triu_indices(int(s), k=1)
             out_a.append(block[:, iu].ravel())
             out_b.append(block[:, ju].ravel())
@@ -7534,9 +7535,10 @@ def q_graph_triangles(sf_dir: str):
         return g[["s1", "s2"]].drop_duplicates()
 
     edges = (
-        items.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("ob")
-        .map_groups(order_pairs, batch_format="pandas")
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(emit_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kb")
+        .map_groups(key_pairs, batch_format="pandas")
         .groupby("pb")
         .map_groups(distinct_edges, batch_format="pandas")
         .materialize()
@@ -7657,14 +7659,58 @@ def q_graph_triangles(sf_dir: str):
         m = w.merge(e, on=["x", "y"], how="inner")
         return pd.DataFrame({"n_w": [n_w], "n_tri": [np.int64(len(m))]})
 
-    wedge_stream = directed.groupby("ub").map_groups(wedges, batch_format="pandas")
-    edge_stream = directed.map_batches(edge_side, batch_format="pandas")
-    panel = (
-        wedge_stream.union(edge_stream)
-        .groupby("pb")
-        .map_groups(close_count, batch_format="pandas")
-        .to_pandas()
-    )
+    if n_edges == 0:
+        panel = pd.DataFrame({"n_w": [], "n_tri": []})
+    elif directed.size_bytes() <= 64 << 20:
+        # fast path: the DIRECTED EDGE LIST (≪ wedge volume — that is
+        # the point of degree ordering) fits a broadcast; each wedge
+        # bucket checks closure against the broadcast sorted edge-rank
+        # keys locally, so the 1M-row wedge stream never enters a
+        # shuffle. Edge key = rank(u)·n_nodes + rank(v): exact (ranks
+        # are dense in [0, n_nodes)), int64-safe under the byte gate.
+        et = pa.concat_tables(
+            directed.select_columns(["u", "v"]).iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            )
+        )
+        eu = np.asarray(et["u"], dtype=np.int64)
+        ev = np.asarray(et["v"], dtype=np.int64)
+        iu = np.searchsorted(node_sorted, eu)
+        iv = np.searchsorted(node_sorted, ev)
+        ekeys_ref = ray.put(np.sort(iu * int(n_nodes) + iv))
+
+        def close_local(g: pd.DataFrame) -> pd.DataFrame:
+            w = wedges(g)
+            n_w = np.int64(len(w))
+            if n_w == 0:
+                return pd.DataFrame({"n_w": [n_w], "n_tri": [np.int64(0)]})
+            ekeys = ray.get(ekeys_ref)
+            kx = np.searchsorted(node_sorted, w["x"].to_numpy(np.int64))
+            ky = np.searchsorted(node_sorted, w["y"].to_numpy(np.int64))
+            wk = kx * int(n_nodes) + ky
+            pos = np.clip(np.searchsorted(ekeys, wk), 0, len(ekeys) - 1)
+            n_tri = np.int64((ekeys[pos] == wk).sum())
+            return pd.DataFrame({"n_w": [n_w], "n_tri": [n_tri]})
+
+        panel = (
+            directed.groupby("ub")
+            .map_groups(close_local, batch_format="pandas")
+            .to_pandas()
+        )
+    else:
+        # at-scale path: wedges are emitted pre-keyed by the closing
+        # pair's hash bucket and meet the re-keyed directed edges in a
+        # per-bucket semi-join — no global edge broadcast required.
+        wedge_stream = directed.groupby("ub").map_groups(
+            wedges, batch_format="pandas"
+        )
+        edge_stream = directed.map_batches(edge_side, batch_format="pandas")
+        panel = (
+            wedge_stream.union(edge_stream)
+            .groupby("pb")
+            .map_groups(close_count, batch_format="pandas")
+            .to_pandas()
+        )
     n_wedges = int(panel["n_w"].sum()) if len(panel) else 0
     n_tri = int(panel["n_tri"].sum()) if len(panel) else 0
     return pa.table(

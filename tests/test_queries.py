@@ -1332,41 +1332,28 @@ def test_cluster_size_histogram_buckets(ray_session, tmp_path):
 
 
 def test_graph_triangles_planted(ray_session, tmp_path):
-    """Orders plant K3{1,2,3} (one triangle) plus a wedge 3-4-5 with NO
-    closing 3-5 edge: exactly 1 triangle, 5 nodes, 5 distinct edges."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+    """Three identical docs share every band key → K3{1,2,3} = exactly
+    one triangle and (degree-ordered) one wedge; two identical docs of
+    a different text add one more edge but no wedge; two singletons
+    with unrelated text contribute nothing. Identical text ⇒ identical
+    MinHash signature ⇒ identical band keys, so the planted edges are
+    deterministic regardless of the hash constants."""
     from address_parser_ray.pipelines.queries import QUERIES
 
-    orders = [
-        (100, [1, 2, 3]),  # K3 → edges 12, 13, 23
-        (200, [3, 4]),  # edge 34
-        (300, [4, 5]),  # edge 45 (wedge 3-4-5, open)
-        (400, [1, 2]),  # duplicate edge 12 via another order
-    ]
-    ok, sk = [], []
-    for o, supps in orders:
-        for s in supps:
-            ok.append(o)
-            sk.append(s)
-    pq.write_table(
-        pa.table(
-            {
-                "l_orderkey": pa.array(ok, type=pa.int64()),
-                "l_suppkey": pa.array(sk, type=pa.int64()),
-            }
-        ),
-        str(tmp_path / "lineitem.parquet"),
-    )
+    tri = "def alpha(x):\n    return x * 41 + alpha_offset\n"
+    pair = "SELECT customer_name, SUM(total) FROM ledger GROUP BY 1;\n"
+    texts = [tri, tri, tri, pair, pair,
+             "zebra quilt // completely unrelated body of text ~!",
+             "int main() { volatile long z = 99; return (int)z; }"]
+    _write_docs(tmp_path, texts)
     df = QUERIES["graph_triangles"](str(tmp_path)).to_pandas().iloc[0]
+    # nodes = endpoints of at least one edge (5 of the 7 docs)
     assert df["n_nodes"] == 5
-    assert df["n_edges"] == 5
+    assert df["n_edges"] == 4
     assert df["n_triangles"] == 1
-    # degree-ordered emission: only node 1 (rank below both 2 and 3)
-    # emits a wedge; the open 3-4-5 wedge never materializes because
-    # edge 4-5 is directed INTO its center (deg 5 < deg 4) — exactly
-    # the fan-out suppression the ordering exists for
+    # degree-ordered emission: inside K3 only the lowest-(deg, id)
+    # vertex emits its out-neighbor pair; the 2-clique has out-degree
+    # 1 at its source — exactly one wedge total
     assert df["n_wedges"] == 1
 
 
