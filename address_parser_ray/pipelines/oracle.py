@@ -2532,3 +2532,119 @@ ORACLE_SQL["winsorized_stats"] = """
     FROM h JOIN b USING (lang)
     GROUP BY 1, 2, 3, 4
 """
+
+# Mixture balancing: keep the n_min smallest-md5(doc_id) docs per lang,
+# n_min = the smallest lang's row count (same hash-priority rule as
+# stratified_sample, data-dependent k).
+ORACLE_SQL["balanced_sample"] = """
+    WITH c AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ), m AS (
+        SELECT min(n) AS n_min FROM c
+    ), r AS (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT r.lang, r.doc_id, CAST(r.rk AS BIGINT) AS sample_rank
+    FROM r, m WHERE r.rk <= m.n_min
+"""
+
+# Per-lang OLS of BPE-token count on n_chars: exact HUGEINT sufficient
+# statistics, closed-form slope/intercept via truncating integer
+# division (DuckDB // truncates toward zero; the engine mirrors it).
+ORACLE_SQL["lang_regression"] = """
+    WITH t AS (
+        SELECT lang,
+               CAST(n_chars AS HUGEINT) AS x,
+               CAST(len(regexp_extract_all(
+                   COALESCE(text, ''),
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS HUGEINT) AS y
+        FROM documents
+    ), s AS (
+        SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM t GROUP BY 1
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n,
+           CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                ELSE (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+                END AS BIGINT) AS slope_micro,
+           CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                ELSE (sy * (n * sxx - sx * sx)
+                      - (n * sxy - sx * sy) * sx) * 1000
+                     // ((n * sxx - sx * sx) * n)
+                END AS BIGINT) AS intercept_milli
+    FROM s ORDER BY lang
+"""
+
+# Time-decayed engagement: an event aged d whole days (epoch-us floor
+# arithmetic — date_diff counts boundary crossings and would diverge)
+# contributes 1000 // 2^(d // 7) milli-units; integer shifts both sides.
+ORACLE_SQL["decayed_counts"] = """
+    WITH mx AS (SELECT max(ts) AS tm FROM events),
+    e AS (
+        SELECT event_type,
+               least((epoch_us(tm) - epoch_us(ts)) // 86400000000 // 7,
+                     62) AS sh
+        FROM events, mx
+    )
+    SELECT event_type,
+           CAST(sum(1000 // (CAST(1 AS BIGINT) << sh)) AS BIGINT)
+               AS decayed_milli,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM e GROUP BY 1
+"""
+
+# TPC-H Q5 local-supplier topology: revenue only where the ordering
+# customer's nation equals the line supplier's nation.
+ORACLE_SQL["regional_revenue"] = """
+    SELECT n.n_name,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1 ORDER BY 1
+"""
+
+# Asymmetric containment over the LSH candidate pairs: distinct 8-gram
+# shingle-hash sets per doc (the h CTE), pairs from shared band keys,
+# containment = |A∩B|·10^6 // |A| (and // |B|) in micro-units. Band-key
+# equality implies >= 1 shared shingle hash (equal MinHash minima under
+# a bijective permutation), so the inner intersection join drops no
+# candidate pair.
+_CONT_TAIL = """, prs AS (
+    SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+           greatest(a.doc_id, b.doc_id) AS id_b
+    FROM keys a JOIN keys b
+      ON a.band = b.band AND a.k = b.k AND a.doc_id <> b.doc_id
+), sh AS (
+    SELECT DISTINCT doc_id, hv FROM h
+), sz AS (
+    SELECT doc_id, CAST(count(*) AS HUGEINT) AS n FROM sh GROUP BY 1
+), inter AS (
+    SELECT p.id_a, p.id_b, CAST(count(*) AS HUGEINT) AS ni
+    FROM prs p
+    JOIN sh a ON a.doc_id = p.id_a
+    JOIN sh b ON b.doc_id = p.id_b AND b.hv = a.hv
+    GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, CAST(i.ni AS BIGINT) AS n_shared,
+       CAST(i.ni * 1000000 // za.n AS BIGINT) AS cont_a_micro,
+       CAST(i.ni * 1000000 // zb.n AS BIGINT) AS cont_b_micro
+FROM inter i
+JOIN sz za ON za.doc_id = i.id_a
+JOIN sz zb ON zb.doc_id = i.id_b
+"""
+
+ORACLE_SQL["containment_pairs"] = _minhash_keys_sql().rstrip() + _CONT_TAIL

@@ -7886,6 +7886,432 @@ def q_winsorized_stats(sf_dir: str):
     )
 
 
+def q_balanced_sample(sf_dir: str):
+    """Mixture balancing — per-lang downsample to the SMALLEST lang's
+    row count (the training-mixture equalizer every multilingual
+    pipeline runs before tokenization): kept rows are the n_min
+    smallest-md5(doc_id) docs of each lang, so the 'random' subset is a
+    pure function of the row key (reproducible across runs and cluster
+    sizes, the T6 hash-split discipline). Two passes: a lang-count panel
+    (langs-sized) fixes n_min, then per-batch per-lang head(n_min)
+    partials bound the shuffle before the per-lang final head. Full SQL
+    oracle (row_number over md5 order)."""
+    import hashlib
+
+    docs = _docs(sf_dir, ["lang", "doc_id"])
+    counts = docs.groupby("lang").count().to_pandas()
+    n_min = int(counts["count()"].min())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        key = [
+            hashlib.md5(str(int(d)).encode()).hexdigest() for d in df["doc_id"]
+        ]
+        g = pd.DataFrame(
+            {"lang": df["lang"], "doc_id": df["doc_id"], "skey": key}
+        )
+        return (
+            g.sort_values(["skey", "doc_id"], kind="stable")
+            .groupby("lang", sort=False)
+            .head(n_min)
+            .reset_index(drop=True)
+        )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["skey", "doc_id"], kind="stable").head(n_min)
+        g = g.reset_index(drop=True)
+        g["sample_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "doc_id", "sample_rank"]]
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (DuckDB ``//`` truncates toward zero;
+    Python ``//`` floors — they differ on negative quotients)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def q_lang_regression(sf_dir: str):
+    """Per-lang OLS fit of token count on n_chars — the distributed
+    sufficient-statistics pattern for linear models: each batch emits
+    only the five per-lang integer moments (n, Σx, Σy, Σxy, Σx²), one
+    single-key combine folds them, and the closed-form slope/intercept
+    evaluate on the langs-sized panel. All arithmetic is exact integers
+    (Python bigints driver-side, HUGEINT in SQL; quotients in micro /
+    milli units via truncating division) — hash-exact by construction,
+    no float summation order anywhere. Tokens are the BPE pre-tokenizer
+    classes (``_bpe_findall``, RE2 parity). Full SQL oracle."""
+    docs = _docs(sf_dir, ["lang", "text", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _bpe_findall(df["text"])
+        y = toks.str.len().to_numpy().astype(np.int64)
+        x = df["n_chars"].to_numpy(np.int64)
+        g = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "pn": np.ones(len(x), dtype=np.int64),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        return g.groupby("lang", as_index=False).sum()
+
+    panel = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+    )
+    rows = []
+    for r in panel.itertuples(index=False):
+        # exact bigint math: n·Σxy − Σx·Σy overflows int64 at corpus
+        # scale, so the langs-sized panel evaluates in Python ints
+        n, sx, sy, sxy, sxx = (
+            int(r.n), int(r.sx), int(r.sy), int(r.sxy), int(r.sxx)
+        )
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope_micro = _tdiv(num * 1_000_000, den) if den else 0
+        icpt_milli = _tdiv((sy * den - num * sx) * 1_000, den * n) if den else 0
+        rows.append((r.lang, n, slope_micro, icpt_milli))
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], type=pa.string()),
+            "n": pa.array([r[1] for r in rows], type=pa.int64()),
+            "slope_micro": pa.array([r[2] for r in rows], type=pa.int64()),
+            "intercept_milli": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def q_decayed_counts(sf_dir: str):
+    """Exponentially time-decayed engagement score per event_type — the
+    streaming-flavored 'recency-weighted popularity' aggregate, in pure
+    integers so it is hash-exact: an event aged d whole days (vs the
+    corpus max ts) contributes 1000 // 2^(d // 7) milli-units (7-day
+    half-life, weight floors to 0 past ~10 half-lives — exactly the
+    truncation a fixed-point streaming counter applies). Two passes:
+    a max-ts scalar (one Max aggregate), then per-batch per-type partial
+    sums (shuffle = types × blocks). Full SQL oracle."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    t_max = events.aggregate(Max("ts"))["max(ts)"]
+    t_max_us = int(pd.Timestamp(t_max).value // 1000)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        age_days = (t_max_us - ts) // np.int64(86_400_000_000)
+        shift = np.minimum(age_days // 7, 62).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "pw": np.int64(1000) >> shift,
+                "pn": np.ones(len(shift), dtype=np.int64),
+            }
+        ).groupby("event_type", as_index=False).sum()
+        g["pw"] = g["pw"].astype(np.int64)
+        g["pn"] = g["pn"].astype(np.int64)
+        return g
+
+    return (
+        events.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("pw", alias_name="decayed_milli"),
+            Sum("pn", alias_name="n_events"),
+        )
+    )
+
+
+def q_regional_revenue(sf_dir: str):
+    """TPC-H Q5 topology — the LOCAL-SUPPLIER join: revenue per nation
+    counted only where the ordering customer and the line's supplier
+    share a nation. Distinct from every other join in the registry by
+    combining BOTH join families at once: two dimension broadcasts
+    attach nationkeys to opposite sides of a big–big fact join
+    (customer→orders, supplier→lineitem via ``ray.put`` searchsorted
+    lookups), then orders and lineitem co-partition on orderkey hash
+    buckets (one single-key shuffle each) and every bucket applies the
+    equality filter locally and pre-aggregates to a nations-sized
+    partial. Revenue = floor(price·(1−disc)·100) — the same IEEE
+    expression both engines evaluate. Full SQL oracle (4-way join)."""
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    ck = np.asarray(cust["c_custkey"]).astype(np.int64)
+    co = np.argsort(ck)
+    cust_ref = ray.put(
+        (ck[co], np.asarray(cust["c_nationkey"]).astype(np.int64)[co])
+    )
+    sk = np.asarray(supp["s_suppkey"]).astype(np.int64)
+    so = np.argsort(sk)
+    supp_ref = ray.put(
+        (sk[so], np.asarray(supp["s_nationkey"]).astype(np.int64)[so])
+    )
+    nk = np.asarray(nation["n_nationkey"]).astype(np.int64)
+    no = np.argsort(nk)
+    nnames = np.asarray(nation["n_name"].to_pylist(), dtype=object)[no]
+    nk_sorted = nk[no]
+
+    def _bucket(k: np.ndarray) -> np.ndarray:
+        return (splitmix64(k.view(np.uint64)) % np.uint64(nparts)).astype(
+            np.int64
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys, nats = ray.get(cust_ref)
+        k = np.asarray(t["o_orderkey"], dtype=np.int64)
+        cnat = nats[np.searchsorted(keys, np.asarray(t["o_custkey"], dtype=np.int64))]
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket(k)),
+                "key": pa.array(k),
+                "nat": pa.array(cnat),
+                "cents": pa.array(np.zeros(len(k), dtype=np.int64)),
+                "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+            }
+        )
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        keys, nats = ray.get(supp_ref)
+        k = np.asarray(t["l_orderkey"], dtype=np.int64)
+        snat = nats[np.searchsorted(keys, np.asarray(t["l_suppkey"], dtype=np.int64))]
+        price = np.asarray(t["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(t["l_discount"], dtype=np.float64)
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket(k)),
+                "key": pa.array(k),
+                "nat": pa.array(snat),
+                "cents": pa.array(cents),
+                "side": pa.array(np.ones(len(k), dtype=np.int8)),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(tag_orders, batch_format="pyarrow")
+    items = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(tag_items, batch_format="pyarrow")
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["side"] == 0, ["key", "nat"]].rename(columns={"nat": "cnat"})
+        li = g.loc[g["side"] == 1, ["key", "nat", "cents"]]
+        j = li.merge(o, on="key", how="inner")
+        j = j[j["nat"] == j["cnat"]]
+        if len(j) == 0:
+            return pd.DataFrame(
+                {
+                    "nat": pd.Series([], dtype=np.int64),
+                    "part_cents": pd.Series([], dtype=np.int64),
+                    "part_items": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = j.groupby("nat", as_index=False).agg(
+            part_cents=("cents", "sum"), part_items=("cents", "size")
+        )
+        out["part_cents"] = out["part_cents"].astype(np.int64)
+        out["part_items"] = out["part_items"].astype(np.int64)
+        return out
+
+    panel = (
+        orders.union(items)
+        .groupby("bucket")
+        .map_groups(bucket_join, batch_format="pandas")
+        .groupby("nat")
+        .aggregate(
+            Sum("part_cents", alias_name="revenue_cents"),
+            Sum("part_items", alias_name="n_items"),
+        )
+        .to_pandas()
+        .sort_values("nat")
+    )
+    names = nnames[np.searchsorted(nk_sorted, panel["nat"].to_numpy(np.int64))]
+    return pa.table(
+        {
+            "n_name": pa.array(list(names), type=pa.string()),
+            "revenue_cents": pa.array(panel["revenue_cents"].to_numpy(np.int64)),
+            "n_items": pa.array(panel["n_items"].to_numpy(np.int64)),
+        }
+    )
+
+
+def q_containment_pairs(sf_dir: str):
+    """ASYMMETRIC containment join over the LSH candidate pairs — the
+    quote/inclusion detector symmetric Jaccard misses (a file pasted
+    inside a larger one scores low Jaccard but containment ≈ 1): for
+    every candidate pair (docs sharing a MinHash band key at the
+    ``_mh_band_rows`` parameters), containment(A→B) = |A∩B|·10⁶ //
+    |A| over DISTINCT 8-gram shingle hash sets, reported in both
+    directions (a = smaller doc_id). Candidate pairs come from the
+    band-bucket run-length expansion (the triangles/cluster shape);
+    texts re-attach by id via a broadcast under the feats byte gate
+    (docs panel here) — at 100 TB the same pairs would re-join through
+    ``pinned_join`` like the rescore band. Full SQL oracle (distinct
+    shingle-hash sets recomputed in DuckDB)."""
+    from address_parser_ray.functions.hashing import (
+        char_shingle_hashes,
+        splitmix64,
+    )
+    from address_parser_ray.functions.normalize import normalize_content_arrow
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def emit_keys(t: pa.Table) -> pa.Table:
+        ids, _bands, keys = _mh_band_rows(t)
+        kb = (splitmix64(keys) % np.uint64(nparts)).astype(np.int64)
+        return pa.table(
+            {
+                "kb": pa.array(kb),
+                "key": pa.array(keys.view(np.int64)),
+                "doc_id": pa.array(ids),
+            }
+        )
+
+    def key_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["key", "doc_id"]].drop_duplicates().sort_values(["key", "doc_id"])
+        ky = d["key"].to_numpy(np.int64)
+        ids = d["doc_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], ky[1:] != ky[:-1]]))
+        lens = np.diff(np.append(starts, len(ky)))
+        out_a: list = []
+        out_b: list = []
+        for s in np.unique(lens):
+            if s < 2:
+                continue
+            sel = starts[lens == s]
+            block = ids[sel[:, None] + np.arange(s)[None, :]]
+            iu, ju = np.triu_indices(int(s), k=1)
+            out_a.append(block[:, iu].ravel())
+            out_b.append(block[:, ju].ravel())
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "pb": pd.Series([], dtype=np.int64),
+                    "id_a": pd.Series([], dtype=np.int64),
+                    "id_b": pd.Series([], dtype=np.int64),
+                }
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        df = pd.DataFrame({"id_a": a, "id_b": b}).drop_duplicates()
+        pb = (
+            splitmix64(
+                df["id_a"].to_numpy(np.int64).view(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                ^ df["id_b"].to_numpy(np.int64).view(np.uint64)
+            )
+            % np.uint64(nparts)
+        ).astype(np.int64)
+        df.insert(0, "pb", pb)
+        return df
+
+    pairs = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(emit_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kb")
+        .map_groups(key_pairs, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(
+            lambda g: g[["id_a", "id_b"]].drop_duplicates(),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    # texts by id: the docs panel broadcasts at this table's scale
+    # (≤ MBs); the at-scale path is the rescore band's bucketed
+    # pinned_join — same semantics, no broadcast.
+    def norm_texts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm": normalize_content_arrow(t["text"]),
+            }
+        )
+
+    texts = pa.concat_tables(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(norm_texts, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=1 << 18, batch_format="pyarrow")
+    )
+    tids = np.asarray(texts["doc_id"], dtype=np.int64)
+    torder = np.argsort(tids)
+    texts_ref = ray.put(
+        (tids[torder], [texts["norm"].to_pylist()[i] for i in torder])
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_sorted, norms = ray.get(texts_ref)
+        a = np.asarray(batch["id_a"], dtype=np.int64)
+        b = np.asarray(batch["id_b"], dtype=np.int64)
+        cache: dict[int, set] = {}
+
+        def sset(doc: int) -> set:
+            got = cache.get(doc)
+            if got is None:
+                pos = int(np.searchsorted(ids_sorted, doc))
+                got = set(char_shingle_hashes(norms[pos], 8).tolist())
+                cache[doc] = got
+            return got
+
+        ca = np.empty(len(a), dtype=np.int64)
+        cb = np.empty(len(a), dtype=np.int64)
+        ni_arr = np.empty(len(a), dtype=np.int64)
+        for i in range(len(a)):
+            sa, sb = sset(int(a[i])), sset(int(b[i]))
+            ni = len(sa & sb)
+            ni_arr[i] = ni
+            ca[i] = ni * 1_000_000 // len(sa) if sa else 0
+            cb[i] = ni * 1_000_000 // len(sb) if sb else 0
+        return pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "n_shared": pa.array(ni_arr),
+                "cont_a_micro": pa.array(ca),
+                "cont_b_micro": pa.array(cb),
+            }
+        )
+
+    return pairs.map_batches(
+        score, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8011,4 +8437,9 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "countmin_estimates": q_countmin_estimates,
     "winsorized_stats": q_winsorized_stats,
+    "balanced_sample": q_balanced_sample,
+    "lang_regression": q_lang_regression,
+    "decayed_counts": q_decayed_counts,
+    "regional_revenue": q_regional_revenue,
+    "containment_pairs": q_containment_pairs,
 }

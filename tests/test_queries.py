@@ -139,6 +139,11 @@ SQL_CHECKED = [
     "graph_triangles",
     "countmin_estimates",
     "winsorized_stats",
+    "balanced_sample",
+    "lang_regression",
+    "decayed_counts",
+    "regional_revenue",
+    "containment_pairs",
 ]
 
 
@@ -1381,3 +1386,154 @@ def test_winsorized_stats_bounds(ray_session):
     assert (df["wins_mean_milli"] >= df["p5"] * 1000).all()
     assert (df["wins_mean_milli"] <= df["p95"] * 1000).all()
     assert (df["wins_sum"] <= df["n"] * df["p95"]).all()
+
+
+def test_balanced_sample_equalizes_langs(ray_session, tmp_path):
+    """Unbalanced corpus (4 py / 2 sql docs) must downsample every lang
+    to n_min=2, ranks 1..2, and pick the md5-smallest doc ids."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    langs = ["py"] * 4 + ["sql"] * 2
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, 7), type=pa.int64()),
+                "text": [f"doc {i}" for i in range(6)],
+                "lang": langs,
+                "source": ["s"] * 6,
+                "n_chars": pa.array([5] * 6, type=pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = QUERIES["balanced_sample"](str(tmp_path)).to_pandas()
+    assert len(df) == 4
+    assert (df.groupby("lang").size() == 2).all()
+    assert sorted(df["sample_rank"].unique()) == [1, 2]
+    kept_py = set(df.loc[df["lang"] == "py", "doc_id"])
+    want = sorted(range(1, 5), key=lambda d: hashlib.md5(str(d).encode()).hexdigest())[:2]
+    assert kept_py == set(want)
+
+
+def test_lang_regression_recovers_planted_line(ray_session, tmp_path):
+    """Exact collinear points y = 0.5x per lang must recover
+    slope_micro=500000, intercept_milli=0 (integer math is exact)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    texts = ["a", "a b", "a b c"]  # 1, 2, 3 BPE tokens
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": texts,
+                "lang": ["py"] * 3,
+                "source": ["s"] * 3,
+                "n_chars": pa.array([2, 4, 6], type=pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = QUERIES["lang_regression"](str(tmp_path)).to_pandas().iloc[0]
+    assert df["n"] == 3
+    assert df["slope_micro"] == 500_000
+    assert df["intercept_milli"] == 0
+
+
+def test_decayed_counts_halving(ray_session, tmp_path):
+    """Weights halve every 7 whole days and floor to 0 past 10
+    half-lives: ages 0 / 7 / 70 days -> 1000 + 500 + 0 milli-units."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    base = pd.Timestamp("2026-01-01 12:00:00")
+    ts = [base, base - pd.Timedelta(days=7), base - pd.Timedelta(days=70)]
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "event_type": ["click"] * 3,
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    df = QUERIES["decayed_counts"](str(tmp_path)).to_pandas().iloc[0]
+    assert df["n_events"] == 3
+    assert df["decayed_milli"] == 1500
+
+
+def test_regional_revenue_local_supplier_filter(ray_session, tmp_path):
+    """Only lines whose supplier shares the ordering customer's nation
+    count: c1(n1) orders from s1(n1) [kept] and s2(n2) [dropped]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1], type=pa.int64()),
+                  "c_nationkey": pa.array([1], type=pa.int32())}),
+        str(tmp_path / "customer.parquet"))
+    pq.write_table(
+        pa.table({"s_suppkey": pa.array([10, 20], type=pa.int64()),
+                  "s_nationkey": pa.array([1, 2], type=pa.int32())}),
+        str(tmp_path / "supplier.parquet"))
+    pq.write_table(
+        pa.table({"n_nationkey": pa.array([1, 2], type=pa.int32()),
+                  "n_name": ["ALPHA", "BETA"]}),
+        str(tmp_path / "nation.parquet"))
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([100], type=pa.int64()),
+                  "o_custkey": pa.array([1], type=pa.int64())}),
+        str(tmp_path / "orders.parquet"))
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array([100, 100], type=pa.int64()),
+            "l_suppkey": pa.array([10, 20], type=pa.int64()),
+            "l_extendedprice": pa.array([100.0, 100.0]),
+            "l_discount": pa.array([0.1, 0.1]),
+        }),
+        str(tmp_path / "lineitem.parquet"))
+    df = QUERIES["regional_revenue"](str(tmp_path)).to_pandas()
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert row["n_name"] == "ALPHA"
+    assert row["n_items"] == 1
+    assert row["revenue_cents"] == 9000  # floor(100*0.9*100)
+
+
+def test_containment_pairs_asymmetry(ray_session, tmp_path):
+    """Identical docs score 10^6 containment both ways; a doc pasted
+    into a larger one scores near-1 containment of the smaller side and
+    strictly lower of the larger."""
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    a = (
+        "\n".join(
+            f"def fn_{i}(x):\n    return x * {i} + offset_{i}"
+            for i in range(12)
+        )
+        + "\n"
+    )
+    texts = [
+        a,
+        a + "print('tail marker 99')\n",  # A pasted into a larger B
+        "completely unrelated ~~ zebra quilt body!!",
+    ]
+    _write_docs(tmp_path, texts)
+    df = QUERIES["containment_pairs"](str(tmp_path)).to_pandas()
+    pair = df[(df["id_a"] == 1) & (df["id_b"] == 2)]
+    assert len(pair) == 1, df
+    row = pair.iloc[0]
+    assert row["cont_a_micro"] == 1_000_000  # A's shingles all inside A+A
+    assert row["cont_b_micro"] < row["cont_a_micro"]
+    assert row["n_shared"] > 0
