@@ -2648,3 +2648,58 @@ JOIN sz zb ON zb.doc_id = i.id_b
 """
 
 ORACLE_SQL["containment_pairs"] = _minhash_keys_sql().rstrip() + _CONT_TAIL
+
+# Exact integer 3-sigma outlier counts per lang: the z^2 > 9 inequality
+# cleared of divisions/roots — (x*n - sx)^2 > 9*n*(n*sxx - sx^2) in
+# HUGEINT on both sides.
+ORACLE_SQL["length_outliers"] = """
+    WITH s AS (
+        SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(n_chars AS HUGEINT)) AS sx,
+               sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS sxx
+        FROM documents GROUP BY 1
+    )
+    SELECT d.lang, CAST(s.n AS BIGINT) AS n,
+           CAST(sum(CASE WHEN
+                (CAST(d.n_chars AS HUGEINT) * s.n - s.sx)
+              * (CAST(d.n_chars AS HUGEINT) * s.n - s.sx)
+              > 9 * (s.n * s.sxx - s.sx * s.sx)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM documents d JOIN s ON s.lang = d.lang
+    GROUP BY 1, 2
+"""
+
+# Anti-entropy partition fingerprints: order-independent additive
+# (sum mod 2^60) and xor digests over md5-60bit text hashes per source.
+ORACLE_SQL["partition_digests"] = """
+    WITH h AS (
+        SELECT source,
+               list_reduce(
+                   list_transform(
+                       split(substr(md5(COALESCE(text, '')), 1, 15), ''),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
+                   (a, b) -> a * 16 + b) AS hv
+        FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(hv) % 1152921504606846976 AS BIGINT) AS digest_sum,
+           bit_xor(CAST(hv AS BIGINT)) AS digest_xor
+    FROM h GROUP BY 1
+"""
+
+# Crawl-fragment stitching: docs whose last 3 space-tokens equal
+# another doc's first 3 (both docs >= 6 tokens).
+ORACLE_SQL["fragment_stitching"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               regexp_extract_all(COALESCE(text, ''), '[^ ]+') AS w
+        FROM documents
+    ), t AS (
+        SELECT doc_id,
+               array_to_string(w[1:3], ' ') AS head,
+               array_to_string(w[-3:], ' ') AS tail
+        FROM tok WHERE len(w) >= 6
+    )
+    SELECT a.doc_id AS id_from, b.doc_id AS id_to, a.tail AS boundary
+    FROM t a JOIN t b ON a.tail = b.head AND a.doc_id <> b.doc_id
+"""

@@ -8312,6 +8312,212 @@ def q_containment_pairs(sf_dir: str):
     )
 
 
+def q_length_outliers(sf_dir: str):
+    """Per-lang 3σ length-outlier detection with EXACT integer
+    arithmetic — the quality filter a plain float z-score gets wrong at
+    hash-comparison time: flag x where (x·n − Σx)² > 9·(n·Σx² − (Σx)²)
+    (the z² > 9 inequality cleared of divisions and square roots —
+    (x−μ)² = (xn−Σx)²/n² and σ² = (nΣx²−(Σx)²)/n² share the n² — so
+    both engines evaluate identical bigints). Two passes: a langs-sized
+    integer-moment panel (per-batch partials, one combine) broadcasts;
+    the flag pass re-streams n_chars and pre-aggregates outlier counts
+    per batch. Full SQL oracle (HUGEINT)."""
+    docs = _docs(sf_dir, ["lang", "n_chars"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(np.int64)
+        g = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "pn": np.ones(len(x), dtype=np.int64),
+                "sx": x,
+                "sxx": x * x,
+            }
+        ).groupby("lang", as_index=False).sum()
+        for c in ("pn", "sx", "sxx"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    panel = (
+        docs.map_batches(moments, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .to_pandas()
+    )
+    # exact bigint thresholds per lang (Python ints — n·Σx² overflows
+    # int64 at corpus scale)
+    stats = {
+        str(r.lang): (int(r.n), int(r.sx), 9 * (int(r.n) * int(r.sxx) - int(r.sx) ** 2))
+        for r in panel.itertuples(index=False)
+    }
+    stats_ref = ray.put(stats)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(stats_ref)
+        out_lang, out_n, out_out = [], [], []
+        for lang, grp in df.groupby("lang", sort=False):
+            n, sx, thr = st[str(lang)]
+            x = grp["n_chars"].to_numpy(np.int64).astype(object)  # bigint
+            dev = x * n - sx
+            is_out = (dev * dev) > thr
+            out_lang.append(lang)
+            out_n.append(len(grp))
+            out_out.append(int(np.count_nonzero(is_out)))
+        return pd.DataFrame(
+            {
+                "lang": out_lang,
+                "pn": np.asarray(out_n, dtype=np.int64),
+                "po": np.asarray(out_out, dtype=np.int64),
+            }
+        )
+
+    return (
+        docs.map_batches(flag, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("po", alias_name="n_outliers"),
+        )
+    )
+
+
+def q_partition_digests(sf_dir: str):
+    """Replica-reconciliation fingerprints per source — the
+    anti-entropy primitive for verifying a copy of a 100-TB table
+    partition-by-partition without moving rows: per source emit row
+    count, an ORDER-INDEPENDENT additive digest (Σ md5₆₀(text) mod 2⁶⁰)
+    and an xor digest (bit_xor of the same hashes). Both digests are
+    mergeable (per-batch partials fold associatively), so the shuffle
+    carries sources × blocks tiny rows; two replicas compare panels and
+    ship only mismatched partitions. Full SQL oracle (HUGEINT sum %,
+    bit_xor)."""
+    docs = _docs(sf_dir, ["source", "text"])
+    MOD = 1 << 60
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_60bit(df["text"].tolist())
+        rows = []
+        for src, grp in pd.DataFrame({"source": df["source"], "h": h}).groupby(
+            "source", sort=False
+        ):
+            hv = grp["h"].to_numpy(np.int64)
+            rows.append(
+                (
+                    src,
+                    len(hv),
+                    int(sum(int(v) for v in hv) % MOD),
+                    int(np.bitwise_xor.reduce(hv)) if len(hv) else 0,
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["source", "pn", "psum", "pxor"]
+        ).astype({"pn": np.int64, "psum": np.int64, "pxor": np.int64})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_rows": np.array([g["pn"].sum()], dtype=np.int64),
+                "digest_sum": np.array(
+                    [sum(int(v) for v in g["psum"]) % MOD], dtype=np.int64
+                ),
+                "digest_xor": np.array(
+                    [int(np.bitwise_xor.reduce(g["pxor"].to_numpy(np.int64)))],
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+_STITCH_K = 3
+_SPACE_TOK = re.compile(r"[^ ]+")
+
+
+def q_fragment_stitching(sf_dir: str):
+    """Crawl-fragment stitching — detect docs where the LAST 3
+    space-tokens of A equal the FIRST 3 of B (the overlap a pagination
+    or chunked-crawl merge leaves behind): postings emit each doc's head
+    and tail boundary keys once, hash-bucket on the boundary string,
+    and each bucket joins tails×heads locally (self-pairs excluded).
+    Shuffle carries two short keys per doc — content never moves. Docs
+    shorter than 6 tokens are skipped on both sides (head and tail
+    would overlap). Full SQL oracle (list-slice joins)."""
+    import hashlib
+
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        out_b, out_key, out_id, out_side = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            w = _SPACE_TOK.findall(text or "")
+            if len(w) < 2 * _STITCH_K:
+                continue
+            head = " ".join(w[:_STITCH_K])
+            tail = " ".join(w[-_STITCH_K:])
+            for key, side in ((head, 0), (tail, 1)):
+                out_b.append(
+                    int.from_bytes(
+                        hashlib.md5(key.encode("utf-8")).digest()[:8], "little"
+                    )
+                    % nparts
+                )
+                out_key.append(key)
+                out_id.append(int(doc_id))
+                out_side.append(side)
+        return pd.DataFrame(
+            {
+                "bucket": np.asarray(out_b, dtype=np.int64),
+                "key": pd.Series(out_key, dtype=str),
+                "doc_id": np.asarray(out_id, dtype=np.int64),
+                "side": np.asarray(out_side, dtype=np.int8),
+            }
+        )
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        tails = g.loc[g["side"] == 1, ["key", "doc_id"]].rename(
+            columns={"doc_id": "id_from"}
+        )
+        heads = g.loc[g["side"] == 0, ["key", "doc_id"]].rename(
+            columns={"doc_id": "id_to"}
+        )
+        j = tails.merge(heads, on="key")
+        j = j[j["id_from"] != j["id_to"]]
+        if len(j) == 0:
+            return pd.DataFrame(
+                {
+                    "id_from": pd.Series([], dtype=np.int64),
+                    "id_to": pd.Series([], dtype=np.int64),
+                    "boundary": pd.Series([], dtype=str),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id_from": j["id_from"].to_numpy(np.int64),
+                "id_to": j["id_to"].to_numpy(np.int64),
+                "boundary": j["key"],
+            }
+        )
+
+    return (
+        docs.map_batches(postings, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_join, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8442,4 +8648,7 @@ QUERIES = {
     "decayed_counts": q_decayed_counts,
     "regional_revenue": q_regional_revenue,
     "containment_pairs": q_containment_pairs,
+    "length_outliers": q_length_outliers,
+    "partition_digests": q_partition_digests,
+    "fragment_stitching": q_fragment_stitching,
 }

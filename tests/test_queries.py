@@ -144,6 +144,9 @@ SQL_CHECKED = [
     "decayed_counts",
     "regional_revenue",
     "containment_pairs",
+    "length_outliers",
+    "partition_digests",
+    "fragment_stitching",
 ]
 
 
@@ -1537,3 +1540,90 @@ def test_containment_pairs_asymmetry(ray_session, tmp_path):
     assert row["cont_a_micro"] == 1_000_000  # A's shingles all inside A+A
     assert row["cont_b_micro"] < row["cont_a_micro"]
     assert row["n_shared"] > 0
+
+
+def test_length_outliers_planted(ray_session, tmp_path):
+    """19 docs of length 100 plus one of length 10000: exactly the one
+    extreme row clears the exact-integer 3-sigma inequality."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    n_chars = [100] * 19 + [10_000]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(20), type=pa.int64()),
+                "text": ["x"] * 20,
+                "lang": ["py"] * 20,
+                "source": ["s"] * 20,
+                "n_chars": pa.array(n_chars, type=pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = QUERIES["length_outliers"](str(tmp_path)).to_pandas().iloc[0]
+    assert df["n"] == 20
+    assert df["n_outliers"] == 1
+
+
+def test_partition_digests_detect_single_row_drift(ray_session, tmp_path):
+    """The reconciliation use-case: one changed row in one source must
+    flip BOTH digests of that source and neither of the other."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    def write(tmp, texts_by_source):
+        rows = [
+            (i, t, s)
+            for i, (s, t) in enumerate(
+                (s, t) for s, ts in texts_by_source.items() for t in ts
+            )
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "text": [r[1] for r in rows],
+                    "lang": ["py"] * len(rows),
+                    "source": [r[2] for r in rows],
+                    "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+                }
+            ),
+            str(tmp / "documents.parquet"),
+        )
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    write(a, {"s1": ["one", "two"], "s2": ["three"]})
+    write(b, {"s1": ["one", "two CHANGED"], "s2": ["three"]})
+    da = QUERIES["partition_digests"](str(a)).to_pandas().set_index("source")
+    db = QUERIES["partition_digests"](str(b)).to_pandas().set_index("source")
+    assert da.loc["s2"].equals(db.loc["s2"])
+    assert da.loc["s1", "digest_sum"] != db.loc["s1", "digest_sum"]
+    assert da.loc["s1", "digest_xor"] != db.loc["s1", "digest_xor"]
+    assert da.loc["s1", "n_rows"] == db.loc["s1", "n_rows"] == 2
+
+
+def test_fragment_stitching_planted(ray_session, tmp_path):
+    """B starts with A's last 3 tokens -> one (A,B) stitch edge; the
+    short doc (< 6 tokens) never emits boundaries."""
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",      # tail: delta epsilon zeta
+        "delta epsilon zeta eta theta iota kappa",  # head matches doc 1's tail
+        "too short here",                            # < 6 tokens: skipped
+        "lone wolf document with unique tokens here",
+    ]
+    _write_docs(tmp_path, texts)
+    df = QUERIES["fragment_stitching"](str(tmp_path)).to_pandas()
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert row["id_from"] == 1 and row["id_to"] == 2
+    assert row["boundary"] == "delta epsilon zeta"
