@@ -2703,3 +2703,95 @@ ORACLE_SQL["fragment_stitching"] = """
     SELECT a.doc_id AS id_from, b.doc_id AS id_to, a.tail AS boundary
     FROM t a JOIN t b ON a.tail = b.head AND a.doc_id <> b.doc_id
 """
+
+# Golden-record survivorship over the LSH clusters: same closure as
+# minhash_cluster_ids, then per-cluster per-field survival — modal lang
+# / source (tie -> lexicographically smallest via row_number), min doc
+# id, summed chars.
+_GOLDEN_TAIL = """, edges AS (
+    SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+    FROM keys a JOIN keys b
+      ON a.band = b.band AND a.k = b.k AND a.doc_id <> b.doc_id
+), reach AS (
+    SELECT doc_id AS id, doc_id AS lab FROM documents
+    UNION
+    SELECT e.dst AS id, r.lab
+    FROM reach r JOIN edges e ON e.src = r.id
+), comp AS (
+    SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1
+), j AS (
+    SELECT c.cluster_id, d.doc_id, d.lang, d.source, d.n_chars
+    FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+), lm AS (
+    SELECT cluster_id, lang AS golden_lang FROM (
+        SELECT cluster_id, lang,
+               row_number() OVER (
+                   PARTITION BY cluster_id ORDER BY count(*) DESC, lang ASC
+               ) AS rk
+        FROM j GROUP BY cluster_id, lang
+    ) WHERE rk = 1
+), sm AS (
+    SELECT cluster_id, source AS golden_source FROM (
+        SELECT cluster_id, source,
+               row_number() OVER (
+                   PARTITION BY cluster_id ORDER BY count(*) DESC, source ASC
+               ) AS rk
+        FROM j GROUP BY cluster_id, source
+    ) WHERE rk = 1
+), g AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS rep_doc,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM j GROUP BY 1
+)
+SELECT g.cluster_id, g.n_docs, g.rep_doc, lm.golden_lang,
+       sm.golden_source, g.total_chars
+FROM g JOIN lm USING (cluster_id) JOIN sm USING (cluster_id)
+"""
+
+ORACLE_SQL["golden_records"] = (
+    _minhash_keys_sql(recursive=True).rstrip() + _GOLDEN_TAIL
+)
+
+# American Soundex in pure SQL: strip non-letters, map vowels to 0 /
+# consonants to their class digit / drop H+W (translate removes chars
+# past the to-string), collapse adjacent equal codes, drop the leading
+# run's code, strip zeros, pad to letter + 3 digits.
+ORACLE_SQL["soundex_blocks"] = """
+    WITH s AS (
+        SELECT p_name,
+               regexp_replace(upper(p_name), '[^A-Z]', '', 'g') AS clean
+        FROM part
+    ), m AS (
+        -- RE2 has no backreferences: collapse each digit class's runs
+        -- with its own literal pattern instead of (.)\1+
+        SELECT p_name, clean,
+               regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(
+                   translate(clean,
+                       'AEIOUYBFPVCGJKQSXZDTLMNRHW',
+                       '000000111122222222334556'),
+                   '0{2,}', '0', 'g'), '1{2,}', '1', 'g'),
+                   '2{2,}', '2', 'g'), '3{2,}', '3', 'g'),
+                   '4{2,}', '4', 'g'), '5{2,}', '5', 'g'),
+                   '6{2,}', '6', 'g') AS collapsed
+        FROM s
+    ), c AS (
+        SELECT p_name,
+               substr(clean, 1, 1) ||
+               substr(
+                   replace(substr(collapsed, 2), '0', '') || '000',
+                   1, 3) AS code
+        FROM m WHERE clean <> ''
+    ), names AS (
+        SELECT code, p_name, CAST(count(*) AS BIGINT) AS n
+        FROM c GROUP BY 1, 2
+    )
+    SELECT code,
+           CAST(count(*) AS BIGINT) AS n_names,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_cand_pairs,
+           min(p_name) AS first_name
+    FROM names GROUP BY 1
+"""

@@ -8312,6 +8312,122 @@ def q_containment_pairs(sf_dir: str):
     )
 
 
+_SOUNDEX_FROM = "AEIOUYBFPVCGJKQSXZDTLMNRHW"
+_SOUNDEX_TO = "000000111122222222334556"  # HW have no target: dropped
+_SOUNDEX_TABLE = str.maketrans(
+    _SOUNDEX_FROM[: len(_SOUNDEX_TO)],
+    _SOUNDEX_TO,
+    _SOUNDEX_FROM[len(_SOUNDEX_TO):],
+)
+_SOUNDEX_RUN = re.compile(r"(.)\1+")
+_NON_ALPHA = re.compile(r"[^A-Z]")
+
+
+def _soundex(name: str) -> str:
+    """American Soundex (Russell/Odell): vowels break same-code runs
+    (coded 0 then removed), H/W are transparent (dropped BEFORE the
+    adjacent-collapse, so codes separated only by h/w merge), first
+    letter kept verbatim with its own code collapsed into the leading
+    run. Verified on the textbook vectors (ASHCRAFT→A261, TYMCZAK→T522,
+    PFEIFFER→P160). Non-letters are stripped first (multi-word inputs
+    code as their concatenation)."""
+    clean = _NON_ALPHA.sub("", (name or "").upper())
+    if not clean:
+        return ""
+    mapped = clean.translate(_SOUNDEX_TABLE)
+    collapsed = _SOUNDEX_RUN.sub(r"\1", mapped)
+    digits = collapsed[1:].replace("0", "")
+    return clean[0] + (digits[:3] + "000")[:3]
+
+
+def q_soundex_blocks(sf_dir: str):
+    """Phonetic blocking (the classic pre-LSH ER blocking key the
+    registry's sorted-neighborhood / meta-blocking family lacked):
+    group part names by American Soundex code and report each block's
+    distinct-name count, row count, candidate-pair bound C(names, 2)
+    and alphabetically-first member. Per-batch partials carry
+    (code, name, rows) — distinct names, not rows — so the shuffle is
+    bounded by the name vocabulary; the final per-code group computes
+    the block stats. Full SQL oracle (translate + regexp_replace
+    reproduce the code character-for-character)."""
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_name", as_index=False).size()
+        g["code"] = [_soundex(n) for n in g["p_name"]]
+        return pd.DataFrame(
+            {
+                "code": g["code"],
+                "p_name": g["p_name"],
+                "pn": g["size"].astype(np.int64),
+            }
+        )
+
+    def block(g: pd.DataFrame) -> pd.DataFrame:
+        names = g.groupby("p_name", as_index=False)["pn"].sum()
+        m = np.int64(len(names))
+        return pd.DataFrame(
+            {
+                "code": [g["code"].iloc[0]],
+                "n_names": m,
+                "n_rows": np.array([names["pn"].sum()], dtype=np.int64),
+                "n_cand_pairs": m * (m - 1) // 2,
+                "first_name": [names["p_name"].min()],
+            }
+        )
+
+    return (
+        parts.map_batches(partial, batch_format="pandas")
+        .groupby("code")
+        .map_groups(block, batch_format="pandas")
+    )
+
+
+def q_golden_records(sf_dir: str):
+    """Survivorship merge (the MDM "golden record" build) over the
+    SQL-checkable LSH clusters — the ER output step after clustering
+    that ``cluster_canonical`` (pick ONE representative row) does not
+    cover: per cluster, each FIELD survives independently — modal lang
+    and modal source (tie → lexicographically smallest), min doc id as
+    the stable representative key, summed n_chars. Cluster ids come
+    from the same band→edges→transitive-closure chain as
+    ``minhash_cluster_ids``; attributes re-attach by id through
+    ``pinned_join`` (doc-sized both sides — never a broadcast
+    assumption), then ONE single-key groupby computes all survivorship
+    rules inside the cluster group. Full SQL oracle (recursive-CTE
+    closure + row_number modes)."""
+    asg = q_minhash_cluster_ids(sf_dir)
+    docs = _docs(sf_dir, ["doc_id", "lang", "source", "n_chars"])
+    j = pinned_join(
+        docs,
+        project(asg, {"doc_id": "cid_doc", "cluster_id": "cluster_id"}),
+        on="doc_id",
+        right_on="cid_doc",
+    )
+
+    def golden(g: pd.DataFrame) -> pd.DataFrame:
+        def mode(col: pd.Series) -> str:
+            c = col.groupby(col).size()
+            return c.sort_index().sort_values(kind="stable", ascending=False).index[0]
+
+        return pd.DataFrame(
+            {
+                "cluster_id": np.array(
+                    [g["cluster_id"].iloc[0]], dtype=np.int64
+                ),
+                "n_docs": np.array([len(g)], dtype=np.int64),
+                "rep_doc": np.array([g["doc_id"].min()], dtype=np.int64),
+                "golden_lang": [mode(g["lang"])],
+                "golden_source": [mode(g["source"])],
+                "total_chars": np.array(
+                    [g["n_chars"].sum()], dtype=np.int64
+                ),
+            }
+        )
+
+    return j.groupby("cluster_id").map_groups(golden, batch_format="pandas")
+
+
 def q_length_outliers(sf_dir: str):
     """Per-lang 3σ length-outlier detection with EXACT integer
     arithmetic — the quality filter a plain float z-score gets wrong at
@@ -8648,6 +8764,8 @@ QUERIES = {
     "decayed_counts": q_decayed_counts,
     "regional_revenue": q_regional_revenue,
     "containment_pairs": q_containment_pairs,
+    "golden_records": q_golden_records,
+    "soundex_blocks": q_soundex_blocks,
     "length_outliers": q_length_outliers,
     "partition_digests": q_partition_digests,
     "fragment_stitching": q_fragment_stitching,

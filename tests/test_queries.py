@@ -147,6 +147,8 @@ SQL_CHECKED = [
     "length_outliers",
     "partition_digests",
     "fragment_stitching",
+    "golden_records",
+    "soundex_blocks",
 ]
 
 
@@ -1627,3 +1629,58 @@ def test_fragment_stitching_planted(ray_session, tmp_path):
     row = df.iloc[0]
     assert row["id_from"] == 1 and row["id_to"] == 2
     assert row["boundary"] == "delta epsilon zeta"
+
+
+def test_soundex_textbook_vectors():
+    """The Wikipedia/NARA reference vectors, incl. the h/w-transparency
+    and vowel-run-break rules the naive variant gets wrong."""
+    from address_parser_ray.pipelines.queries import _soundex
+
+    assert _soundex("Robert") == "R163"
+    assert _soundex("Rupert") == "R163"
+    assert _soundex("Ashcraft") == "A261"  # h transparent: c,r merge? no — s,c merge
+    assert _soundex("Ashcroft") == "A261"
+    assert _soundex("Tymczak") == "T522"  # vowel breaks z,k? no — cz merge, a breaks
+    assert _soundex("Pfister") == "P236"
+    assert _soundex("Honeyman") == "H555"
+    assert _soundex("BOB") == "B100"  # vowel breaks the B..B run
+    assert _soundex("") == ""
+    assert _soundex("123") == ""
+
+
+def test_golden_records_survivorship(ray_session, tmp_path):
+    """Identical texts cluster together; each field survives
+    independently: modal lang (2 sql vs 1 py) and modal source with a
+    tie broken lexicographically; rep_doc = min id; chars summed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    t = "def shared_cluster_text(): return 42  # same payload\n"
+    texts = [t, t, t, "completely unrelated zebra quilt body ~~!!"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 9], type=pa.int64()),
+                "text": texts,
+                "lang": ["py", "sql", "sql", "py"],
+                "source": ["b", "a", "b", "z"],  # b wins 2-1
+                "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = (
+        QUERIES["golden_records"](str(tmp_path))
+        .to_pandas()
+        .set_index("cluster_id")
+        .sort_index()
+    )
+    big = df.loc[1]
+    assert big["n_docs"] == 3 and big["rep_doc"] == 1
+    assert big["golden_lang"] == "sql"
+    assert big["golden_source"] == "b"
+    assert big["total_chars"] == 3 * len(t)
+    lone = df.loc[9]
+    assert lone["n_docs"] == 1 and lone["golden_lang"] == "py"
