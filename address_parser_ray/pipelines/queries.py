@@ -4843,7 +4843,7 @@ _PR_R0 = 1_000_000_000  # initial rank, integer fixed point
 _PR_BASE = 150_000_000  # (1 - 0.85) * R0 teleport term
 
 
-def q_pagerank_ranks(sf_dir: str):
+def q_pagerank_ranks(sf_dir: str, _gate_bytes: int = 64 << 20):
     """Iterative PageRank (3 damped power iterations, d = 0.85) over the
     symmetrized customer↔supplier graph (edge = "this customer bought
     from this supplier", from orders ⋈ lineitem) — the iterative
@@ -4858,15 +4858,21 @@ def q_pagerank_ranks(sf_dir: str):
     orderkey — neither fact side broadcasts), deduped by pair-hash
     bucket, then land hash-bucketed BY SOURCE NODE — which means a
     node's outdegree and its outgoing contributions are both computable
-    inside its bucket with no further data movement. Each iteration is
-    exactly two single-key shuffles: (ranks ∪ edges) by src bucket →
+    inside its bucket with no further data movement. Under a byte gate
+    (rank panel is NODE-sized — dimension-tiny here) each iteration is
+    ONE pass over the static deg-annotated edge panel with the ranks
+    broadcast via ``ray.put`` (searchsorted lookups) and a node-sized
+    partial-sum combine — edges never re-shuffle per iteration. Above
+    the gate the reduce-side path runs: (ranks ∪ edges) by src bucket →
     per-bucket vectorized contrib emission pre-summed per (bucket, dst),
-    then by dst bucket → per-node sum + teleport. Rank panels (one row
-    per node) are materialized per iteration to keep lineage flat; at
-    10^12 files the analogue checkpoints them as parquet, exactly like
-    the flagship's stage checkpoints. Nodes are namespaced
-    (cust*2 / supp*2+1); symmetrizing leaves no dangling nodes, so the
-    teleport constant needs no dangling-mass correction."""
+    then by dst bucket → per-node sum + teleport — two single-key
+    shuffles per iteration, no broadcast assumption. Rank panels are
+    materialized per iteration to keep lineage flat; at 10^12 files the
+    analogue checkpoints them as parquet, exactly like the flagship's
+    stage checkpoints. Nodes are namespaced (cust*2 / supp*2+1);
+    symmetrizing leaves no dangling nodes, so the teleport constant
+    needs no dangling-mass correction. Both paths produce identical
+    panels (pinned by test_pagerank_paths_agree)."""
     from address_parser_ray.functions.hashing import splitmix64
     from address_parser_ray.rayutil import default_num_partitions
 
@@ -4992,6 +4998,77 @@ def q_pagerank_ranks(sf_dir: str):
                 "a": node,
                 "b": r,
                 "side": np.ones(node.size, dtype=np.int8),
+            }
+        )
+
+    if edges.size_bytes() <= _gate_bytes:
+        # gated fast path: attach each src's outdegree ONCE inside its
+        # bucket, then every iteration is a single stationary pass over
+        # the deg-annotated edges with the node-sized rank panel
+        # broadcast — no per-iteration edge shuffle.
+        def attach_deg(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[g["side"] == 0]
+            src = e["a"].to_numpy(np.int64)
+            dst = e["b"].to_numpy(np.int64)
+            deg = pd.Series(src).groupby(src).transform("size").to_numpy(
+                np.int64
+            )
+            return pd.DataFrame({"src": src, "dst": dst, "deg": deg})
+
+        edges_deg = (
+            edges.groupby("bucket")
+            .map_groups(attach_deg, batch_format="pandas")
+            .materialize()
+        )
+        rank_ref = ray.put(None)  # iteration 1: every node at R0
+        panel = None
+        for _ in range(3):
+            ref = rank_ref
+
+            def contribs(t: pa.Table, _ref=ref) -> pa.Table:
+                state = ray.get(_ref)
+                src = np.asarray(t["src"], dtype=np.int64)
+                dst = np.asarray(t["dst"], dtype=np.int64)
+                deg = np.asarray(t["deg"], dtype=np.int64)
+                if state is None:
+                    rsrc = np.full(src.size, _PR_R0, dtype=np.int64)
+                else:
+                    nodes, vals = state
+                    rsrc = vals[np.searchsorted(nodes, src)]
+                contrib = (rsrc * 85) // (100 * deg)
+                # partial-agg per dst inside the block
+                order = np.argsort(dst, kind="stable")
+                d_s, c_s = dst[order], contrib[order]
+                cuts = np.flatnonzero(
+                    np.concatenate([[True], d_s[1:] != d_s[:-1]])
+                )
+                sums = np.add.reduceat(c_s, cuts)
+                return pa.table(
+                    {
+                        "node": pa.array(d_s[cuts]),
+                        "c": pa.array(sums.astype(np.int64)),
+                    }
+                )
+
+            panel = (
+                edges_deg.map_batches(
+                    contribs, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .groupby("node")
+                .aggregate(Sum("c", alias_name="csum"))
+                .to_pandas()
+            )
+            nodes = panel["node"].to_numpy(np.int64)
+            order = np.argsort(nodes)
+            nodes = nodes[order]
+            vals = (
+                _PR_BASE + panel["csum"].to_numpy(np.int64)[order]
+            )
+            rank_ref = ray.put((nodes, vals))
+        return pa.table(
+            {
+                "node_id": pa.array(nodes),
+                "rank_fp": pa.array(vals),
             }
         )
 

@@ -1684,3 +1684,13 @@ def test_golden_records_survivorship(ray_session, tmp_path):
     assert big["total_chars"] == 3 * len(t)
     lone = df.loc[9]
     assert lone["n_docs"] == 1 and lone["golden_lang"] == "py"
+
+
+def test_pagerank_paths_agree(ray_session):
+    """The gated broadcast iteration and the reduce-side union/shuffle
+    iteration must produce bit-identical rank panels."""
+    from address_parser_ray.pipelines.queries import q_pagerank_ranks
+
+    fast = _canon(_to_df(q_pagerank_ranks(SF)))
+    slow = _canon(_to_df(q_pagerank_ranks(SF, _gate_bytes=0)))
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
