@@ -2795,3 +2795,83 @@ ORACLE_SQL["soundex_blocks"] = """
            min(p_name) AS first_name
     FROM names GROUP BY 1
 """
+
+
+def _build_kcore_sql(k: int = 3, rounds: int = 8) -> str:
+    """k-core of the LSH candidate graph as a FIXED unrolled peel:
+    round i keeps nodes whose degree in the round-(i-1) subgraph is
+    >= k, then edges whose endpoints both survive. Peeling is monotone,
+    so once the fixpoint is reached (round 6 on the test corpus) the
+    remaining rounds are no-ops and the unroll equals the true core.
+    Every CTE is MATERIALIZED — each round references its predecessor
+    three times, and DuckDB's default inlining would re-expand the
+    whole chain 3^rounds times."""
+    sql = _minhash_keys_sql().rstrip() + """
+, e0 AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+    FROM keys a JOIN keys b
+      ON a.band = b.band AND a.k = b.k AND a.doc_id <> b.doc_id
+)"""
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+n{i} AS MATERIALIZED (
+    SELECT u FROM {prev} GROUP BY u HAVING count(*) >= {k}
+),
+e{i} AS MATERIALIZED (
+    SELECT e.u, e.v FROM {prev} e
+    JOIN n{i} x ON e.u = x.u JOIN n{i} y ON e.v = y.u
+)"""
+        prev = f"e{i}"
+    sql += f"""
+SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+FROM {prev} GROUP BY u ORDER BY doc_id
+"""
+    return sql
+
+
+ORACLE_SQL["kcore_nodes"] = _build_kcore_sql()
+
+# TF-IDF cosine similarity join over token bigrams, exact in integers:
+# w = tf * (10000 // df); cos >= 0.4 decided as 25*cross^2 >= 4*n2a*n2b
+# in HUGEINT (cross >= 0 for non-negative weights, so squaring is
+# monotone). Candidates block on rare bigrams (2 <= df <= 20), ordered
+# and capped to mirror the Ray side's deterministic cap.
+ORACLE_SQL["tfidf_cosine_pairs"] = r"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS w
+    FROM documents
+), ix AS MATERIALIZED (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+    FROM toks WHERE len(w) >= 2 AND w[1] <> ''
+), tok AS MATERIALIZED (
+    SELECT doc_id, w[i] || ' ' || w[i + 1] AS term,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM ix GROUP BY 1, 2
+), dfp AS MATERIALIZED (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1
+), wt AS MATERIALIZED (
+    SELECT doc_id, tok.term, tf * (10000 // df) AS w, df
+    FROM tok JOIN dfp ON tok.term = dfp.term
+), cand AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+    FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+    WHERE a.df BETWEEN 2 AND 20
+    ORDER BY da, db LIMIT 20000
+), nrm AS MATERIALIZED (
+    SELECT doc_id, CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS n2
+    FROM wt GROUP BY 1
+), x AS MATERIALIZED (
+    SELECT c.da, c.db,
+           CAST(sum(CAST(p.w AS HUGEINT) * q.w) AS HUGEINT) AS cr
+    FROM cand c
+    JOIN wt p ON p.doc_id = c.da
+    JOIN wt q ON q.doc_id = c.db AND q.term = p.term
+    GROUP BY 1, 2
+)
+SELECT x.da AS doc_a, x.db AS doc_b, CAST(x.cr AS BIGINT) AS cross_w,
+       CAST(CASE WHEN 25 * x.cr * x.cr >= 4 * na.n2 * nb.n2
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_sim
+FROM x JOIN nrm na ON na.doc_id = x.da JOIN nrm nb ON nb.doc_id = x.db
+ORDER BY doc_a, doc_b
+"""

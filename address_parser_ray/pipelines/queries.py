@@ -8711,6 +8711,376 @@ def q_fragment_stitching(sf_dir: str):
     )
 
 
+_KCORE_K = 3  # minimum surviving degree
+_KCORE_ROUNDS = 8  # bounded peel rounds (fixpoint at 6 on the test corpus)
+_KCORE_BROADCAST_GATE = 64 << 20  # survivor-panel bytes above which the
+# filter runs as two bucketed semi-joins instead of a broadcast
+
+
+def q_kcore_nodes(sf_dir: str, _gate_bytes: int = _KCORE_BROADCAST_GATE):
+    """k-core decomposition (k = 3, bounded 8-round peel) of the LSH
+    candidate graph — the spam/boilerplate diagnostic for closure
+    clustering: dense cores are near-cliques (true duplicate groups or
+    template farms); everything peeled away is chain/bridge structure
+    that transitive closure would over-merge. Complements PageRank
+    (fixed-round value iteration) and CC (label fixpoint) with the
+    third iterative-graph shape: MONOTONE SHRINKING fixpoint, where
+    each round's work is bounded by the previous round's survivors.
+
+    Peeling is distributed and monotone: the symmetrized candidate
+    edge panel (same band→bucket→run-length-triu shape as
+    ``minhash_cluster_ids``, deduped per pair-hash bucket) lands
+    hash-bucketed; each round computes per-node degree with a
+    single-key count, keeps nodes with deg ≥ k, and filters edges to
+    surviving endpoints — survivor ids broadcast as one sorted int64
+    array under a byte gate (node-panel-sized, the PageRank rank-panel
+    assumption), or via two bucketed ``pinned_join`` semi-joins above
+    it. The loop stops early at fixpoint (edge count unchanged);
+    because peeling is monotone, rounds past fixpoint are no-ops, so
+    the FIXED 8-round unrolled MATERIALIZED-CTE oracle is exact
+    whenever fixpoint ≤ 8 (the corpus reaches it at 6; a deeper chain
+    would need a taller unroll, never a semantic change). Output: one
+    row per surviving node with its in-core degree.
+
+    Reference analogue: T4's candidate caps prune the same
+    low-evidence structure blindly; the core is the principled cut.
+    """
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def emit_keys(t: pa.Table) -> pa.Table:
+        ids, _bands, keys = _mh_band_rows(t)
+        kb = (splitmix64(keys) % np.uint64(nparts)).astype(np.int64)
+        return pa.table(
+            {
+                "kb": pa.array(kb),
+                "key": pa.array(keys.view(np.int64)),
+                "doc_id": pa.array(ids),
+            }
+        )
+
+    def key_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["key", "doc_id"]].drop_duplicates().sort_values(["key", "doc_id"])
+        ky = d["key"].to_numpy(np.int64)
+        ids = d["doc_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], ky[1:] != ky[:-1]]))
+        lens = np.diff(np.append(starts, len(ky)))
+        out_a: list = []
+        out_b: list = []
+        for s in np.unique(lens):
+            if s < 2:
+                continue
+            sel = starts[lens == s]
+            block = ids[sel[:, None] + np.arange(s)[None, :]]
+            iu, ju = np.triu_indices(int(s), k=1)
+            out_a.append(block[:, iu].ravel())
+            out_b.append(block[:, ju].ravel())
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "pb": pd.Series([], dtype=np.int64),
+                    "s1": pd.Series([], dtype=np.int64),
+                    "s2": pd.Series([], dtype=np.int64),
+                }
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        df = pd.DataFrame({"s1": a, "s2": b}).drop_duplicates()
+        pb = (
+            splitmix64(
+                df["s1"].to_numpy(np.int64).view(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                ^ df["s2"].to_numpy(np.int64).view(np.uint64)
+            )
+            % np.uint64(nparts)
+        ).astype(np.int64)
+        df.insert(0, "pb", pb)
+        return df
+
+    def symmetrize(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["s1", "s2"]].drop_duplicates()
+        a = d["s1"].to_numpy(np.int64)
+        b = d["s2"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "u": np.concatenate([a, b]),
+                "v": np.concatenate([b, a]),
+            }
+        )
+
+    edges = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(emit_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kb")
+        .map_groups(key_pairs, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(symmetrize, batch_format="pandas")
+        .materialize()
+    )
+
+    for _ in range(_KCORE_ROUNDS):
+        n_edges = edges.count()
+        if n_edges == 0:
+            break
+        deg = (
+            edges.groupby("u").aggregate(Count(alias_name="deg")).materialize()
+        )
+        surv = deg.filter(expr=f"deg >= {_KCORE_K}").materialize()
+        if surv.count() == deg.count():
+            break  # fixpoint: every node already satisfies k
+        if surv.size_bytes() <= _gate_bytes:
+            parts = [
+                np.asarray(b["u"]).astype(np.int64)
+                for b in surv.iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"
+                )
+            ]
+            ids = np.sort(np.concatenate(parts)) if parts else np.array([], np.int64)
+            ref = ray.put(ids)
+
+            def keep(t: pa.Table, _ref=ref) -> pa.Table:
+                s = ray.get(_ref)
+                u = np.asarray(t["u"], dtype=np.int64)
+                v = np.asarray(t["v"], dtype=np.int64)
+                if not len(s):
+                    return t.filter(pa.array(np.zeros(len(u), bool)))
+
+                def isin(x):
+                    p = np.clip(np.searchsorted(s, x), 0, len(s) - 1)
+                    return s[p] == x
+
+                return t.filter(pa.array(isin(u) & isin(v)))
+
+            edges = edges.map_batches(
+                keep, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+        else:
+            # node panel exceeds the broadcast budget: two bucketed
+            # semi-joins (u then v) — the reduce-side verify-join shape
+            ku = project(surv, {"u": "ku"})
+            edges = pinned_join(
+                edges, ku, on="u", right_on="ku", num_partitions=nparts
+            )
+            edges = pinned_join(
+                edges, ku, on="v", right_on="ku", num_partitions=nparts
+            ).materialize()
+
+    return (
+        edges.groupby("u")
+        .aggregate(Count(alias_name="core_deg"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pc.cast(t["u"], pa.int64()),
+                    "core_deg": pc.cast(t["core_deg"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("doc_id")
+    )
+
+
+_TFIDF_DF_LO = 2  # candidate-blocking df window (rare-term prefix filter)
+_TFIDF_DF_HI = 20
+_TFIDF_IDF_SCALE = 10_000  # integer idf: w = tf * (SCALE // df)
+_TFIDF_MAX_PAIRS = 20_000  # deterministic candidate cap (ORDER BY a, b)
+_TFIDF_COS_NUM = 25  # is_sim <=> cos >= 0.4 <=> 25*cross^2 >= 4*n2a*n2b
+_TFIDF_COS_DEN = 4
+
+
+def q_tfidf_cosine_pairs(sf_dir: str):
+    """TF-IDF-weighted cosine similarity self-join over token BIGRAMS —
+    the classic sparse-vector similarity join (Bayardo et al.'s
+    all-pairs shape) beside the repo's set similarities (Jaccard =
+    ``ngram_jaccard_stats``, Dice = ``token_set_pairs``): weights damp
+    boilerplate terms, so two docs match on DISTINCTIVE shared phrasing
+    rather than raw overlap. Everything is exact integer arithmetic —
+    w = tf · (10000 // df) (floor-division idf), and the cosine
+    threshold cos ≥ 0.4 is decided as 25·cross² ≥ 4·‖a‖²·‖b‖² (cross ≥ 0
+    for non-negative weights), so there is no float anywhere and the
+    DuckDB twin is hash-exact in HUGEINT.
+
+    Shape: one corpus pass emits per-doc bigram tf postings (tf is
+    complete within the row — no pre-shuffle combine needed); ONE
+    term-key shuffle computes df inside the group and emits weighted
+    postings; candidates block on RARE terms only (2 ≤ df ≤ 20 — the
+    prefix-filter idea: a pair is a candidate only if it shares a
+    discriminative term), deduped per pair-hash bucket, globally
+    ordered and capped at 20k pairs (panel-sized sort). The candidate
+    docs' weighted vectors broadcast via ``ray.put`` — bounded by the
+    pair cap, the rescore-band assumption — and pairs score in
+    ``map_batches`` with vectorized sorted-array intersections.
+    Reference analogue: the inverted-index Dice gate
+    (``fuzz/inexus_parser.py:2829-2878``) is the unweighted version of
+    this blocking."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def postings(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        docs: list = []
+        terms: list = []
+        tfs: list = []
+        for d, text in zip(
+            np.asarray(t["doc_id"], dtype=np.int64), t["text"].to_pylist()
+        ):
+            toks = _ws_tokens(text)
+            # parity with the oracle's len(w) >= 2 AND w[1] <> '' guard
+            if len(toks) < 2 or toks[0] == "":
+                continue
+            c = Counter(
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            )
+            docs.extend([int(d)] * len(c))
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "term": pa.array(terms, type=pa.string()),
+                "tf": pa.array(tfs, type=pa.int64()),
+            }
+        )
+
+    def add_w(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (doc, term): group size IS the df
+        df = len(g)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "w": g["tf"].to_numpy(np.int64) * (_TFIDF_IDF_SCALE // df),
+                "df": np.int64(df),
+                "term": g["term"],
+            }
+        )
+
+    posted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        postings, batch_format="pyarrow", zero_copy_batch=True
+    )
+    wdf = (
+        posted.groupby("term")
+        .map_groups(add_w, batch_format="pandas")
+        .materialize()
+    )
+
+    def rare_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy(np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "pb": pd.Series([], dtype=np.int64),
+                    "doc_a": pd.Series([], dtype=np.int64),
+                    "doc_b": pd.Series([], dtype=np.int64),
+                }
+            )
+        iu, ju = np.triu_indices(len(ids), k=1)
+        a, b = ids[iu], ids[ju]
+        pb = (
+            splitmix64(
+                a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                ^ b.view(np.uint64)
+            )
+            % np.uint64(nparts)
+        ).astype(np.int64)
+        return pd.DataFrame({"pb": pb, "doc_a": a, "doc_b": b})
+
+    cand = (
+        wdf.filter(expr=f"df >= {_TFIDF_DF_LO} and df <= {_TFIDF_DF_HI}")
+        .groupby("term")
+        .map_groups(rare_pairs, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(
+            lambda g: g[["doc_a", "doc_b"]].drop_duplicates(),
+            batch_format="pandas",
+        )
+        .sort(["doc_a", "doc_b"])
+        .limit(_TFIDF_MAX_PAIRS)
+        .materialize()
+    )
+    cand_pd = cand.to_pandas()  # capped pair panel — driver-sized by rule
+    if len(cand_pd) == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "cross_w": pa.array([], type=pa.int64()),
+                "is_sim": pa.array([], type=pa.int64()),
+            }
+        )
+    need = np.unique(
+        np.concatenate(
+            [cand_pd["doc_a"].to_numpy(np.int64), cand_pd["doc_b"].to_numpy(np.int64)]
+        )
+    )
+    need_ref = ray.put(need)
+
+    def keep_vecs(t: pa.Table) -> pa.Table:
+        s = ray.get(need_ref)
+        d = np.asarray(t["doc_id"], dtype=np.int64)
+        p = np.clip(np.searchsorted(s, d), 0, len(s) - 1)
+        return t.filter(pa.array(s[p] == d))
+
+    slab = pa.concat_tables(
+        wdf.select_columns(["doc_id", "term", "w"])
+        .map_batches(keep_vecs, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    vecs: dict[int, tuple] = {}
+    s_doc = np.asarray(slab["doc_id"]).astype(np.int64)
+    s_term = np.asarray(slab["term"].to_pandas(), dtype=object)
+    s_w = np.asarray(slab["w"]).astype(np.int64)
+    order = np.argsort(s_doc, kind="stable")
+    s_doc, s_term, s_w = s_doc[order], s_term[order], s_w[order]
+    starts = np.flatnonzero(np.concatenate([[True], s_doc[1:] != s_doc[:-1]]))
+    bounds = np.append(starts, len(s_doc))
+    for si, ei in zip(bounds[:-1], bounds[1:]):
+        terms_i = s_term[si:ei].astype(str)
+        w_i = s_w[si:ei]
+        o = np.argsort(terms_i, kind="stable")
+        vecs[int(s_doc[si])] = (
+            terms_i[o],
+            w_i[o],
+            int((w_i.astype(object) ** 2).sum()),
+        )
+    vec_ref = ray.put(vecs)
+
+    def score(t: pa.Table) -> pa.Table:
+        v = ray.get(vec_ref)
+        a = np.asarray(t["doc_a"], dtype=np.int64)
+        b = np.asarray(t["doc_b"], dtype=np.int64)
+        cross = np.empty(len(a), dtype=np.int64)
+        sim = np.empty(len(a), dtype=np.int64)
+        for i in range(len(a)):
+            ta, wa, na2 = v[int(a[i])]
+            tb, wb, nb2 = v[int(b[i])]
+            _, ia, ib = np.intersect1d(
+                ta, tb, assume_unique=True, return_indices=True
+            )
+            c = int((wa[ia].astype(object) * wb[ib]).sum()) if len(ia) else 0
+            cross[i] = c
+            sim[i] = int(
+                _TFIDF_COS_NUM * c * c >= _TFIDF_COS_DEN * na2 * nb2
+            )
+        return pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "cross_w": pa.array(cross),
+                "is_sim": pa.array(sim),
+            }
+        )
+
+    return cand.map_batches(
+        score, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
+    ).sort(["doc_a", "doc_b"])
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8834,6 +9204,8 @@ QUERIES = {
     "cluster_size_histogram": q_cluster_size_histogram,
     "blocking_quality": q_blocking_quality,
     "graph_triangles": q_graph_triangles,
+    "kcore_nodes": q_kcore_nodes,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "countmin_estimates": q_countmin_estimates,
     "winsorized_stats": q_winsorized_stats,
     "balanced_sample": q_balanced_sample,

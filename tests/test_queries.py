@@ -133,6 +133,8 @@ SQL_CHECKED = [
     "window_dedup_stats",
     "cluster_size_histogram",
     "pagerank_ranks",
+    "kcore_nodes",
+    "tfidf_cosine_pairs",
     "pareto_parts",
     "rollup_counts",
     "scd2_history",
@@ -1694,3 +1696,15 @@ def test_pagerank_paths_agree(ray_session):
     fast = _canon(_to_df(q_pagerank_ranks(SF)))
     slow = _canon(_to_df(q_pagerank_ranks(SF, _gate_bytes=0)))
     pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
+def test_kcore_paths_agree(ray_session):
+    """The broadcast survivor filter and the bucketed semi-join filter
+    must peel to identical cores; every surviving node satisfies k."""
+    from address_parser_ray.pipelines.queries import _KCORE_K, q_kcore_nodes
+
+    fast = _canon(_to_df(q_kcore_nodes(SF)))
+    slow = _canon(_to_df(q_kcore_nodes(SF, _gate_bytes=0)))
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+    if len(fast):
+        assert (fast["core_deg"] >= _KCORE_K).all()
