@@ -2875,3 +2875,32 @@ SELECT x.da AS doc_a, x.db AS doc_b, CAST(x.cr AS BIGINT) AS cross_w,
 FROM x JOIN nrm na ON na.doc_id = x.da JOIN nrm nb ON nb.doc_id = x.db
 ORDER BY doc_a, doc_b
 """
+
+# 1-to-1 mutual best match: block (lang, n_chars//64), score |len diff|,
+# per-doc argmin with (diff, partner_id) tie-break, keep mutual pairs.
+ORACLE_SQL["one_to_one_match"] = """
+    WITH d AS (
+        SELECT doc_id, lang, n_chars, n_chars // 64 AS bkt
+        FROM documents
+    ), p AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst, a.lang AS lang,
+               abs(a.n_chars - b.n_chars) AS diff
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id <> b.doc_id
+    ), best AS (
+        SELECT src, dst, diff, lang,
+               row_number() OVER (
+                   PARTITION BY src ORDER BY diff, dst
+               ) AS rk
+        FROM p
+    ), b1 AS (
+        SELECT src, dst, diff, lang FROM best WHERE rk = 1
+    )
+    SELECT CAST(x.src AS BIGINT) AS doc_a,
+           CAST(x.dst AS BIGINT) AS doc_b,
+           CAST(x.diff AS BIGINT) AS len_diff,
+           x.lang
+    FROM b1 x JOIN b1 y ON y.src = x.dst AND y.dst = x.src
+    WHERE x.src < x.dst
+    ORDER BY doc_a, doc_b
+"""

@@ -9081,6 +9081,124 @@ def q_tfidf_cosine_pairs(sf_dir: str):
     ).sort(["doc_a", "doc_b"])
 
 
+def q_one_to_one_match(sf_dir: str):
+    """Distributed 1-to-1 entity matching (mutual best match): enforce
+    a one-to-one assignment over a blocked candidate-pair set — the
+    post-scoring step record-linkage systems run when each entity may
+    match at most one counterpart (the reference resolves each input to
+    exactly one gazetteer node, ``fuzz/inexus_parser.py:2929-2945``;
+    this is the symmetric two-sided analogue). Blocks are
+    (lang, n_chars // 64); within a block every doc pair is a candidate
+    scored by |len_a - len_b| (lower = better; bucket width bounds the
+    score to [0, 63]), each doc's best partner is the (score,
+    partner_id)-argmin, and a pair survives iff the choice is MUTUAL.
+    Because a doc's candidates all live in its own block, candidate
+    generation, per-doc argmin AND the mutuality check are co-located:
+    ONE shuffle total (the block groupby). Argmin is vectorized as a
+    single int64 composite key (score << 32 | partner_id — score < 64
+    and ids < 2^32 by contract). At 100 TB, block size is bounded by
+    the blocking key's selectivity; oversized blocks would take the
+    same deterministic cap used in ``stages/blocking.py``."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def add_block(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        lang = t["lang"].to_pylist()
+        n = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = n // 64
+        keys = [f"{la}:{b}" for la, b in zip(lang, bkt)]
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        k.encode("utf-8"), digest_size=8
+                    ).digest(),
+                    "little",
+                )
+                for k in keys
+            ),
+            dtype=np.uint64,
+            count=len(keys),
+        )
+        return pa.table(
+            {
+                "bb": pa.array(
+                    (splitmix64(h) % np.uint64(nparts)).astype(np.int64)
+                ),
+                "lang": t["lang"],
+                "bkt": pa.array(bkt),
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(n),
+            }
+        )
+
+    def match_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: list = []
+        out_b: list = []
+        out_d: list = []
+        out_l: list = []
+        for (lang, _bkt), blk in g.groupby(["lang", "bkt"], sort=False):
+            ids = blk["doc_id"].to_numpy(np.int64)
+            lens = blk["n_chars"].to_numpy(np.int64)
+            s = len(ids)
+            if s < 2:
+                continue
+            order = np.argsort(ids, kind="stable")
+            ids, lens = ids[order], lens[order]
+            # composite argmin key: |len diff| (< 64 by bucket width)
+            # in the high bits, partner doc_id in the low 32
+            diff = np.abs(lens[:, None] - lens[None, :])
+            key = (diff.astype(np.int64) << np.int64(32)) | ids[None, :]
+            np.fill_diagonal(key, np.iinfo(np.int64).max)
+            best = np.argmin(key, axis=1)
+            mutual = (best[best] == np.arange(s)) & (np.arange(s) < best)
+            idx = np.flatnonzero(mutual)
+            if len(idx):
+                out_a.append(ids[idx])
+                out_b.append(ids[best[idx]])
+                out_d.append(diff[idx, best[idx]])
+                out_l.extend([lang] * len(idx))
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=np.int64),
+                    "doc_b": pd.Series([], dtype=np.int64),
+                    "len_diff": pd.Series([], dtype=np.int64),
+                    "lang": pd.Series([], dtype=object),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "len_diff": np.concatenate(out_d).astype(np.int64),
+                "lang": np.asarray(out_l, dtype=object),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(add_block, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bb")
+        .map_groups(match_bucket, batch_format="pandas")
+        .materialize()
+    )
+    if out.count() == 0:
+        return pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                ("len_diff", pa.int64()),
+                ("lang", pa.string()),
+            ]
+        ).empty_table()
+    return out.sort(["doc_a", "doc_b"])
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9218,4 +9336,5 @@ QUERIES = {
     "length_outliers": q_length_outliers,
     "partition_digests": q_partition_digests,
     "fragment_stitching": q_fragment_stitching,
+    "one_to_one_match": q_one_to_one_match,
 }

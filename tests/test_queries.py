@@ -151,6 +151,7 @@ SQL_CHECKED = [
     "fragment_stitching",
     "golden_records",
     "soundex_blocks",
+    "one_to_one_match",
 ]
 
 
