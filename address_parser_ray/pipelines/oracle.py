@@ -2904,3 +2904,35 @@ ORACLE_SQL["one_to_one_match"] = """
     WHERE x.src < x.dst
     ORDER BY doc_a, doc_b
 """
+
+# Prefix-filtered (AllPairs) threshold similarity self-join over
+# word-bigram shingle sets: the oracle is the direct quadratic join, so
+# hash parity proves the prefix filter missed no threshold pair.
+ORACLE_SQL["prefix_filter_pairs"] = r"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ), t AS (
+        SELECT doc_id,
+               list_distinct(
+                   [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]
+               ) AS toks
+        FROM w WHERE len(ws) >= 2
+    ), p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.toks, b.toks)) AS ni,
+               len(a.toks) AS na, len(b.toks) AS nb
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a,
+           CAST(doc_b AS BIGINT) AS doc_b,
+           CAST(ni AS BIGINT) AS ni,
+           CAST(na AS BIGINT) AS na,
+           CAST(nb AS BIGINT) AS nb,
+           CAST(ni * 1000000 // (na + nb - ni) AS BIGINT) AS jacc_micro
+    FROM p
+    WHERE 2 * ni >= na + nb - ni
+    ORDER BY doc_a, doc_b
+"""

@@ -9199,6 +9199,254 @@ def q_one_to_one_match(sf_dir: str):
     return out.sort(["doc_a", "doc_b"])
 
 
+def q_prefix_filter_pairs(sf_dir: str):
+    """Prefix-filtered threshold similarity self-join (AllPairs /
+    PPJoin, Bayardo et al. WWW'07): find ALL doc pairs whose distinct
+    word-BIGRAM shingle sets have Jaccard >= 1/2, generating candidates
+    from PREFIX postings only.  Shingles get a global rare-first order
+    (df asc, shingle asc); a doc with n shingles posts only its first
+    n - ceil(t*n) + 1 shingles under that order — the classic guarantee
+    that any pair meeting the threshold shares a prefix shingle.  A
+    length filter (min >= t*max) prunes cross-size candidates at
+    emission.  Exact Jaccard is verified once per DISTINCT pair
+    (pair-hash-bucket dedup first) from shingle lists carried on the
+    postings; at 100 TB the carried lists become an id re-join against
+    the shingle-set side table (the ``residual_tokens`` idiom) and the
+    rare-first order ships as a top-K table + hash fallback for the
+    tail.  The df panel here is corpus-vocabulary-sized and broadcasts
+    via ``ray.put``.  Jaccard is reported in integer micro units
+    (ni*10^6 // union) — hash-exact in SQL; the oracle is the direct
+    quadratic join, so parity also proves the prefix filter's
+    COMPLETENESS (no threshold pair missed), the strong claim of
+    Bayardo et al.  Reference analogue: candidate-set reduction before
+    exact scoring (fuzz/inexus_parser.py:886-905).  Tokenizes with
+    ASCII ``\\s+`` to pin oracle parity (see doc_chunks)."""
+    import math
+    import re as _re
+
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    T_NUM, T_DEN = 1, 2  # Jaccard threshold 1/2
+    ws_re = _re.compile(r"\s+", _re.ASCII)
+
+    def _shingles(text: str) -> list:
+        ws = [w for w in ws_re.split(text or "") if w]
+        return sorted({f"{a} {b}" for a, b in zip(ws, ws[1:])})
+
+    def shingle_postings(t: pa.Table) -> pa.Table:
+        ids: list = []
+        toks: list = []
+        for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for s in _shingles(tx):
+                ids.append(did)
+                toks.append(s)
+        return pa.table(
+            {
+                "tok": pa.array(toks, type=pa.string()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+            }
+        )
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        # shingles are distinct within a doc already; df = postings count
+        import pyarrow.compute as pc
+
+        g = (
+            pa.table({"tok": t["tok"]})
+            .group_by("tok")
+            .aggregate([("tok", "count")])
+        )
+        return pa.table(
+            {"tok": g["tok"], "df": pc.cast(g["tok_count"], pa.int64())}
+        )
+
+    def add_tb(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        x.encode("utf-8"), digest_size=8
+                    ).digest(),
+                    "little",
+                )
+                for x in t["tok"].to_pylist()
+            ),
+            dtype=np.uint64,
+            count=len(t),
+        )
+        return t.append_column(
+            "tb",
+            pa.array((splitmix64(h) % np.uint64(nparts)).astype(np.int64)),
+        )
+
+    def df_combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("tok", sort=False)["df"].sum()
+        return pd.DataFrame(
+            {"tok": c.index.to_numpy(object), "df": c.to_numpy(np.int64)}
+        )
+
+    # global rare-first shingle order: per-batch partial df counts,
+    # bucketed combine; the result panel is vocabulary-sized
+    df_tbl = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(
+            shingle_postings, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_tb, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tb")
+        .map_groups(df_combine, batch_format="pandas")
+        .to_pandas()
+    )
+    order = {
+        t: r
+        for r, t in enumerate(
+            df_tbl.sort_values(["df", "tok"], kind="stable")["tok"]
+        )
+    }
+    order_ref = ray.put(order)
+
+    def prefix_postings(t: pa.Table) -> pa.Table:
+        rank = ray.get(order_ref)
+        out_tok: list = []
+        out_id: list = []
+        out_toks: list = []
+        out_n: list = []
+        for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ts = sorted(_shingles(tx), key=lambda w: rank[w])
+            n = len(ts)
+            if n == 0:
+                continue
+            plen = n - math.ceil(T_NUM * n / T_DEN) + 1
+            joined = "\x00".join(sorted(ts))
+            for w in ts[:plen]:
+                out_tok.append(w)
+                out_id.append(did)
+                out_toks.append(joined)
+                out_n.append(n)
+        return pa.table(
+            {
+                "tok": pa.array(out_tok, type=pa.string()),
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "toks": pa.array(out_toks, type=pa.string()),
+                "ntok": pa.array(np.asarray(out_n, dtype=np.int64)),
+            }
+        )
+
+    def cand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        d = g.sort_values(["tok", "doc_id"], kind="stable")
+        toks = d["tok"].to_numpy(object)
+        ids = d["doc_id"].to_numpy(np.int64)
+        tl = d["toks"].to_numpy(object)
+        nt = d["ntok"].to_numpy(np.int64)
+        new = np.concatenate([[True], toks[1:] != toks[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(toks)))
+        rows: list = []
+        for st, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            for i in range(st, st + ln):
+                for j in range(i + 1, st + ln):
+                    na, nb = int(nt[i]), int(nt[j])
+                    # length filter: J>=t requires min >= t*max
+                    if T_NUM * max(na, nb) > T_DEN * min(na, nb):
+                        continue
+                    rows.append((int(ids[i]), int(ids[j]), tl[i], tl[j]))
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=np.int64),
+                    "doc_b": pd.Series([], dtype=np.int64),
+                    "toks_a": pd.Series([], dtype=object),
+                    "toks_b": pd.Series([], dtype=object),
+                    "pb": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = pd.DataFrame(
+            rows, columns=["doc_a", "doc_b", "toks_a", "toks_b"]
+        )
+        pb = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        f"{a}\x00{b}".encode("utf-8"), digest_size=8
+                    ).digest(),
+                    "little",
+                )
+                for a, b in zip(out["doc_a"], out["doc_b"])
+            ),
+            dtype=np.uint64,
+            count=len(out),
+        )
+        out["pb"] = (splitmix64(pb) % np.uint64(nparts)).astype(np.int64)
+        return out
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["doc_a", "doc_b"])
+        na_l: list = []
+        nb_l: list = []
+        ni_l: list = []
+        for ta, tb_ in zip(d["toks_a"], d["toks_b"]):
+            sa = ta.split("\x00")
+            sb = set(tb_.split("\x00"))
+            na_l.append(len(sa))
+            nb_l.append(len(sb))
+            ni_l.append(sum(1 for w in sa if w in sb))
+        na = np.asarray(na_l, dtype=np.int64)
+        nb = np.asarray(nb_l, dtype=np.int64)
+        ni = np.asarray(ni_l, dtype=np.int64)
+        un = na + nb - ni
+        keep = T_DEN * ni >= T_NUM * un
+        return pd.DataFrame(
+            {
+                "doc_a": d["doc_a"].to_numpy(np.int64)[keep],
+                "doc_b": d["doc_b"].to_numpy(np.int64)[keep],
+                "ni": ni[keep],
+                "na": na[keep],
+                "nb": nb[keep],
+                "jacc_micro": ni[keep] * 1_000_000 // un[keep],
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(
+            prefix_postings, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .map_batches(add_tb, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tb")
+        .map_groups(cand_pairs, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(verify, batch_format="pandas")
+        .materialize()
+    )
+    if out.count() == 0:
+        return pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                ("ni", pa.int64()),
+                ("na", pa.int64()),
+                ("nb", pa.int64()),
+                ("jacc_micro", pa.int64()),
+            ]
+        ).empty_table()
+    return out.select_columns(
+        ["doc_a", "doc_b", "ni", "na", "nb", "jacc_micro"]
+    ).sort(["doc_a", "doc_b"])
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9337,4 +9585,5 @@ QUERIES = {
     "partition_digests": q_partition_digests,
     "fragment_stitching": q_fragment_stitching,
     "one_to_one_match": q_one_to_one_match,
+    "prefix_filter_pairs": q_prefix_filter_pairs,
 }

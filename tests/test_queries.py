@@ -152,6 +152,7 @@ SQL_CHECKED = [
     "golden_records",
     "soundex_blocks",
     "one_to_one_match",
+    "prefix_filter_pairs",
 ]
 
 
