@@ -2936,3 +2936,29 @@ ORACLE_SQL["prefix_filter_pairs"] = r"""
     WHERE 2 * ni >= na + nb - ni
     ORDER BY doc_a, doc_b
 """
+
+# Range-partitioner boundary planning: boundaries are the keys at ranks
+# ceil(i*n/B) (quantile_disc rule, integer arithmetic), deduplicated;
+# a row's partition is #{bounds <= key} (searchsorted side='right').
+ORACLE_SQL["range_partition_balance"] = """
+    WITH k AS (SELECT o_custkey AS key FROM orders),
+    n AS (SELECT count(*) AS n FROM k),
+    r AS (SELECT key, row_number() OVER (ORDER BY key) AS rn FROM k),
+    tgt AS (
+        SELECT CAST((i * n.n + 15) // 16 AS BIGINT) AS rk
+        FROM range(1, 16) t(i), n
+    ),
+    bounds AS (
+        SELECT DISTINCT r.key AS bkey FROM tgt JOIN r ON r.rn = tgt.rk
+    ),
+    assigned AS (
+        SELECT key,
+               (SELECT count(*) FROM bounds b WHERE b.bkey <= k.key) AS p
+        FROM k
+    )
+    SELECT CAST(p AS BIGINT) AS partition_id,
+           count(*)          AS n_rows,
+           min(key)          AS key_min,
+           max(key)          AS key_max
+    FROM assigned GROUP BY p ORDER BY p
+"""

@@ -9447,6 +9447,126 @@ def q_prefix_filter_pairs(sf_dir: str):
     ).sort(["doc_a", "doc_b"])
 
 
+_RPB_PARTS = 16  # target range partitions
+
+
+def q_range_partition_balance(sf_dir: str):
+    """Range-partitioner boundary planning — the split-point computation
+    every distributed sort / range shuffle runs before moving a byte
+    (Spark's RangePartitioner, the plan step of Ray Data's own sort).
+    Pass 1 builds an exact (key, count) histogram of ``o_custkey`` with
+    per-batch partial counts combined in hash buckets (the panel is
+    distinct-key-sized; for unbounded key domains swap in the
+    ``q_quantile_sketch`` bracketing summary — same two-pass shape).
+    Boundaries are the keys at ranks ceil(i*n/B), i = 1..B-1 (DuckDB's
+    ``quantile_disc`` rank rule, integer arithmetic on both sides),
+    deduplicated so a hot key never splits.  Pass 2 broadcasts the tiny
+    boundary array and assigns every row with one vectorized
+    ``searchsorted`` (side='right': partition = #{bounds <= key}),
+    aggregating (n_rows, key_min, key_max) per partition from per-batch
+    partials.  The output exposes the skew a planner would act on:
+    partitions are row-balanced only up to the hottest key's mass.
+    Reference analogue: candidate-list budget splitting before scoring
+    (fuzz/inexus_parser.py:2829-2878)."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    B = _RPB_PARTS
+
+    def key_counts(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"key": t["o_custkey"]})
+            .group_by("key")
+            .aggregate([("key", "count")])
+        )
+        k = np.asarray(g["key"], dtype=np.int64)
+        return pa.table(
+            {
+                "key": pa.array(k),
+                "cnt": pc.cast(g["key_count"], pa.int64()),
+                "tb": pa.array(
+                    (
+                        splitmix64(k.view(np.uint64))
+                        % np.uint64(nparts)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("key", sort=False)["cnt"].sum()
+        return pd.DataFrame(
+            {"key": c.index.to_numpy(np.int64), "cnt": c.to_numpy(np.int64)}
+        )
+
+    hist = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+        )
+        .map_batches(key_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tb")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+        .sort_values("key", kind="stable")
+    )
+    keys = hist["key"].to_numpy(np.int64)
+    cum = hist["cnt"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+    # boundary_i = smallest key whose cumulative count reaches rank
+    # ceil(i*n/B) == the key at that rank in the sorted multiset
+    ranks = np.array([(i * n + B - 1) // B for i in range(1, B)], dtype=np.int64)
+    bounds = np.unique(keys[np.searchsorted(cum, ranks, side="left")])
+    bounds_ref = ray.put(bounds)
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        k = np.asarray(t["o_custkey"], dtype=np.int64)
+        p = np.searchsorted(b, k, side="right").astype(np.int64)
+        order = np.argsort(p, kind="stable")
+        ps, ks = p[order], k[order]
+        new = np.concatenate([[True], ps[1:] != ps[:-1]])
+        st = np.flatnonzero(new)
+        ln = np.diff(np.append(st, len(ps)))
+        return pa.table(
+            {
+                "partition_id": pa.array(ps[st]),
+                "n_rows": pa.array(ln.astype(np.int64)),
+                "key_min": pa.array(
+                    np.minimum.reduceat(ks, st) if len(ks) else ks
+                ),
+                "key_max": pa.array(
+                    np.maximum.reduceat(ks, st) if len(ks) else ks
+                ),
+            }
+        )
+
+    panel = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+        )
+        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # ≤ (blocks × B) rows — planner-panel-sized
+    )
+    out = (
+        panel.groupby("partition_id", sort=True)
+        .agg(
+            n_rows=("n_rows", "sum"),
+            key_min=("key_min", "min"),
+            key_max=("key_max", "max"),
+        )
+        .reset_index()
+    )
+    return out.astype(
+        {
+            "partition_id": "int64",
+            "n_rows": "int64",
+            "key_min": "int64",
+            "key_max": "int64",
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9586,4 +9706,5 @@ QUERIES = {
     "fragment_stitching": q_fragment_stitching,
     "one_to_one_match": q_one_to_one_match,
     "prefix_filter_pairs": q_prefix_filter_pairs,
+    "range_partition_balance": q_range_partition_balance,
 }

@@ -153,6 +153,7 @@ SQL_CHECKED = [
     "soundex_blocks",
     "one_to_one_match",
     "prefix_filter_pairs",
+    "range_partition_balance",
 ]
 
 
