@@ -2962,3 +2962,41 @@ ORACLE_SQL["range_partition_balance"] = """
            max(key)          AS key_max
     FROM assigned GROUP BY p ORDER BY p
 """
+
+# Zone-map data-skipping audit: same splitmix64 macro family as the
+# winnow/simhash oracles; a bucket is touched iff its [min,max] day zone
+# intersects the predicate window.
+ORACLE_SQL["zonemap_pruning"] = """
+CREATE OR REPLACE MACRO xr(a, b) AS CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT);
+CREATE OR REPLACE MACRO shr(a, n) AS CAST(a AS HUGEINT) // (CAST(1 AS HUGEINT) << n);
+CREATE OR REPLACE MACRO mulmod64(a, b) AS (
+  ((a % 4294967296) * (b % 4294967296)
+   + (((a % 4294967296) * (b // 4294967296) + (a // 4294967296) * (b % 4294967296)) % 4294967296) * 4294967296
+  ) % 18446744073709551616);
+CREATE OR REPLACE MACRO smz1(x) AS mulmod64(xr(x, shr(x, 30)), CAST(13787848793156543929 AS HUGEINT));
+CREATE OR REPLACE MACRO smz2(x) AS mulmod64(xr(x, shr(x, 27)), CAST(10723151780598845931 AS HUGEINT));
+CREATE OR REPLACE MACRO smz3(x) AS xr(x, shr(x, 31));
+CREATE OR REPLACE MACRO sm64(x) AS smz3(smz2(smz1((CAST(x AS HUGEINT) + 11400714819323198485) % 18446744073709551616)));
+WITH o AS (
+    SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day,
+           o_orderkey
+    FROM orders
+), win AS (
+    SELECT (DATE '1998-06-01' - DATE '1970-01-01') AS lo,
+           (DATE '1998-06-30' - DATE '1970-01-01') AS hi
+), b AS (
+    SELECT 'date_week' AS layout, CAST(day // 7 AS BIGINT) AS bucket, day FROM o
+    UNION ALL
+    SELECT 'hash' AS layout, CAST(sm64(o_orderkey) % 64 AS BIGINT) AS bucket, day FROM o
+), z AS (
+    SELECT layout, bucket, count(*) AS n, min(day) AS dmin, max(day) AS dmax,
+           CAST(sum(CASE WHEN day BETWEEN win.lo AND win.hi THEN 1 ELSE 0 END) AS BIGINT) AS nmatch
+    FROM b, win GROUP BY layout, bucket
+)
+SELECT layout,
+       count(*) AS n_buckets,
+       CAST(sum(CASE WHEN dmax >= win.lo AND dmin <= win.hi THEN 1 ELSE 0 END) AS BIGINT) AS buckets_touched,
+       CAST(sum(CASE WHEN dmax >= win.lo AND dmin <= win.hi THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(sum(nmatch) AS BIGINT) AS rows_matched
+FROM z, win GROUP BY layout ORDER BY layout
+"""

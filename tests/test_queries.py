@@ -154,6 +154,7 @@ SQL_CHECKED = [
     "one_to_one_match",
     "prefix_filter_pairs",
     "range_partition_balance",
+    "zonemap_pruning",
 ]
 
 
