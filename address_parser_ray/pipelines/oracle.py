@@ -3000,3 +3000,52 @@ SELECT layout,
        CAST(sum(nmatch) AS BIGINT) AS rows_matched
 FROM z, win GROUP BY layout ORDER BY layout
 """
+
+# KMV join-cardinality estimate: k=256 smallest sm64 hashes per side;
+# estimator integer-exact (HUGEINT // both sides); exact counts ride
+# along as the accuracy audit.
+ORACLE_SQL["kmv_join_estimate"] = """
+CREATE OR REPLACE MACRO xr(a, b) AS CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT);
+CREATE OR REPLACE MACRO shr(a, n) AS CAST(a AS HUGEINT) // (CAST(1 AS HUGEINT) << n);
+CREATE OR REPLACE MACRO mulmod64(a, b) AS (
+  ((a % 4294967296) * (b % 4294967296)
+   + (((a % 4294967296) * (b // 4294967296) + (a // 4294967296) * (b % 4294967296)) % 4294967296) * 4294967296
+  ) % 18446744073709551616);
+CREATE OR REPLACE MACRO smz1(x) AS mulmod64(xr(x, shr(x, 30)), CAST(13787848793156543929 AS HUGEINT));
+CREATE OR REPLACE MACRO smz2(x) AS mulmod64(xr(x, shr(x, 27)), CAST(10723151780598845931 AS HUGEINT));
+CREATE OR REPLACE MACRO smz3(x) AS xr(x, shr(x, 31));
+CREATE OR REPLACE MACRO sm64(x) AS smz3(smz2(smz1((CAST(x AS HUGEINT) + 11400714819323198485) % 18446744073709551616)));
+WITH a AS (SELECT DISTINCT sm64(o_custkey) AS h FROM orders),
+b AS (SELECT DISTINCT sm64(c_custkey) AS h FROM customer),
+ka AS (SELECT h FROM a ORDER BY h LIMIT 256),
+kb AS (SELECT h FROM b ORDER BY h LIMIT 256),
+u AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb) t),
+nu AS (SELECT count(*) AS cnt FROM u),
+tau AS (SELECT h AS t FROM u ORDER BY h LIMIT 1 OFFSET 255),
+eu AS (
+    SELECT CASE WHEN nu.cnt >= 256
+        THEN (CAST(255 AS HUGEINT) * CAST(18446744073709551616 AS HUGEINT))
+             // (SELECT t FROM tau)
+        ELSE CAST(nu.cnt AS HUGEINT) END AS v
+    FROM nu
+),
+ei AS (
+    SELECT CASE WHEN nu.cnt >= 256
+        THEN (CAST((SELECT count(*) FROM ka JOIN kb USING (h), tau
+                    WHERE h <= tau.t) AS HUGEINT)
+              * (SELECT v FROM eu)) // 256
+        ELSE CAST((SELECT count(*) FROM ka JOIN kb USING (h)) AS HUGEINT)
+        END AS v
+    FROM nu
+)
+SELECT CAST(256 AS BIGINT) AS k,
+       CAST((SELECT v FROM eu) AS BIGINT) AS est_union,
+       CAST((SELECT v FROM ei) AS BIGINT) AS est_inter,
+       (SELECT count(DISTINCT key) FROM (
+            SELECT o_custkey AS key FROM orders
+            UNION ALL SELECT c_custkey FROM customer) t) AS exact_union,
+       (SELECT count(*) FROM
+            (SELECT DISTINCT o_custkey AS key FROM orders) oa
+            JOIN (SELECT DISTINCT c_custkey AS key FROM customer) cb
+            USING (key)) AS exact_inter
+"""

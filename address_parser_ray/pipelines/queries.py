@@ -9688,6 +9688,96 @@ def q_zonemap_pruning(sf_dir: str):
     )
 
 
+_KMV_K = 256
+
+
+def q_kmv_join_estimate(sf_dir: str):
+    """Sketch-based join-cardinality estimation — the planner statistic
+    a distributed engine computes BEFORE choosing broadcast vs shuffle
+    for a join (Beyer et al., SIGMOD'07 KMV synopses).  Each side's
+    distinct-key set (orders.o_custkey, customer.c_custkey) is reduced
+    to its k = 256 smallest splitmix64 hashes via per-batch min-k
+    partials (one driver combine of a (blocks × k) panel — the
+    ``_seed_centroids`` idiom; sketches merge associatively so the same
+    partials tree-reduce on a cluster).  tau = k-th smallest of the
+    merged sketch ⇒ |A ∪ B| ≈ (k-1)·2^64/tau; the intersection scales
+    that by the fraction of sketch hashes below tau present in BOTH
+    sketches.  Integer arithmetic end-to-end (Python bigint // on the
+    Ray side, HUGEINT // in the oracle) makes the estimator hash-exact;
+    the exact distinct counts ride along in the same row so the output
+    doubles as an accuracy audit.  When the union has fewer than k
+    distinct hashes the sketch IS the set and the estimate collapses to
+    the exact count (the sf0.001 fixture exercises that branch; sf0.01
+    exercises the estimator branch).  Reference analogue: candidate-set
+    size heuristics gating the expensive scorer
+    (fuzz/inexus_parser.py:2829-2878)."""
+    from address_parser_ray.functions.hashing import splitmix64
+
+    k = _KMV_K
+
+    def side_sketch(path: str, col: str) -> np.ndarray:
+        def partial(t: pa.Table) -> pa.Table:
+            h = np.unique(
+                splitmix64(
+                    np.asarray(t[col], dtype=np.int64).view(np.uint64)
+                )
+            )
+            return pa.table({"h": pa.array(h[:k].view(np.int64))})
+
+        panel = (
+            ray.data.read_parquet(path, columns=[col])
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+        )
+        h = np.unique(panel["h"].to_numpy(np.int64).view(np.uint64))
+        return h[:k]
+
+    ka = side_sketch(f"{sf_dir}/orders.parquet", "o_custkey")
+    kb = side_sketch(f"{sf_dir}/customer.parquet", "c_custkey")
+    u = np.unique(np.concatenate([ka, kb]))
+    if len(u) >= k:
+        tau = int(u[k - 1])
+        est_union = (k - 1) * (1 << 64) // tau
+        common = int(
+            np.intersect1d(ka, kb, assume_unique=True).searchsorted(
+                np.uint64(tau), side="right"
+            )
+        )
+        est_inter = common * est_union // k
+    else:
+        # sketch saw every distinct hash — estimates are exact counts
+        est_union = int(len(u))
+        est_inter = int(len(np.intersect1d(ka, kb, assume_unique=True)))
+
+    # exact twin (verification baseline; the sketch is the scale path)
+    def keys_of(path: str, col: str) -> np.ndarray:
+        def partial(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"key": pa.array(np.unique(np.asarray(t[col], dtype=np.int64)))}
+            )
+
+        panel = (
+            ray.data.read_parquet(path, columns=[col])
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+        )
+        return np.unique(panel["key"].to_numpy(np.int64))
+
+    a_keys = keys_of(f"{sf_dir}/orders.parquet", "o_custkey")
+    b_keys = keys_of(f"{sf_dir}/customer.parquet", "c_custkey")
+    exact_union = int(len(np.union1d(a_keys, b_keys)))
+    exact_inter = int(len(np.intersect1d(a_keys, b_keys, assume_unique=True)))
+    return pd.DataFrame(
+        {
+            "k": [k],
+            "est_union": [est_union],
+            "est_inter": [est_inter],
+            "exact_union": [exact_union],
+            "exact_inter": [exact_inter],
+        }
+    ).astype("int64")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9829,4 +9919,5 @@ QUERIES = {
     "prefix_filter_pairs": q_prefix_filter_pairs,
     "range_partition_balance": q_range_partition_balance,
     "zonemap_pruning": q_zonemap_pruning,
+    "kmv_join_estimate": q_kmv_join_estimate,
 }

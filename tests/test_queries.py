@@ -155,6 +155,7 @@ SQL_CHECKED = [
     "prefix_filter_pairs",
     "range_partition_balance",
     "zonemap_pruning",
+    "kmv_join_estimate",
 ]
 
 
