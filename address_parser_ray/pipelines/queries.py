@@ -9688,7 +9688,7 @@ def q_zonemap_pruning(sf_dir: str):
     )
 
 
-_KMV_K = 256
+_KMVJ_K = 256  # join-estimator sketch size (distinct from _KMV_K = 64 above)
 
 
 def q_kmv_join_estimate(sf_dir: str):
@@ -9713,7 +9713,7 @@ def q_kmv_join_estimate(sf_dir: str):
     (fuzz/inexus_parser.py:2829-2878)."""
     from address_parser_ray.functions.hashing import splitmix64
 
-    k = _KMV_K
+    k = _KMVJ_K
 
     def side_sketch(path: str, col: str) -> np.ndarray:
         def partial(t: pa.Table) -> pa.Table:
