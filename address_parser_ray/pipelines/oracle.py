@@ -2906,7 +2906,7 @@ ORACLE_SQL["one_to_one_match"] = """
 """
 
 # Prefix-filtered (AllPairs) threshold similarity self-join over
-# word-bigram shingle sets: the oracle is the direct quadratic join, so
+# word-4-gram shingle sets: the oracle is the direct quadratic join, so
 # hash parity proves the prefix filter missed no threshold pair.
 ORACLE_SQL["prefix_filter_pairs"] = r"""
     WITH w AS (
@@ -2917,9 +2917,10 @@ ORACLE_SQL["prefix_filter_pairs"] = r"""
     ), t AS (
         SELECT doc_id,
                list_distinct(
-                   [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]
+                   [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                    FOR i IN range(1, len(ws) - 2)]
                ) AS toks
-        FROM w WHERE len(ws) >= 2
+        FROM w WHERE len(ws) >= 4
     ), p AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                len(list_intersect(a.toks, b.toks)) AS ni,

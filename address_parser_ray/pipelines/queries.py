@@ -9199,88 +9199,99 @@ def q_one_to_one_match(sf_dir: str):
     return out.sort(["doc_a", "doc_b"])
 
 
+def _tok_h64(s: str) -> int:
+    """blake2b-8 of a token/pair key as uint64 (bucket hashing)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
 def q_prefix_filter_pairs(sf_dir: str):
     """Prefix-filtered threshold similarity self-join (AllPairs /
     PPJoin, Bayardo et al. WWW'07): find ALL doc pairs whose distinct
-    word-BIGRAM shingle sets have Jaccard >= 1/2, generating candidates
+    word-4-GRAM shingle sets have Jaccard >= 1/2, generating candidates
     from PREFIX postings only.  Shingles get a global rare-first order
     (df asc, shingle asc); a doc with n shingles posts only its first
     n - ceil(t*n) + 1 shingles under that order — the classic guarantee
     that any pair meeting the threshold shares a prefix shingle.  A
     length filter (min >= t*max) prunes cross-size candidates at
-    emission.  Exact Jaccard is verified once per DISTINCT pair
-    (pair-hash-bucket dedup first) from shingle lists carried on the
-    postings; at 100 TB the carried lists become an id re-join against
-    the shingle-set side table (the ``residual_tokens`` idiom) and the
-    rare-first order ships as a top-K table + hash fallback for the
-    tail.  The df panel here is corpus-vocabulary-sized and broadcasts
-    via ``ray.put``.  Jaccard is reported in integer micro units
-    (ni*10^6 // union) — hash-exact in SQL; the oracle is the direct
-    quadratic join, so parity also proves the prefix filter's
-    COMPLETENESS (no threshold pair missed), the strong claim of
-    Bayardo et al.  Reference analogue: candidate-set reduction before
-    exact scoring (fuzz/inexus_parser.py:886-905).  Tokenizes with
-    ASCII ``\\s+`` to pin oracle parity (see doc_chunks)."""
+    emission.
+
+    Scale shape: postings carry ONLY (tok, doc_id, ntok) — never the
+    shingle payload — so the token shuffle is id-sized; candidate pairs
+    dedup in pair-hash buckets; exact Jaccard is then verified by
+    re-joining each side's shingle set from a one-row-per-doc side
+    table (two ``pinned_join`` passes — the ``residual_tokens`` idiom),
+    touching only docs that survived the filter.  The df order panel is
+    vocabulary-sized and ships as sorted arrays probed with
+    ``searchsorted`` (no per-row dict lookups).  Jaccard is reported in
+    integer micro units (ni*10^6 // union) — hash-exact in SQL; the
+    oracle is the direct quadratic join, so parity also proves the
+    prefix filter's COMPLETENESS (no threshold pair missed), the strong
+    claim of Bayardo et al.  Reference analogue: candidate-set
+    reduction before exact scoring (fuzz/inexus_parser.py:886-905).
+    Tokenizes with ASCII ``\\s+`` to pin oracle parity (see
+    doc_chunks)."""
     import math
     import re as _re
 
     from address_parser_ray.functions.hashing import splitmix64
-    from address_parser_ray.rayutil import default_num_partitions
+    from address_parser_ray.rayutil import default_num_partitions, pinned_join
 
     nparts = default_num_partitions()
     T_NUM, T_DEN = 1, 2  # Jaccard threshold 1/2
+    W = 4  # word-shingle width
     ws_re = _re.compile(r"\s+", _re.ASCII)
 
     def _shingles(text: str) -> list:
         ws = [w for w in ws_re.split(text or "") if w]
-        return sorted({f"{a} {b}" for a, b in zip(ws, ws[1:])})
+        return sorted({" ".join(ws[i : i + W]) for i in range(len(ws) - W + 1)})
 
-    def shingle_postings(t: pa.Table) -> pa.Table:
+    def shingle_sets(t: pa.Table) -> pa.Table:
         ids: list = []
-        toks: list = []
+        joined: list = []
+        ns: list = []
         for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            for s in _shingles(tx):
-                ids.append(did)
-                toks.append(s)
+            s = _shingles(tx)
+            if not s:
+                continue
+            ids.append(did)
+            joined.append("\x00".join(s))
+            ns.append(len(s))
         return pa.table(
             {
-                "tok": pa.array(toks, type=pa.string()),
                 "doc_id": pa.array(ids, type=pa.int64()),
+                "toks": pa.array(joined, type=pa.string()),
+                "ntok": pa.array(np.asarray(ns, dtype=np.int64)),
             }
         )
 
-    def df_partial(t: pa.Table) -> pa.Table:
-        # shingles are distinct within a doc already; df = postings count
-        import pyarrow.compute as pc
+    sets = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(shingle_sets, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()  # consumed 3× (df pass, postings, verify joins)
+    )
 
-        g = (
-            pa.table({"tok": t["tok"]})
-            .group_by("tok")
-            .aggregate([("tok", "count")])
+    def df_partial(t: pa.Table) -> pa.Table:
+        toks = np.concatenate(
+            [np.array(s.split("\x00"), dtype=object) for s in t["toks"].to_pylist()]
+        ) if len(t) else np.array([], dtype=object)
+        u, c = np.unique(toks, return_counts=True)
+        h = np.fromiter(
+            (_tok_h64(x) for x in u), dtype=np.uint64, count=len(u)
         )
         return pa.table(
-            {"tok": g["tok"], "df": pc.cast(g["tok_count"], pa.int64())}
-        )
-
-    def add_tb(t: pa.Table) -> pa.Table:
-        import hashlib
-
-        h = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(
-                        x.encode("utf-8"), digest_size=8
-                    ).digest(),
-                    "little",
-                )
-                for x in t["tok"].to_pylist()
-            ),
-            dtype=np.uint64,
-            count=len(t),
-        )
-        return t.append_column(
-            "tb",
-            pa.array((splitmix64(h) % np.uint64(nparts)).astype(np.int64)),
+            {
+                "tok": pa.array(u, type=pa.string()),
+                "df": pa.array(c.astype(np.int64)),
+                "tb": pa.array(
+                    (splitmix64(h) % np.uint64(nparts)).astype(np.int64)
+                ),
+            }
         )
 
     def df_combine(g: pd.DataFrame) -> pd.DataFrame:
@@ -9289,68 +9300,71 @@ def q_prefix_filter_pairs(sf_dir: str):
             {"tok": c.index.to_numpy(object), "df": c.to_numpy(np.int64)}
         )
 
-    # global rare-first shingle order: per-batch partial df counts,
-    # bucketed combine; the result panel is vocabulary-sized
+    # global rare-first shingle order as broadcast SORTED arrays: per-batch
+    # partial df counts, bucketed combine; probed via searchsorted below
     df_tbl = (
-        ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
-        .map_batches(
-            shingle_postings, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(add_tb, batch_format="pyarrow", zero_copy_batch=True)
+        sets.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("tb")
         .map_groups(df_combine, batch_format="pandas")
         .to_pandas()
     )
-    order = {
-        t: r
-        for r, t in enumerate(
-            df_tbl.sort_values(["df", "tok"], kind="stable")["tok"]
-        )
-    }
-    order_ref = ray.put(order)
+    df_tbl = df_tbl.sort_values("tok", kind="stable")
+    tok_sorted = df_tbl["tok"].to_numpy(object)
+    rank_of = (
+        df_tbl.reset_index(drop=True)
+        .sort_values(["df", "tok"], kind="stable")
+        .index.to_numpy(np.int64)
+    )
+    rank_arr = np.empty(len(rank_of), dtype=np.int64)
+    rank_arr[rank_of] = np.arange(len(rank_of), dtype=np.int64)
+    toks_ref = ray.put(tok_sorted)
+    rank_ref = ray.put(rank_arr)
 
     def prefix_postings(t: pa.Table) -> pa.Table:
-        rank = ray.get(order_ref)
+        tok_s = ray.get(toks_ref)
+        rk = ray.get(rank_ref)
         out_tok: list = []
         out_id: list = []
-        out_toks: list = []
         out_n: list = []
-        for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            ts = sorted(_shingles(tx), key=lambda w: rank[w])
-            n = len(ts)
-            if n == 0:
-                continue
+        for did, joined, n in zip(
+            t["doc_id"].to_pylist(), t["toks"].to_pylist(), t["ntok"].to_pylist()
+        ):
+            ts = np.array(joined.split("\x00"), dtype=object)
+            r = rk[np.searchsorted(tok_s, ts)]
             plen = n - math.ceil(T_NUM * n / T_DEN) + 1
-            joined = "\x00".join(sorted(ts))
-            for w in ts[:plen]:
-                out_tok.append(w)
-                out_id.append(did)
-                out_toks.append(joined)
-                out_n.append(n)
+            pref = ts[np.argsort(r, kind="stable")[:plen]]
+            out_tok.extend(pref.tolist())
+            out_id.extend([did] * len(pref))
+            out_n.extend([n] * len(pref))
         return pa.table(
             {
                 "tok": pa.array(out_tok, type=pa.string()),
                 "doc_id": pa.array(out_id, type=pa.int64()),
-                "toks": pa.array(out_toks, type=pa.string()),
                 "ntok": pa.array(np.asarray(out_n, dtype=np.int64)),
             }
         )
 
-    def cand_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
+    def add_tb(t: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (_tok_h64(x) for x in t["tok"].to_pylist()),
+            dtype=np.uint64,
+            count=len(t),
+        )
+        return t.append_column(
+            "tb",
+            pa.array((splitmix64(h) % np.uint64(nparts)).astype(np.int64)),
+        )
 
+    def cand_pairs(g: pd.DataFrame) -> pd.DataFrame:
         d = g.sort_values(["tok", "doc_id"], kind="stable")
         toks = d["tok"].to_numpy(object)
         ids = d["doc_id"].to_numpy(np.int64)
-        tl = d["toks"].to_numpy(object)
         nt = d["ntok"].to_numpy(np.int64)
         new = np.concatenate([[True], toks[1:] != toks[:-1]])
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, len(toks)))
-        rows: list = []
+        a_l: list = []
+        b_l: list = []
         for st, ln in zip(starts, lens):
             if ln < 2:
                 continue
@@ -9360,42 +9374,59 @@ def q_prefix_filter_pairs(sf_dir: str):
                     # length filter: J>=t requires min >= t*max
                     if T_NUM * max(na, nb) > T_DEN * min(na, nb):
                         continue
-                    rows.append((int(ids[i]), int(ids[j]), tl[i], tl[j]))
-        if not rows:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype=np.int64),
-                    "doc_b": pd.Series([], dtype=np.int64),
-                    "toks_a": pd.Series([], dtype=object),
-                    "toks_b": pd.Series([], dtype=object),
-                    "pb": pd.Series([], dtype=np.int64),
-                }
-            )
+                    a_l.append(int(ids[i]))
+                    b_l.append(int(ids[j]))
         out = pd.DataFrame(
-            rows, columns=["doc_a", "doc_b", "toks_a", "toks_b"]
+            {
+                "doc_a": pd.Series(a_l, dtype=np.int64),
+                "doc_b": pd.Series(b_l, dtype=np.int64),
+            }
         )
-        pb = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(
-                        f"{a}\x00{b}".encode("utf-8"), digest_size=8
-                    ).digest(),
-                    "little",
-                )
-                for a, b in zip(out["doc_a"], out["doc_b"])
-            ),
+        ph = np.fromiter(
+            (_tok_h64(f"{a}\x00{b}") for a, b in zip(a_l, b_l)),
             dtype=np.uint64,
-            count=len(out),
+            count=len(a_l),
         )
-        out["pb"] = (splitmix64(pb) % np.uint64(nparts)).astype(np.int64)
+        out["pb"] = (splitmix64(ph) % np.uint64(nparts)).astype(np.int64)
         return out
 
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+
+    pairs = (
+        sets.map_batches(
+            prefix_postings, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .map_batches(add_tb, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tb")
+        .map_groups(cand_pairs, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(dedup_pairs, batch_format="pandas")
+        .materialize()
+    )
+    empty = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("ni", pa.int64()),
+            ("na", pa.int64()),
+            ("nb", pa.int64()),
+            ("jacc_micro", pa.int64()),
+        ]
+    ).empty_table()
+    if pairs.count() == 0:
+        return empty
+
+    # verify: re-join each side's shingle set by id (only surviving docs
+    # travel), then one vectorized-set pass per pair
+    wa = pinned_join(pairs, sets, on="doc_a", right_on="doc_id")
+    wb = pinned_join(wa, sets, on="doc_b", right_on="doc_id")
+
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(["doc_a", "doc_b"])
         na_l: list = []
         nb_l: list = []
         ni_l: list = []
-        for ta, tb_ in zip(d["toks_a"], d["toks_b"]):
+        for ta, tb_ in zip(g["toks"], g["toks_r"]):
             sa = ta.split("\x00")
             sb = set(tb_.split("\x00"))
             na_l.append(len(sa))
@@ -9408,8 +9439,8 @@ def q_prefix_filter_pairs(sf_dir: str):
         keep = T_DEN * ni >= T_NUM * un
         return pd.DataFrame(
             {
-                "doc_a": d["doc_a"].to_numpy(np.int64)[keep],
-                "doc_b": d["doc_b"].to_numpy(np.int64)[keep],
+                "doc_a": g["doc_a"].to_numpy(np.int64)[keep],
+                "doc_b": g["doc_b"].to_numpy(np.int64)[keep],
                 "ni": ni[keep],
                 "na": na[keep],
                 "nb": nb[keep],
@@ -9417,31 +9448,9 @@ def q_prefix_filter_pairs(sf_dir: str):
             }
         )
 
-    out = (
-        ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
-        .map_batches(
-            prefix_postings, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .map_batches(add_tb, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("tb")
-        .map_groups(cand_pairs, batch_format="pandas")
-        .groupby("pb")
-        .map_groups(verify, batch_format="pandas")
-        .materialize()
-    )
+    out = wb.map_batches(verify, batch_format="pandas").materialize()
     if out.count() == 0:
-        return pa.schema(
-            [
-                ("doc_a", pa.int64()),
-                ("doc_b", pa.int64()),
-                ("ni", pa.int64()),
-                ("na", pa.int64()),
-                ("nb", pa.int64()),
-                ("jacc_micro", pa.int64()),
-            ]
-        ).empty_table()
+        return empty
     return out.select_columns(
         ["doc_a", "doc_b", "ni", "na", "nb", "jacc_micro"]
     ).sort(["doc_a", "doc_b"])
