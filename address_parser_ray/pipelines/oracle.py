@@ -3050,3 +3050,38 @@ SELECT CAST(256 AS BIGINT) AS k,
             JOIN (SELECT DISTINCT c_custkey AS key FROM customer) cb
             USING (key)) AS exact_inter
 """
+
+# Watermark late-data audit: arrival = event time + sm64(event_id) % 2h
+# (deterministic simulated network delay); watermark = running max
+# event-time of PRIOR arrivals per user, minus 15 min.
+ORACLE_SQL["late_event_stats"] = """
+CREATE OR REPLACE MACRO xr(a, b) AS CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT);
+CREATE OR REPLACE MACRO shr(a, n) AS CAST(a AS HUGEINT) // (CAST(1 AS HUGEINT) << n);
+CREATE OR REPLACE MACRO mulmod64(a, b) AS (
+  ((a % 4294967296) * (b % 4294967296)
+   + (((a % 4294967296) * (b // 4294967296) + (a // 4294967296) * (b % 4294967296)) % 4294967296) * 4294967296
+  ) % 18446744073709551616);
+CREATE OR REPLACE MACRO smz1(x) AS mulmod64(xr(x, shr(x, 30)), CAST(13787848793156543929 AS HUGEINT));
+CREATE OR REPLACE MACRO smz2(x) AS mulmod64(xr(x, shr(x, 27)), CAST(10723151780598845931 AS HUGEINT));
+CREATE OR REPLACE MACRO smz3(x) AS xr(x, shr(x, 31));
+CREATE OR REPLACE MACRO sm64(x) AS smz3(smz2(smz1((CAST(x AS HUGEINT) + 11400714819323198485) % 18446744073709551616)));
+WITH e AS (
+    SELECT event_type, user_id, event_id, epoch_us(ts) AS t,
+           epoch_us(ts) + CAST(sm64(event_id) % 7200000000 AS BIGINT) AS arr
+    FROM events
+), w AS (
+    SELECT event_type, t,
+           max(t) OVER (
+               PARTITION BY user_id ORDER BY arr, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS wm
+    FROM e
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN wm - 900000000 > t THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late,
+       CAST(max(CASE WHEN wm - 900000000 > t THEN wm - 900000000 - t
+                     ELSE 0 END) AS BIGINT) AS max_lateness_us
+FROM w GROUP BY event_type ORDER BY event_type
+"""

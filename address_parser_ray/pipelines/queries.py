@@ -9456,6 +9456,83 @@ def q_prefix_filter_pairs(sf_dir: str):
     ).sort(["doc_a", "doc_b"])
 
 
+_LATE_DELAY_US = 900_000_000  # watermark delay: 15 min
+_LATE_JITTER_US = 7_200_000_000  # simulated network delay: up to 2 h
+
+
+def q_late_event_stats(sf_dir: str):
+    """Event-time watermark audit — the late-data accounting every
+    streaming pipeline needs before choosing a watermark delay (Dataflow
+    model, Akidau et al. VLDB'15).  The source table is perfectly
+    time-ordered, so arrival disorder is SIMULATED deterministically:
+    arrival time = event time + splitmix64(event_id) % 2 h (a bounded
+    per-event network delay; ties broken by event_id).  The watermark
+    seen by an event is the running max event-time of all PRIOR
+    arrivals for that user minus a 15-minute allowed delay; an event is
+    LATE iff its event-time falls below that watermark (it would have
+    been dropped / sent to a side output).  Users are hash-bucketed
+    (the ``user_sessions`` partitioning assumption: one bucket holds a
+    user), per-bucket running max + shift are cythonized pandas
+    kernels, and only a (event_type × buckets) partial panel shuffles
+    to the final combine.  Output per event_type: event count, late
+    count, and the worst lateness in µs — the exact curve you read to
+    size the delay.  Reference analogue: the per-record time budget
+    that decides when a slow parse is abandoned
+    (hcmut_assigment/main.py:620-621)."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    ).map_batches(_add_user_bucket(nparts), batch_format="pyarrow")
+
+    def bucket_partial(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy(np.int64)
+        jit = (
+            splitmix64(eid.view(np.uint64)) % np.uint64(_LATE_JITTER_US)
+        ).astype(np.int64)
+        g = g.assign(arr=g["ts"].to_numpy().view("i8") + jit)
+        d = g.sort_values(["user_id", "arr", "event_id"], kind="stable").reset_index(
+            drop=True
+        )
+        t = pd.Series(d["ts"].to_numpy().view("i8"))
+        cm = t.groupby(d["user_id"], sort=False).cummax()
+        wm = cm.groupby(d["user_id"], sort=False).shift(1)
+        lateness = (wm - _LATE_DELAY_US - t).clip(lower=0).fillna(0)
+        out = pd.DataFrame(
+            {
+                "event_type": d["event_type"],
+                "one": np.ones(len(d), dtype=np.int64),
+                "late": (lateness > 0).to_numpy(dtype=np.int64),
+                "lat": lateness.to_numpy(dtype=np.int64),
+            }
+        )
+        p = out.groupby("event_type", sort=False).agg(
+            n_events=("one", "sum"), n_late=("late", "sum"), mx=("lat", "max")
+        )
+        return p.reset_index()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_events": np.array([g["n_events"].sum()], dtype=np.int64),
+                "n_late": np.array([g["n_late"].sum()], dtype=np.int64),
+                "max_lateness_us": np.array([g["mx"].max()], dtype=np.int64),
+            }
+        )
+
+    return (
+        ev.groupby("bucket")
+        .map_groups(bucket_partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(combine, batch_format="pandas")
+        .sort("event_type")
+    )
+
+
 _RPB_PARTS = 16  # target range partitions
 
 
@@ -9929,4 +10006,5 @@ QUERIES = {
     "range_partition_balance": q_range_partition_balance,
     "zonemap_pruning": q_zonemap_pruning,
     "kmv_join_estimate": q_kmv_join_estimate,
+    "late_event_stats": q_late_event_stats,
 }

@@ -156,6 +156,7 @@ SQL_CHECKED = [
     "range_partition_balance",
     "zonemap_pruning",
     "kmv_join_estimate",
+    "late_event_stats",
 ]
 
 
