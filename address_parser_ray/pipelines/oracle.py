@@ -3085,3 +3085,45 @@ SELECT event_type,
                      ELSE 0 END) AS BIGINT) AS max_lateness_us
 FROM w GROUP BY event_type ORDER BY event_type
 """
+
+# Rendezvous-hashing rebalance audit: shard = argmax over nodes of
+# sm64(sm64(key) XOR sm64(node)); moved-in mass lands only on new nodes.
+ORACLE_SQL["rendezvous_rebalance"] = """
+CREATE OR REPLACE MACRO xr(a, b) AS CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT);
+CREATE OR REPLACE MACRO shr(a, n) AS CAST(a AS HUGEINT) // (CAST(1 AS HUGEINT) << n);
+CREATE OR REPLACE MACRO mulmod64(a, b) AS (
+  ((a % 4294967296) * (b % 4294967296)
+   + (((a % 4294967296) * (b // 4294967296) + (a // 4294967296) * (b % 4294967296)) % 4294967296) * 4294967296
+  ) % 18446744073709551616);
+CREATE OR REPLACE MACRO smz1(x) AS mulmod64(xr(x, shr(x, 30)), CAST(13787848793156543929 AS HUGEINT));
+CREATE OR REPLACE MACRO smz2(x) AS mulmod64(xr(x, shr(x, 27)), CAST(10723151780598845931 AS HUGEINT));
+CREATE OR REPLACE MACRO smz3(x) AS xr(x, shr(x, 31));
+CREATE OR REPLACE MACRO sm64(x) AS smz3(smz2(smz1((CAST(x AS HUGEINT) + 11400714819323198485) % 18446744073709551616)));
+WITH k AS (SELECT o_orderkey AS key FROM orders),
+n AS (SELECT i AS node FROM range(0, 20) t(i)),
+w AS (SELECT key, node, sm64(xr(sm64(key), sm64(node))) AS wt FROM k, n),
+a20 AS (
+    SELECT key, node AS n20 FROM (
+        SELECT key, node,
+               row_number() OVER (PARTITION BY key ORDER BY wt DESC, node) AS rn
+        FROM w
+    ) WHERE rn = 1
+),
+a16 AS (
+    SELECT key, node AS n16 FROM (
+        SELECT key, node,
+               row_number() OVER (PARTITION BY key ORDER BY wt DESC, node) AS rn
+        FROM w WHERE node < 16
+    ) WHERE rn = 1
+),
+j AS (SELECT n16, n20 FROM a20 JOIN a16 USING (key))
+SELECT n.node,
+       CAST(COALESCE(sum(CASE WHEN j.n16 = n.node THEN 1 END), 0) AS BIGINT)
+           AS n_under_16,
+       CAST(COALESCE(sum(CASE WHEN j.n20 = n.node THEN 1 END), 0) AS BIGINT)
+           AS n_under_20,
+       CAST(COALESCE(sum(CASE WHEN j.n20 = n.node AND j.n16 <> j.n20
+                               THEN 1 END), 0) AS BIGINT) AS n_moved_in
+FROM n LEFT JOIN j ON (j.n16 = n.node OR j.n20 = n.node)
+GROUP BY n.node ORDER BY n.node
+"""

@@ -9533,6 +9533,73 @@ def q_late_event_stats(sf_dir: str):
     )
 
 
+_RDV_N1, _RDV_N2 = 16, 20  # cluster sizes before/after scale-out
+
+
+def q_rendezvous_rebalance(sf_dir: str):
+    """Rendezvous (highest-random-weight) shard assignment + elastic
+    rebalance audit — how a fixed-size cluster grows without reshuffling
+    the world (Thaler & Ravishankar '96; the consistent-hashing family).
+    Every key's shard under N nodes is argmax over nodes of
+    splitmix64(splitmix64(key) XOR splitmix64(node)) (ties → lowest
+    node).  The audit assigns orders keys under 16 and under 20 nodes in
+    ONE vectorized pass (a (batch × 20) weight matrix per batch; the
+    first 16 columns ARE the 16-node weights, so both assignments share
+    one matrix) and emits per-(old, new) partial counts — a ≤16×20
+    panel per batch, folded on the driver.  Output per node: key count
+    under 16, under 20, and keys that MOVED IN — nonzero only for nodes
+    16-19 (the HRW minimal-disruption property, visible in the data:
+    exactly the ~4/20 expected mass moves, none between old nodes).
+    Reference analogue: stable cluster-id remapping across gazetteer
+    rebuilds (fuzz/inexus_parser.py:1121-1190)."""
+    from address_parser_ray.functions.hashing import splitmix64
+
+    node_h = splitmix64(np.arange(_RDV_N2, dtype=np.uint64))  # (20,)
+
+    def partials(t: pa.Table) -> pa.Table:
+        k = splitmix64(
+            np.asarray(t["o_orderkey"], dtype=np.int64).view(np.uint64)
+        )
+        w = splitmix64(k[:, None] ^ node_h[None, :])  # (rows, 20)
+        a20 = np.argmax(w, axis=1).astype(np.int64)
+        a16 = np.argmax(w[:, :_RDV_N1], axis=1).astype(np.int64)
+        pair = a16 * _RDV_N2 + a20
+        u, c = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "n16": pa.array(u // _RDV_N2),
+                "n20": pa.array(u % _RDV_N2),
+                "cnt": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    panel = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+        )
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # ≤ blocks × 320 rows
+    )
+    g = panel.groupby(["n16", "n20"], sort=False)["cnt"].sum().reset_index()
+    nodes = np.arange(_RDV_N2, dtype=np.int64)
+    under16 = np.zeros(_RDV_N2, dtype=np.int64)
+    under20 = np.zeros(_RDV_N2, dtype=np.int64)
+    moved_in = np.zeros(_RDV_N2, dtype=np.int64)
+    for n16, n20, cnt in zip(g["n16"], g["n20"], g["cnt"]):
+        under16[n16] += cnt
+        under20[n20] += cnt
+        if n16 != n20:
+            moved_in[n20] += cnt
+    return pd.DataFrame(
+        {
+            "node": nodes,
+            "n_under_16": under16,
+            "n_under_20": under20,
+            "n_moved_in": moved_in,
+        }
+    )
+
+
 _RPB_PARTS = 16  # target range partitions
 
 
@@ -10007,4 +10074,5 @@ QUERIES = {
     "zonemap_pruning": q_zonemap_pruning,
     "kmv_join_estimate": q_kmv_join_estimate,
     "late_event_stats": q_late_event_stats,
+    "rendezvous_rebalance": q_rendezvous_rebalance,
 }

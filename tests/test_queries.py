@@ -157,6 +157,7 @@ SQL_CHECKED = [
     "zonemap_pruning",
     "kmv_join_estimate",
     "late_event_stats",
+    "rendezvous_rebalance",
 ]
 
 
