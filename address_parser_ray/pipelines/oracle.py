@@ -3127,3 +3127,14 @@ SELECT n.node,
 FROM n LEFT JOIN j ON (j.n16 = n.node OR j.n20 = n.node)
 GROUP BY n.node ORDER BY n.node
 """
+
+# Trigram-filtered substring search: oracle is the direct scan; parity
+# proves the trigram conjunction misses no true match.
+ORACLE_SQL["trigram_search"] = """
+    SELECT doc_id,
+           CAST((length(text) - length(replace(text, 'merge part', '')))
+                // length('merge part') AS BIGINT) AS n_occurrences
+    FROM documents
+    WHERE position('merge part' IN text) > 0
+    ORDER BY doc_id
+"""

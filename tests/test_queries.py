@@ -158,6 +158,7 @@ SQL_CHECKED = [
     "kmv_join_estimate",
     "late_event_stats",
     "rendezvous_rebalance",
+    "trigram_search",
 ]
 
 
