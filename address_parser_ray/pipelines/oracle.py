@@ -156,6 +156,43 @@ ORACLE_SQL = {
                     ELSE max(nd) END AS BIGINT) AS est_distinct
         FROM r GROUP BY 1
     """,
+    # HyperLogLog registers: same md5-fold hash as distinct_kmv; rank =
+    # 55 - bit_length(h >> 6) via length(bin(w)) (w > 0); missing
+    # registers contribute rank 0. All-integer estimator — HUGEINT twin
+    # of the engine's Python-int arithmetic.
+    "hll_distinct": """
+        WITH h AS (
+            SELECT lang,
+                   CAST(list_reduce(
+                       list_transform(
+                           split(substr(md5(COALESCE(text, '')), 1, 15), ''),
+                           c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
+                       (a, b) -> a * 16 + b) AS BIGINT) AS hv
+            FROM documents
+        ), r AS (
+            SELECT lang, hv % 64 AS reg,
+                   CASE WHEN hv // 64 = 0 THEN 55
+                        ELSE 55 - length(bin(hv // 64)) END AS rnk
+            FROM h
+        ), m AS (
+            SELECT lang, reg, max(rnk) AS mj FROM r GROUP BY 1, 2
+        ), regs AS (
+            SELECT l.lang, g.reg, COALESCE(m.mj, 0) AS mj
+            FROM (SELECT DISTINCT lang FROM documents) l
+            CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS reg) g
+            LEFT JOIN m ON m.lang = l.lang AND m.reg = g.reg
+        ), s AS (
+            SELECT lang,
+                   CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_regs,
+                   sum(CAST(power(2, 55 - mj) AS HUGEINT)) AS denom
+            FROM regs GROUP BY 1
+        )
+        SELECT lang, n_zero_regs,
+               CAST(denom AS BIGINT) AS harmonic_denom,
+               CAST((CAST(70937 AS HUGEINT) * 64 * 64 * CAST(power(2, 55) AS HUGEINT))
+                    // (100000 * denom) AS BIGINT) AS est_raw
+        FROM s
+    """,
     "revenue_rollup": """
         WITH f AS (
             SELECT r.r_name, n.n_name,

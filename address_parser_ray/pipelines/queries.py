@@ -9981,6 +9981,74 @@ def q_kmv_join_estimate(sf_dir: str):
     ).astype("int64")
 
 
+_HLL_M = 64  # registers (p = 6)
+_HLL_POW2 = None  # lazy powers-of-two table for exact vectorized bit_length
+
+
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-count registers per lang (Flajolet et al.
+    2007, public) — the fixed-size cousin of ``distinct_kmv``: m = 64
+    registers, each holding the max leading-zero rank seen for the
+    hashes routed to it.  Hash = the same 60-bit md5 fold as the KMV
+    sketch (so the oracle reuses the proven list_reduce twin); register
+    = ``h % 64``; rank of the remaining 54-bit word w = ``55 -
+    bit_length(w)`` (w = 0 ⇒ 55).  bit_length is computed by
+    searchsorted against an exact powers-of-two table — NOT float
+    frexp, which mis-rounds near 2^53.
+
+    Registers are MERGEABLE maxima: each batch emits ≤ m rows per lang
+    ((lang, reg, rank) partial-max panel), one single-key combine per
+    lang computes the harmonic denominator S = Σ_j 2^(55-M_j) and the
+    raw HLL estimate ``(70937 · m² · 2^55) // (100000 · S)`` (α₆₄ ≈
+    0.70937 as an exact rational) in pure integer arithmetic — HUGEINT
+    on the SQL side, Python int here, so an *approximate* sketch is
+    bit-exactly oracle-checkable.  The small-range linear-counting
+    branch needs ln() so instead the row carries ``n_zero_regs`` and S
+    verbatim — the caller applies the correction; the stored state is
+    exact.  At 10^12 rows the shuffle carries O(m × langs × blocks)
+    tiny rows; sketch state is 64 ints per group forever.  Reference
+    analogue: candidate-set cardinality gates
+    (fuzz/inexus_parser.py:2829-2878)."""
+    global _HLL_POW2
+    if _HLL_POW2 is None:
+        _HLL_POW2 = (np.int64(1) << np.arange(55, dtype=np.int64)).astype(np.int64)
+    pow2 = _HLL_POW2
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_60bit(df["text"].tolist())
+        reg = h % _HLL_M
+        w = h >> 6
+        rank = np.int64(55) - np.searchsorted(pow2, w, side="right").astype(np.int64)
+        g = (
+            pd.DataFrame({"lang": df["lang"], "reg": reg, "rank": rank})
+            .groupby(["lang", "reg"], sort=False, as_index=False)["rank"]
+            .max()
+        )
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        mj = np.zeros(_HLL_M, dtype=np.int64)
+        h = g.groupby("reg", as_index=False)["rank"].max()
+        mj[h["reg"].to_numpy(np.int64)] = h["rank"].to_numpy(np.int64)
+        s = sum(1 << int(55 - m) for m in mj)  # ≤ 64·2^55 but kept Python int
+        est = (70937 * _HLL_M * _HLL_M * (1 << 55)) // (100000 * s)
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n_zero_regs": np.array([int((mj == 0).sum())], dtype=np.int64),
+                "harmonic_denom": np.array([s], dtype=np.int64),
+                "est_raw": np.array([est], dtype=np.int64),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -10009,6 +10077,7 @@ QUERIES = {
     "events_sliding_3h": q_events_sliding_3h,
     "event_value_percentiles": q_event_value_percentiles,
     "distinct_kmv": q_distinct_kmv,
+    "hll_distinct": q_hll_distinct,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

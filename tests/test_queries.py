@@ -159,7 +159,35 @@ SQL_CHECKED = [
     "late_event_stats",
     "rendezvous_rebalance",
     "trigram_search",
+    "hll_distinct",
 ]
+
+
+def test_hll_distinct_accuracy(ray_session, con):
+    """The stored register state must support both estimator branches:
+    the raw integer estimate rides in the row; the small-range
+    linear-counting correction m·ln(m/V) is recomputable from
+    n_zero_regs. Both must land near the exact distinct count."""
+    import math
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["hll_distinct"](SF).to_pandas().set_index("lang")
+    exact = (
+        con.sql(
+            "SELECT lang, count(DISTINCT md5(COALESCE(text,''))) AS d "
+            "FROM documents GROUP BY 1"
+        )
+        .df()
+        .set_index("lang")["d"]
+    )
+    for lang, row in df.iterrows():
+        ex = int(exact[lang])
+        assert abs(int(row["est_raw"]) - ex) <= 0.4 * ex
+        v = int(row["n_zero_regs"])
+        assert v > 0  # small-range regime at fixture scale
+        lin = 64 * math.log(64 / v)
+        assert abs(lin - ex) <= 0.25 * ex
 
 
 def test_bio_phrases_chain_free():
