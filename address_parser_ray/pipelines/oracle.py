@@ -156,6 +156,69 @@ ORACLE_SQL = {
                     ELSE max(nd) END AS BIGINT) AS est_distinct
         FROM r GROUP BY 1
     """,
+    # data-quality expectation suite: one row per constraint
+    "dq_expectations": """
+        SELECT 'doc_id_not_null' AS expectation, count(*) AS n_checked,
+               CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM documents
+        UNION ALL
+        SELECT 'text_not_empty', count(*),
+               CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars_in_range', count(*),
+               CAST(sum(CASE WHEN n_chars < 1 OR n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'lang_in_set', count(*),
+               CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars_eq_len', count(*),
+               CAST(sum(CASE WHEN length(COALESCE(text, '')) <> n_chars THEN 1 ELSE 0 END) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'doc_id_unique', count(*),
+               CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+        FROM documents
+    """,
+    # snapshot diff: version B derived from base (11th deleted, 6th of
+    # the survivors changed, 9th re-added under a new key); FULL OUTER
+    # JOIN classification
+    "snapshot_diff": """
+        WITH a AS (
+            SELECT doc_id, lang, n_chars AS fp FROM documents
+        ), b AS (
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 6 = 0 THEN n_chars + 50 ELSE n_chars END AS fp
+            FROM documents WHERE doc_id % 11 <> 0
+            UNION ALL
+            SELECT doc_id + 10000000, lang, n_chars
+            FROM documents WHERE doc_id % 9 = 0
+        ), j AS (
+            SELECT COALESCE(a.lang, b.lang) AS lang,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'deleted'
+                        WHEN a.fp = b.fp THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b USING (doc_id)
+        )
+        SELECT lang, status, count(*) AS n FROM j GROUP BY 1, 2
+    """,
+    # temporal dimension join: version valid at event time; signup =
+    # per-user min ts; integer epoch-µs threshold (30 d = 2 592 000 000 000 µs)
+    "scd2_temporal_join": """
+        WITH su AS (
+            SELECT user_id, min(ts) AS signup FROM events GROUP BY 1
+        )
+        SELECT CASE WHEN epoch_us(e.ts) >= epoch_us(su.signup) + 2592000000000
+                    THEN 'tenured' ELSE 'new' END AS tier,
+               e.event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events e JOIN su USING (user_id)
+        GROUP BY 1, 2
+    """,
     # HyperLogLog registers: same md5-fold hash as distinct_kmv; rank =
     # 55 - bit_length(h >> 6) via length(bin(w)) (w > 0); missing
     # registers contribute rank 0. All-integer estimator — HUGEINT twin

@@ -9981,6 +9981,309 @@ def q_kmv_join_estimate(sf_dir: str):
     ).astype("int64")
 
 
+def q_scd2_temporal_join(sf_dir: str):
+    """Temporal dimension join — attach to every fact event the
+    dimension VERSION valid at event time (the consumption side of
+    ``scd2_history``, which only builds intervals). The user dimension
+    is derived from the stream itself: version 'new' from the user's
+    first event (signup), version 'tenured' from signup + 30 days —
+    a 2-row SCD2 history per user. Revenue rolls up per (tier,
+    event_type).
+
+    Shape: dimension history and facts co-partition on the SAME key
+    (splitmix64(user_id) buckets), so the validity lookup runs entirely
+    inside the bucket — the standard warehouse distribution for
+    BETWEEN-style temporal joins (never a broadcast of a full dimension
+    history, never an all-pairs range join). Here the history is
+    derived in-bucket from the co-located facts (per-user min ts), so
+    the whole op costs ONE single-key shuffle; with an external SCD2
+    table the identical bucket layout applies with the history unioned
+    into the same shuffle. Combine panel ≤ 2 × event_types rows.
+    Integer epoch-µs arithmetic both sides (no interval/date functions
+    with boundary-counting ambiguity). Full SQL oracle."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    _30D_US = np.int64(30 * 86_400_000_000)
+    SEP = "\x1f"
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "bucket": (
+                    splitmix64(uid.view(np.uint64)) % np.uint64(nparts)
+                ).astype(np.int64),
+                "user_id": uid,
+                "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+                "event_type": df["event_type"],
+                "cents": _cents(df["value"].to_numpy(np.float64)),
+            }
+        )
+
+    def temporal_join(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts_us"].to_numpy(np.int64)
+        signup = g.groupby("user_id")["ts_us"].transform("min").to_numpy(np.int64)
+        tier = np.where(ts >= signup + _30D_US, "tenured", "new")
+        out = (
+            pd.DataFrame(
+                {
+                    "k": np.char.add(
+                        np.char.add(tier.astype(str), SEP),
+                        g["event_type"].to_numpy(str),
+                    ),
+                    "n_events": np.ones(len(g), dtype=np.int64),
+                    "sum_cents": g["cents"].to_numpy(np.int64),
+                }
+            )
+            .groupby("k", as_index=False)
+            .sum()
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["sum_cents"] = out["sum_cents"].astype(np.int64)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        tier, etype = g["k"].iloc[0].split(SEP)
+        return pd.DataFrame(
+            {
+                "tier": [tier],
+                "event_type": [etype],
+                "n_events": np.array([g["n_events"].sum()], dtype=np.int64),
+                "sum_cents": np.array([g["sum_cents"].sum()], dtype=np.int64),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_type", "value"],
+        )
+        .map_batches(emit, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(temporal_join, batch_format="pandas")
+        .groupby("k")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Snapshot diff — classify every key of two table VERSIONS as
+    added / deleted / changed / unchanged and roll counts up per lang
+    (the table-format time-travel diff: Iceberg/Delta snapshot compare,
+    and the validation step after any backfill). Version B is derived
+    deterministically from the documents base: every 11th doc deleted,
+    every 6th surviving doc changed (n_chars + 50), every 9th doc
+    re-added as a NEW key (doc_id + 10^7).
+
+    Shape: both sides emit (key-hash bucket, doc_id, side, fingerprint)
+    rows in one pass each; the single-key bucket shuffle co-locates the
+    two versions of a key and each bucket classifies via one sorted
+    merge (searchsorted, no per-row Python), emitting a ≤ 4 × langs
+    partial panel. At 10^12 rows: shuffle carries two id+fingerprint
+    streams (16 B/row), never content — diffing by stored column stats
+    or content hashes is the same mechanism with a different
+    fingerprint column. Full SQL oracle (FULL OUTER JOIN + CASE)."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    SEP = "\x1f"
+
+    def emit_sides(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        lang = df["lang"].to_numpy(str)
+        nc = df["n_chars"].to_numpy(np.int64)
+        # side A: the base snapshot, verbatim
+        a = pd.DataFrame({"doc_id": ids, "lang": lang, "fp": nc, "side": np.int64(0)})
+        # side B: deterministic evolution of the same rows
+        keep = ids % 11 != 0
+        b_ids, b_lang, b_nc = ids[keep], lang[keep], nc[keep].copy()
+        chg = b_ids % 6 == 0
+        b_nc[chg] += 50
+        new_mask = ids % 9 == 0
+        b = pd.DataFrame(
+            {
+                "doc_id": np.concatenate([b_ids, ids[new_mask] + 10_000_000]),
+                "lang": np.concatenate([b_lang, lang[new_mask]]),
+                "fp": np.concatenate([b_nc, nc[new_mask]]),
+                "side": np.int64(1),
+            }
+        )
+        out = pd.concat([a, b], ignore_index=True)
+        out["bucket"] = (
+            splitmix64(out["doc_id"].to_numpy(np.int64).view(np.uint64))
+            % np.uint64(nparts)
+        ).astype(np.int64)
+        return out
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy(np.int64)
+        a, b = g[side == 0], g[side == 1]
+        a_ids = a["doc_id"].to_numpy(np.int64)
+        b_ids = b["doc_id"].to_numpy(np.int64)
+        ao, bo = np.argsort(a_ids), np.argsort(b_ids)
+        a_ids, b_ids = a_ids[ao], b_ids[bo]
+        a_fp = a["fp"].to_numpy(np.int64)[ao]
+        b_fp = b["fp"].to_numpy(np.int64)[bo]
+        a_lang = a["lang"].to_numpy(str)[ao]
+        b_lang = b["lang"].to_numpy(str)[bo]
+        # A-side status via searchsorted into B
+        pos = np.searchsorted(b_ids, a_ids)
+        pos_c = np.minimum(pos, max(len(b_ids) - 1, 0))
+        in_b = (len(b_ids) > 0) & (b_ids[pos_c] == a_ids)
+        same = np.zeros(len(a_ids), dtype=bool)
+        if len(b_ids):
+            same[in_b] = b_fp[pos_c[in_b]] == a_fp[in_b]
+        a_status = np.where(~in_b, "deleted", np.where(same, "unchanged", "changed"))
+        # B-only keys are additions
+        posa = np.searchsorted(a_ids, b_ids)
+        posa_c = np.minimum(posa, max(len(a_ids) - 1, 0))
+        in_a = (len(a_ids) > 0) & (a_ids[posa_c] == b_ids)
+        out = pd.DataFrame(
+            {
+                "k": np.concatenate(
+                    [
+                        np.char.add(np.char.add(a_lang, SEP), a_status.astype(str)),
+                        np.char.add(
+                            np.char.add(b_lang[~in_a], SEP),
+                            np.full(int((~in_a).sum()), "added"),
+                        ),
+                    ]
+                ),
+                "part_n": np.int64(1),
+            }
+        ).groupby("k", as_index=False)["part_n"].sum()
+        out["part_n"] = out["part_n"].astype(np.int64)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        lang, status = g["k"].iloc[0].split(SEP)
+        return pd.DataFrame(
+            {
+                "lang": [lang],
+                "status": [status],
+                "n": np.array([g["part_n"].sum()], dtype=np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(emit_sides, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(classify, batch_format="pandas")
+        .groupby("k")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_dq_expectations(sf_dir: str):
+    """Data-quality expectation suite — the declarative constraint
+    validation every production ingest runs before publishing a
+    partition (the Great-Expectations / dbt-test shape, public): each
+    expectation yields (n_checked, n_violations). Five row-local
+    expectations stream in ONE pass with per-batch partial counters
+    (panel = expectations × blocks); the uniqueness expectation needs a
+    key shuffle and rides a splitmix64-bucketed per-batch-distinct pass
+    (shuffle carries unique ids per batch, 8 B each, never rows) —
+    violations = total − Σ per-bucket distinct. At 10^12 rows the
+    row-local suite is free (piggybacks any existing scan) and
+    uniqueness costs one id-only shuffle, the minimum possible. Full
+    SQL oracle (UNION ALL of counting queries)."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    LANGS = {"en", "de", "fr", "es", "zh"}
+
+    def row_local(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        ids = df["doc_id"]
+        text = df["text"]
+        nc = df["n_chars"].to_numpy(np.int64)
+        viol = {
+            "doc_id_not_null": int(ids.isna().sum()),
+            "text_not_empty": int((text.isna() | (text.str.len() == 0)).sum()),
+            "n_chars_in_range": int(((nc < 1) | (nc > 100_000)).sum()),
+            "lang_in_set": int((~df["lang"].isin(LANGS)).sum()),
+            "n_chars_eq_len": int(
+                (text.fillna("").str.len().to_numpy(np.int64) != nc).sum()
+            ),
+        }
+        return pd.DataFrame(
+            {
+                "expectation": list(viol),
+                "part_checked": np.full(len(viol), n, dtype=np.int64),
+                "part_viol": np.array(list(viol.values()), dtype=np.int64),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "expectation": [g["expectation"].iloc[0]],
+                "n_checked": np.array([g["part_checked"].sum()], dtype=np.int64),
+                "n_violations": np.array([g["part_viol"].sum()], dtype=np.int64),
+            }
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+    local = (
+        docs.map_batches(row_local, batch_format="pandas")
+        .groupby("expectation")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+
+    # uniqueness: id-only bucketed distinct (ids unique per bucket by
+    # construction, so per-bucket distinct counts sum exactly)
+    def id_partial(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.asarray(t["doc_id"], dtype=np.int64))
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(ids.view(np.uint64)) % np.uint64(nparts)).astype(
+                        np.int64
+                    )
+                ),
+                "doc_id": pa.array(ids),
+            }
+        )
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_distinct": np.array(
+                    [len(np.unique(g["doc_id"].to_numpy(np.int64)))], dtype=np.int64
+                ),
+            }
+        )
+
+    dd = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(id_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_distinct, batch_format="pandas")
+        .to_pandas()
+    )
+    total = int(local.loc[local["expectation"] == "lang_in_set", "n_checked"].iloc[0])
+    uniq = pd.DataFrame(
+        {
+            "expectation": ["doc_id_unique"],
+            "n_checked": np.array([total], dtype=np.int64),
+            "n_violations": np.array(
+                [total - int(dd["n_distinct"].sum())], dtype=np.int64
+            ),
+        }
+    )
+    return (
+        pd.concat([local, uniq], ignore_index=True)
+        .sort_values("expectation")
+        .reset_index(drop=True)
+    )
+
+
 _HLL_M = 64  # registers (p = 6)
 _HLL_POW2 = None  # lazy powers-of-two table for exact vectorized bit_length
 
@@ -10078,6 +10381,9 @@ QUERIES = {
     "event_value_percentiles": q_event_value_percentiles,
     "distinct_kmv": q_distinct_kmv,
     "hll_distinct": q_hll_distinct,
+    "scd2_temporal_join": q_scd2_temporal_join,
+    "snapshot_diff": q_snapshot_diff,
+    "dq_expectations": q_dq_expectations,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

@@ -160,6 +160,9 @@ SQL_CHECKED = [
     "rendezvous_rebalance",
     "trigram_search",
     "hll_distinct",
+    "scd2_temporal_join",
+    "snapshot_diff",
+    "dq_expectations",
 ]
 
 
