@@ -156,6 +156,56 @@ ORACLE_SQL = {
                     ELSE max(nd) END AS BIGINT) AS est_distinct
         FROM r GROUP BY 1
     """,
+    # Z-order vs linear layout audit: Morton interleave in explicit
+    # integer arithmetic; scan cost = rows in partitions containing >=1 match
+    "zorder_vs_linear": """
+        WITH d AS (
+            SELECT user_id % 256 AS x,
+                   (epoch_us(ts) // 3600000000) % 256 AS y
+            FROM events
+        ), keyed AS (
+            SELECT x, y,
+                   ((x//1)%2)*1 + ((y//1)%2)*2 + ((x//2)%2)*4 + ((y//2)%2)*8
+                 + ((x//4)%2)*16 + ((y//4)%2)*32 + ((x//8)%2)*64 + ((y//8)%2)*128
+                 + ((x//16)%2)*256 + ((y//16)%2)*512 + ((x//32)%2)*1024
+                 + ((y//32)%2)*2048 + ((x//64)%2)*4096 + ((y//64)%2)*8192
+                 + ((x//128)%2)*16384 + ((y//128)%2)*32768 AS z,
+                   x * 256 + y AS lin,
+                   CASE WHEN x >= 64 AND x < 96 AND y >= 32 AND y < 64
+                        THEN 1 ELSE 0 END AS m
+            FROM d
+        ), parts AS (
+            SELECT 'zorder' AS layout, z // 1024 AS part,
+                   count(*) AS n, CAST(sum(m) AS BIGINT) AS mm
+            FROM keyed GROUP BY 1, 2
+            UNION ALL
+            SELECT 'linear', lin // 1024, count(*), CAST(sum(m) AS BIGINT)
+            FROM keyed GROUP BY 1, 2
+        )
+        SELECT layout,
+               CAST(sum(CASE WHEN mm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS partitions_touched,
+               CAST(sum(CASE WHEN mm > 0 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+               CAST(sum(mm) AS BIGINT) AS rows_matched
+        FROM parts GROUP BY 1
+    """,
+    # weighted sample: integer A-ES priority = md5-fold // weight
+    "weighted_sample": """
+        WITH p AS (
+            SELECT lang, doc_id, n_chars,
+                   CAST(list_reduce(
+                       list_transform(
+                           split(substr(md5(COALESCE(text, '')), 1, 15), ''),
+                           c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
+                       (a, b) -> a * 16 + b)
+                       // GREATEST(n_chars, 1) AS BIGINT) AS priority
+            FROM documents
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY priority, doc_id) AS rk
+            FROM p
+        )
+        SELECT lang, doc_id, n_chars, priority FROM r WHERE rk <= 5
+    """,
     # data-quality expectation suite: one row per constraint
     "dq_expectations": """
         SELECT 'doc_id_not_null' AS expectation, count(*) AS n_checked,

@@ -10284,6 +10284,147 @@ def q_dq_expectations(sf_dir: str):
     )
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic WEIGHTED sample — k = 5 docs per lang with
+    inclusion biased toward longer documents: priority =
+    md5₆₀(text) // n_chars, keep the k smallest (ties → doc_id). This
+    is the integer determinization of the Efraimidis–Spirakis A-ES
+    weighted-reservoir scheme (priority = random^(1/w), public): the
+    hash plays the uniform draw, dividing by the weight shrinks
+    expected priority for heavy items, and hash-derived randomness
+    makes the draw reproducible at ANY cluster size (the T6
+    discipline). The integer rule trades exact inclusion probabilities
+    for bit-exact mergeability — what a distributed curation pipeline
+    actually needs (same sample on 8 or 256 nodes, re-runnable audit).
+
+    Per-batch per-lang k-smallest partials bound the shuffle to
+    k × langs × blocks rows; one single-key combine per lang. Full SQL
+    oracle (row_number over the same integer priority)."""
+    docs = _docs(sf_dir, ["doc_id", "lang", "text", "n_chars"])
+    K = 5
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = np.maximum(df["n_chars"].to_numpy(np.int64), 1)
+        pri = _md5_60bit(df["text"].tolist()) // w
+        g = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_chars": df["n_chars"].to_numpy(np.int64),
+                "priority": pri,
+            }
+        )
+        return (
+            g.sort_values(["priority", "doc_id"], kind="stable")
+            .groupby("lang", sort=False)
+            .head(K)
+            .reset_index(drop=True)
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["priority", "doc_id"], kind="stable")
+            .head(K)
+            .reset_index(drop=True)
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def q_zorder_vs_linear(sf_dir: str):
+    """Z-order layout audit — quantify how much a space-filling-curve
+    file layout (Delta/Iceberg ``ZORDER BY``, public) cuts scan cost
+    for a 2-D predicate vs a linear (x-major) layout. Dimensions: x =
+    user_id % 256, y = epoch-hour % 256; z interleaves their bits
+    (Morton code); both layouts bucket rows into 64 partitions (top 6
+    bits of the 16-bit key). Predicate: the aligned square x ∈ [64,96)
+    ∧ y ∈ [32,64) — under Z-order an aligned 2^k square shares one
+    bit-prefix so it lands in ONE partition; the linear layout touches
+    every partition whose x-slice intersects, dragging all their
+    non-matching rows through the scan.
+
+    Output per layout: partitions_touched, rows_scanned (rows resident
+    in touched partitions — the real I/O bill), rows_matched
+    (identical by construction). One streaming pass emits (layout,
+    partition, rows, matches) partials; a fused-key combine reduces a
+    ≤ 2×64-row panel — the audit costs one scan regardless of event
+    volume, exactly how a table-format layout advisor runs. Full SQL
+    oracle (explicit bit-interleave arithmetic)."""
+    SEP = "\x1f"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        ts_us = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        x = uid % 256
+        y = (ts_us // np.int64(3_600_000_000)) % 256
+        z = np.zeros(len(x), dtype=np.int64)
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        part_z = z >> 10
+        part_lin = (x * 256 + y) >> 10
+        match = ((x >= 64) & (x < 96) & (y >= 32) & (y < 64)).astype(np.int64)
+        rows = []
+        for layout, part in (("zorder", part_z), ("linear", part_lin)):
+            g = (
+                pd.DataFrame({"part": part, "n": np.int64(1), "m": match})
+                .groupby("part", as_index=False)
+                .sum()
+            )
+            g["k"] = layout + SEP + g["part"].astype(str)
+            rows.append(g[["k", "n", "m"]])
+        out = pd.concat(rows, ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        out["m"] = out["m"].astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        layout, part = g["k"].iloc[0].split(SEP)
+        return pd.DataFrame(
+            {
+                "layout": [layout],
+                "part": np.array([int(part)], dtype=np.int64),
+                "n": np.array([g["n"].sum()], dtype=np.int64),
+                "m": np.array([g["m"].sum()], dtype=np.int64),
+            }
+        )
+
+    panel = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("k")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    out = []
+    for layout, g in panel.groupby("layout"):
+        touched = g[g["m"] > 0]
+        out.append(
+            {
+                "layout": layout,
+                "partitions_touched": np.int64(len(touched)),
+                "rows_scanned": np.int64(touched["n"].sum()),
+                "rows_matched": np.int64(g["m"].sum()),
+            }
+        )
+    return (
+        pd.DataFrame(out)
+        .astype(
+            {
+                "partitions_touched": np.int64,
+                "rows_scanned": np.int64,
+                "rows_matched": np.int64,
+            }
+        )
+        .sort_values("layout")
+        .reset_index(drop=True)
+    )
+
+
 _HLL_M = 64  # registers (p = 6)
 _HLL_POW2 = None  # lazy powers-of-two table for exact vectorized bit_length
 
@@ -10384,6 +10525,8 @@ QUERIES = {
     "scd2_temporal_join": q_scd2_temporal_join,
     "snapshot_diff": q_snapshot_diff,
     "dq_expectations": q_dq_expectations,
+    "weighted_sample": q_weighted_sample,
+    "zorder_vs_linear": q_zorder_vs_linear,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

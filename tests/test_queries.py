@@ -163,6 +163,8 @@ SQL_CHECKED = [
     "scd2_temporal_join",
     "snapshot_diff",
     "dq_expectations",
+    "weighted_sample",
+    "zorder_vs_linear",
 ]
 
 
