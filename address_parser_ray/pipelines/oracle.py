@@ -1976,6 +1976,52 @@ ORACLE_SQL["minhash_cluster_ids"] = (
     _minhash_keys_sql(recursive=True).rstrip() + _MH_CLUSTER_TAIL
 )
 
+# clustering agreement: exact-dup labels vs the LSH clustering above.
+# ARI numerator is provably nonnegative here (identical texts share
+# identical sketches, so every exact-dup pair is also an LSH pair ⇒
+# nab = na), keeping // floor-vs-trunc semantics out of play.
+_MH_AGREE_TAIL = """, edges AS (
+    SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+    FROM keys a JOIN keys b
+      ON a.band = b.band AND a.k = b.k AND a.doc_id <> b.doc_id
+), reach AS (
+    SELECT doc_id AS id, doc_id AS lab FROM documents
+    UNION
+    SELECT e.dst AS id, r.lab
+    FROM reach r JOIN edges e ON e.src = r.id
+), comp AS (
+    SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1
+), alab AS (
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY md5(COALESCE(text, ''))) AS label_a
+    FROM documents
+), cells AS (
+    SELECT alab.label_a, comp.cluster_id AS label_b,
+           CAST(count(*) AS HUGEINT) AS n
+    FROM alab JOIN comp USING (doc_id) GROUP BY 1, 2
+), terms AS (
+    SELECT (SELECT sum(n * (n - 1) // 2) FROM cells) AS nab,
+           (SELECT sum(m * (m - 1) // 2) FROM
+               (SELECT sum(n) AS m FROM cells GROUP BY label_a)) AS na,
+           (SELECT sum(m * (m - 1) // 2) FROM
+               (SELECT sum(n) AS m FROM cells GROUP BY label_b)) AS nb,
+           (SELECT sum(n) FROM cells) AS nd
+)
+SELECT CAST(nd AS BIGINT) AS n_docs,
+       CAST(nab AS BIGINT) AS pairs_both,
+       CAST(na AS BIGINT) AS pairs_a,
+       CAST(nb AS BIGINT) AS pairs_b,
+       CAST(CASE WHEN nd * (nd - 1) // 2 * (na + nb) - 2 * na * nb = 0 THEN 1000
+            ELSE (1000 * 2 * (nd * (nd - 1) // 2 * nab - na * nb))
+                 // (nd * (nd - 1) // 2 * (na + nb) - 2 * na * nb)
+            END AS BIGINT) AS ari_milli
+FROM terms
+"""
+
+ORACLE_SQL["clustering_agreement"] = (
+    _minhash_keys_sql(recursive=True).rstrip() + _MH_AGREE_TAIL
+)
+
 ORACLE_SQL["name_edit_pairs"] = """
     WITH d AS (SELECT p_name, count(*) AS n FROM part GROUP BY 1)
     SELECT a.p_name AS name_a, b.p_name AS name_b,

@@ -5316,18 +5316,11 @@ def q_minhash_band_keys(sf_dir: str):
     )
 
 
-def q_minhash_cluster_ids(sf_dir: str):
-    """MinHash-LSH clustering END-TO-END with a FULL SQL oracle — the
-    flagship's whole shape (shingle → MinHash → band → candidate edges
-    → transitive closure) verified row-exactly against a recursive
-    min-label CTE in DuckDB, at the SQL-checkable band parameters of
-    ``_mh_band_rows``. Edges = docs sharing any (band, key); the
-    closure runs through the SAME ``stages/clustering`` ladder the
-    flagship uses (driver union-find below the gate, distributed star
-    contraction above). Band keys hash-bucket once (single-key
-    shuffle); per-bucket pair expansion is one vectorized triu per
-    run length. Output: (doc_id, cluster_id = min reachable doc id,
-    cluster_size) for every doc — empty docs are singletons."""
+def _mh_assignments(sf_dir: str):
+    """Shared core of the SQL-checkable LSH clustering: band-key
+    emission → bucketed pair expansion → transitive closure through
+    the ``stages/clustering`` ladder. Returns the assignments dataset
+    (record_id, cluster_id = min reachable doc id)."""
     from address_parser_ray.functions.hashing import splitmix64
     from address_parser_ray.rayutil import default_num_partitions
     from address_parser_ray.stages.clustering import connected_components
@@ -5381,7 +5374,22 @@ def q_minhash_cluster_ids(sf_dir: str):
     nodes = _docs(sf_dir, ["doc_id"]).map_batches(
         lambda t: pa.table({"record_id": t["doc_id"]}), batch_format="pyarrow"
     )
-    asg = connected_components(edges, nodes)
+    return connected_components(edges, nodes)
+
+
+def q_minhash_cluster_ids(sf_dir: str):
+    """MinHash-LSH clustering END-TO-END with a FULL SQL oracle — the
+    flagship's whole shape (shingle → MinHash → band → candidate edges
+    → transitive closure) verified row-exactly against a recursive
+    min-label CTE in DuckDB, at the SQL-checkable band parameters of
+    ``_mh_band_rows``. Edges = docs sharing any (band, key); the
+    closure runs through the SAME ``stages/clustering`` ladder the
+    flagship uses (driver union-find below the gate, distributed star
+    contraction above). Band keys hash-bucket once (single-key
+    shuffle); per-bucket pair expansion is one vectorized triu per
+    run length. Output: (doc_id, cluster_id = min reachable doc id,
+    cluster_size) for every doc — empty docs are singletons."""
+    asg = _mh_assignments(sf_dir)
 
     def with_size(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -5393,6 +5401,122 @@ def q_minhash_cluster_ids(sf_dir: str):
         )
 
     return asg.groupby("cluster_id").map_groups(with_size, batch_format="pandas")
+
+
+def q_clustering_agreement(sf_dir: str):
+    """Clustering-agreement evaluation — exact integer Adjusted Rand
+    Index between TWO clusterings of the corpus: A = exact-duplicate
+    groups (label = min doc_id sharing the identical text), B = the
+    SQL-checkable MinHash-LSH clustering (``minhash_cluster_ids``).
+    This is the eval harness an ER engine runs whenever a cheap
+    clustering is validated against a reference one (the differential
+    shape of ``tests/eval_parsers.py:76-114`` lifted from per-field
+    diffs to whole-partition agreement).
+
+    All four Rand terms come from pair counts computed WITHOUT
+    enumerating pairs: contingency cells (a_label, b_label, n) via one
+    fused-key count shuffle, then Σ C(n,2) over cells / A-sizes /
+    B-sizes as vectorized panel passes. ARI is a ratio of integers —
+    the row carries exact numerator/denominator components
+    (pairs_both, pairs_a, pairs_b, n_docs) PLUS ari_milli =
+    (1000·2·(N·Nab − Na·Nb)) // (N·(Na+Nb) − 2·Na·Nb) computed in
+    Python bigint (HUGEINT in the oracle) so the approximate index is
+    still hash-exact. Panels are cluster-count-sized; doc content
+    never moves — only (doc_id, label) pairs."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions, pinned_join
+
+    nparts = default_num_partitions()
+    SEP = "\x1f"
+
+    # A: exact-text labels (min doc_id per identical text)
+    def emit_text_hash(t: pa.Table) -> pa.Table:
+        h = _md5_60bit(t["text"].to_pylist())
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(h.view(np.uint64)) % np.uint64(nparts)).astype(
+                        np.int64
+                    )
+                ),
+                "h": pa.array(h),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    def label_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.groupby("h")["doc_id"].transform("min").to_numpy(np.int64)
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(np.int64), "label_a": lab}
+        )
+
+    a = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(emit_text_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(label_bucket, batch_format="pandas")
+    )
+
+    # B: LSH clustering labels (shared core with minhash_cluster_ids)
+    b = _mh_assignments(sf_dir).map_batches(
+        lambda t: pa.table({"doc_id": t["record_id"], "label_b": t["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+
+    joined = pinned_join(a, b, on="doc_id", num_partitions=nparts)
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "k": df["label_a"].astype(str) + SEP + df["label_b"].astype(str),
+                "part_n": np.int64(1),
+            }
+        ).groupby("k", as_index=False)["part_n"].sum()
+        g["part_n"] = g["part_n"].astype(np.int64)
+        return g
+
+    def cell_final(g: pd.DataFrame) -> pd.DataFrame:
+        la, lb = g["k"].iloc[0].split(SEP)
+        return pd.DataFrame(
+            {
+                "label_a": np.array([int(la)], dtype=np.int64),
+                "label_b": np.array([int(lb)], dtype=np.int64),
+                "n": np.array([g["part_n"].sum()], dtype=np.int64),
+            }
+        )
+
+    cells = (
+        joined.map_batches(cell_partial, batch_format="pandas")
+        .groupby("k")
+        .map_groups(cell_final, batch_format="pandas")
+        .to_pandas()
+    )
+    # panels are cluster-count-sized from here on (driver arithmetic in
+    # exact Python ints — at 10^12 rows these stay distributed sums of
+    # per-cell C(n,2) terms, same shape, bigger panel)
+    n_cells = cells["n"].to_numpy(np.int64)
+    n_docs = int(n_cells.sum())
+
+    def c2(v: np.ndarray) -> int:
+        v = v.astype(object)
+        return int((v * (v - 1) // 2).sum()) if len(v) else 0
+
+    nab = c2(n_cells)
+    na = c2(cells.groupby("label_a")["n"].sum().to_numpy(np.int64))
+    nb = c2(cells.groupby("label_b")["n"].sum().to_numpy(np.int64))
+    n_pairs = n_docs * (n_docs - 1) // 2
+    num = 2 * (n_pairs * nab - na * nb)
+    den = n_pairs * (na + nb) - 2 * na * nb
+    ari_milli = (1000 * num) // den if den else 1000
+    return pd.DataFrame(
+        {
+            "n_docs": [n_docs],
+            "pairs_both": [nab],
+            "pairs_a": [na],
+            "pairs_b": [nb],
+            "ari_milli": [ari_milli],
+        }
+    ).astype("int64")
 
 
 def _levenshtein_block(sa: list, sb: list) -> np.ndarray:
@@ -10527,6 +10651,7 @@ QUERIES = {
     "dq_expectations": q_dq_expectations,
     "weighted_sample": q_weighted_sample,
     "zorder_vs_linear": q_zorder_vs_linear,
+    "clustering_agreement": q_clustering_agreement,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

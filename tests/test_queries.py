@@ -165,6 +165,7 @@ SQL_CHECKED = [
     "dq_expectations",
     "weighted_sample",
     "zorder_vs_linear",
+    "clustering_agreement",
 ]
 
 
