@@ -156,6 +156,18 @@ ORACLE_SQL = {
                     ELSE max(nd) END AS BIGINT) AS est_distinct
         FROM r GROUP BY 1
     """,
+    # Markov transition counts; tie-break (ts, event_id) pinned on both sides
+    "event_transitions": """
+        WITH s AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM s WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
     # Z-order vs linear layout audit: Morton interleave in explicit
     # integer arithmetic; scan cost = rows in partitions containing >=1 match
     "zorder_vs_linear": """

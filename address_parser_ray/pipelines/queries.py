@@ -10549,6 +10549,169 @@ def q_zorder_vs_linear(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event
+    sequences — the LAG-window sibling of ``event_gap_histogram`` on
+    the TYPE axis instead of the time axis (funnel analytics' raw
+    material; row = prev_type → next_type with its count). Ordering is
+    pinned to (ts, event_id) so timestamp ties cannot flip a
+    transition between runs or cluster sizes.
+
+    Shape: users hash-bucket once (single-key shuffle); each bucket
+    runs ONE lexsort over (user, ts, event_id) and a shifted equality
+    mask — no per-user loop, no global window sort; fused-key partial
+    counts reduce to a ≤ types² panel. Full SQL oracle (lag() window
+    with the same tie-break)."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    SEP = "\x1f"
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "bucket": (
+                    splitmix64(uid.view(np.uint64)) % np.uint64(nparts)
+                ).astype(np.int64),
+                "user_id": uid,
+                "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "event_type": df["event_type"],
+            }
+        )
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(str)
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        same_user = uid[1:] == uid[:-1]
+        prev, nxt = et[:-1][same_user], et[1:][same_user]
+        if prev.size == 0:
+            return pd.DataFrame({"k": pd.Series([], dtype=str),
+                                 "part_n": pd.Series([], dtype=np.int64)})
+        out = (
+            pd.DataFrame(
+                {"k": np.char.add(np.char.add(prev, SEP), nxt), "part_n": np.int64(1)}
+            )
+            .groupby("k", as_index=False)["part_n"]
+            .sum()
+        )
+        out["part_n"] = out["part_n"].astype(np.int64)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        prev, nxt = g["k"].iloc[0].split(SEP)
+        return pd.DataFrame(
+            {
+                "prev_type": [prev],
+                "next_type": [nxt],
+                "n": np.array([g["part_n"].sum()], dtype=np.int64),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        .map_batches(emit, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(transitions, batch_format="pandas")
+        .groupby("k")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+_CANOPY_T1 = 22  # loose threshold (Hamming bits on the 64-bit simhash)
+_CANOPY_T2 = 14  # tight threshold (removal from the candidate list)
+_CANOPY_MAX_CENTERS = 4096  # per-group determinism cap (leftovers → singletons)
+
+
+def q_canopy_clusters(sf_dir: str):
+    """Canopy clustering (McCallum, Nigam & Ungar, KDD 2000 — public):
+    the classic cheap-metric PRE-clustering that bounds who the
+    expensive scorer may compare. Cheap metric = Hamming distance on
+    the 64-bit content simhash; loose threshold T1 = 22 bits forms the
+    (overlapping) canopies, tight threshold T2 = 14 removes covered
+    points from the candidate-center list. The greedy is made
+    deterministic the same way every 'first wins' in this repo is:
+    centers are taken in ascending doc_id order, so 8-cpu and 32-cpu
+    runs emit identical canopies (the reference's analogue is its
+    candidate caps applied in fixed order, fuzz/inexus_parser.py:2829).
+
+    Shape: the sequential greedy parallelizes across LANG groups (the
+    canopy key): one Fingerprinter actor-pool pass emits (doc_id,
+    lang, simhash) — 16 B/row, content never shuffles — and each lang
+    group runs a vectorized greedy (one hamming64 pass per center over
+    the group panel, no per-point Python). Centers per group are
+    capped at 4096 in sorted order — past the cap, leftovers become
+    singleton canopies (honest bound, same trade as the LSH pair
+    caps). Output per doc: primary canopy (first canopy containing
+    it — provably center_id ≤ doc_id) and its membership count across
+    overlapping canopies. Greedy-vs-brute-force parity and the
+    center_id ≤ doc_id invariant are pytest-pinned; no SQL oracle (a
+    data-ordered sequential fold is not expressible as a recursive
+    CTE over unordered sets)."""
+    from address_parser_ray.functions.hashing import hamming64
+    from address_parser_ray.sources import documents_as_corpus
+    from address_parser_ray.stages.fingerprint import Fingerprinter
+
+    corpus = documents_as_corpus(sf_dir)
+    fp = corpus.map_batches(
+        Fingerprinter,
+        fn_constructor_kwargs={
+            "cfg": DEFAULT_CONFIG,
+            "outputs": frozenset({"simhash"}),
+            "passthrough": ("doc_id", "lang"),
+        },
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 8),
+    )
+
+    def greedy(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["doc_id"].to_numpy(np.int64), kind="stable")
+        ids = g["doc_id"].to_numpy(np.int64)[order]
+        sh = g["simhash"].to_numpy(np.uint64)[order]
+        n = len(ids)
+        remaining = np.ones(n, dtype=bool)
+        primary = np.full(n, -1, dtype=np.int64)
+        n_canopies = np.zeros(n, dtype=np.int64)
+        centers = 0
+        while remaining.any() and centers < _CANOPY_MAX_CENTERS:
+            i = int(np.flatnonzero(remaining)[0])
+            d = hamming64(sh, int(sh[i]))
+            in_t1 = d <= _CANOPY_T1
+            n_canopies += in_t1
+            unset = (primary < 0) & in_t1
+            primary[unset] = ids[i]
+            remaining &= d > _CANOPY_T2
+            centers += 1
+        # past the cap: leftovers are their own singleton canopies
+        left = primary < 0
+        primary[left] = ids[left]
+        n_canopies[left] += 1
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "lang": g["lang"].to_numpy(str)[order],
+                "canopy_id": primary,
+                "n_canopies": n_canopies,
+            }
+        )
+
+    return (
+        fp.select_columns(["doc_id", "lang", "simhash"])
+        .groupby("lang")
+        .map_groups(greedy, batch_format="pandas")
+    )
+
+
 _HLL_M = 64  # registers (p = 6)
 _HLL_POW2 = None  # lazy powers-of-two table for exact vectorized bit_length
 
@@ -10652,6 +10815,8 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "zorder_vs_linear": q_zorder_vs_linear,
     "clustering_agreement": q_clustering_agreement,
+    "event_transitions": q_event_transitions,
+    "canopy_clusters": q_canopy_clusters,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

@@ -166,6 +166,7 @@ SQL_CHECKED = [
     "weighted_sample",
     "zorder_vs_linear",
     "clustering_agreement",
+    "event_transitions",
 ]
 
 
@@ -194,6 +195,74 @@ def test_hll_distinct_accuracy(ray_session, con):
         assert v > 0  # small-range regime at fixture scale
         lin = 64 * math.log(64 / v)
         assert abs(lin - ex) <= 0.25 * ex
+
+
+def test_canopy_greedy_matches_bruteforce(ray_session):
+    """The distributed per-lang vectorized greedy must equal a plain
+    sequential reference canopy build (same T1/T2, ascending doc_id
+    centers), and primary canopy centers can never exceed the member's
+    doc_id (a doc still uncovered when its id comes up becomes its own
+    center first)."""
+    from address_parser_ray.config import DEFAULT_CONFIG
+    from address_parser_ray.pipelines.queries import (
+        _CANOPY_T1,
+        _CANOPY_T2,
+        QUERIES,
+    )
+    from address_parser_ray.sources import documents_as_corpus
+    from address_parser_ray.stages.fingerprint import Fingerprinter
+
+    got = (
+        QUERIES["canopy_clusters"](SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got["canopy_id"] <= got["doc_id"]).all()
+    assert (got["n_canopies"] >= 1).all()
+
+    fp = (
+        documents_as_corpus(SF)
+        .map_batches(
+            Fingerprinter,
+            fn_constructor_kwargs={
+                "cfg": DEFAULT_CONFIG,
+                "outputs": frozenset({"simhash"}),
+                "passthrough": ("doc_id", "lang"),
+            },
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    ref_rows = []
+    for lang, g in fp.groupby("lang"):
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].tolist()
+        shs = [int(s) for s in g["simhash"]]
+        remaining = set(ids)
+        primary = {}
+        counts = {i: 0 for i in ids}
+        while remaining:
+            c = min(remaining)
+            csh = shs[ids.index(c)]
+            for i, s in zip(ids, shs):
+                d = bin(csh ^ s).count("1")
+                if d <= _CANOPY_T1:
+                    counts[i] += 1
+                    primary.setdefault(i, c)
+                if d <= _CANOPY_T2 and i in remaining:
+                    remaining.discard(i)
+        for i in ids:
+            ref_rows.append((i, lang, primary[i], counts[i]))
+    ref = (
+        pd.DataFrame(ref_rows, columns=["doc_id", "lang", "canopy_id", "n_canopies"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"canopy_id": "int64", "n_canopies": "int64"}), ref
+    )
 
 
 def test_bio_phrases_chain_free():
