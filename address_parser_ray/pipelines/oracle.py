@@ -3346,3 +3346,83 @@ ORACLE_SQL["trigram_search"] = """
     WHERE position('merge part' IN text) > 0
     ORDER BY doc_id
 """
+
+# Canonical snap (P3): DuckDB's jaro_winkler_similarity (rapidfuzz,
+# prefix boost only above jaro 0.7 — mirrored on the Ray side), integer
+# micro-units with the +1e-7 epsilon, argmax tie-break (jw DESC, cand
+# ASC) identical on both engines.
+ORACLE_SQL["canonical_snap"] = """
+    WITH d AS (SELECT DISTINCT p_name FROM part),
+    inputs AS (
+        SELECT p_name AS input_name FROM d
+        UNION
+        SELECT regexp_replace(p_name, '[aeiou]', '', 'g') FROM d
+    ),
+    scored AS (
+        SELECT i.input_name, d.p_name AS cand,
+               CAST(floor(jaro_winkler_similarity(i.input_name, d.p_name)
+                          * 1000000 + 0.0000001) AS BIGINT) AS jw,
+               row_number() OVER (
+                   PARTITION BY i.input_name
+                   ORDER BY floor(jaro_winkler_similarity(i.input_name,
+                                  d.p_name) * 1000000 + 0.0000001) DESC,
+                            d.p_name) AS rn
+        FROM inputs i CROSS JOIN d
+    ),
+    best AS (SELECT input_name, cand, jw FROM scored WHERE rn = 1)
+    SELECT input_name,
+           CASE WHEN jw >= 890000 THEN cand END AS snapped,
+           jw AS jw_micro,
+           CASE WHEN jw = 1000000 THEN 'exact'
+                WHEN jw >= 890000 THEN 'fuzzy'
+                ELSE 'none' END AS method
+    FROM best ORDER BY input_name
+"""
+
+# Component-signature blocking (M19): initials / joined / first-token
+# signature variants over the distinct-name panel.
+ORACLE_SQL["signature_blocks"] = """
+    WITH d AS (SELECT DISTINCT p_name FROM part),
+    sigs AS (
+        SELECT 'initials' AS kind,
+               array_to_string(list_transform(string_split(p_name, ' '),
+                                              x -> substr(x, 1, 1)), '')
+                   AS sig,
+               p_name
+        FROM d
+        UNION ALL
+        SELECT 'joined', replace(p_name, ' ', ''), p_name FROM d
+        UNION ALL
+        SELECT 'prefix', string_split(p_name, ' ')[1], p_name FROM d
+    )
+    SELECT kind, sig,
+           CAST(count(*) AS BIGINT) AS n_names,
+           CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs,
+           min(p_name) AS rep
+    FROM sigs GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2
+"""
+
+# Spec-driven token transforms (M14): lower / strip_accents / alnum
+# applied to the exploded ASCII-\s+ token stream; per-(spec, lang)
+# token and changed counts.
+ORACLE_SQL["token_transforms"] = """
+    WITH toks AS (
+        SELECT lang,
+               unnest(regexp_split_to_array(trim(COALESCE(text, '')),
+                                            '\\s+')) AS tok
+        FROM documents
+    ), t AS (SELECT lang, tok FROM toks WHERE tok != ''),
+    s AS (
+        SELECT 'lower' AS spec, lang, tok, lower(tok) AS after FROM t
+        UNION ALL
+        SELECT 'fold', lang, tok, strip_accents(tok) FROM t
+        UNION ALL
+        SELECT 'alnum', lang, tok,
+               regexp_replace(lower(tok), '[^a-z0-9]', '', 'g') FROM t
+    )
+    SELECT spec, lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN after <> tok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -10780,6 +10780,267 @@ def q_hll_distinct(sf_dir: str):
     )
 
 
+_SNAP_ACCEPT_MICRO = 890_000  # reference REFERENCE_ACCEPT_RATIO = 90 analogue
+_SNAP_VOWELS = re.compile(r"[aeiou]")
+
+
+def q_canonical_snap(sf_dir: str):
+    """Canonical snap with an accept threshold — the reference's
+    ``_match_reference`` (fuzz/inexus_parser.py:1718-1756; hcmut
+    main.py:342-380): exact gazetteer hit wins outright, else the best
+    fuzzy candidate (``extractOne``) is accepted only above a cutoff,
+    else the input stays unresolved.  P3 of SURVEY §2.8, now full.
+
+    Inputs = every canonical part name PLUS its vowel-stripped variant
+    (the deterministic "dirty observation" — same mangle in SQL via
+    regexp_replace, so the whole op is oracle-checkable).  Gazetteer =
+    the distinct-name panel, small by definition (A2) and broadcast
+    once via ``ray.put``; the input panel is built distributed (per-
+    batch dedup partials → one vocabulary-bounded groupby) and scored
+    in ``map_batches`` slices — at 100 TB the name panel distributes
+    while the gazetteer broadcast stays O(entities).  Scoring is the
+    DuckDB-parity Jaro-Winkler (boost only above jaro 0.7, rapidfuzz
+    semantics) in floor(jw·10⁶ + ε) micro-units; winner = argmax by
+    (jw_micro DESC, candidate ASC) — the same integer tie-break on
+    both engines, so an *approximate* matcher is hash-verifiable.
+    method: 'exact' (jw = 10⁶ ⇔ string equality), 'fuzzy' (≥ the
+    accept threshold), 'none' (best candidate reported, snap NULL)."""
+    from address_parser_ray.functions.similarity import jaro
+
+    def jw_duck(a: str, b: str) -> float:
+        j = jaro(a, b)
+        if j <= 0.7:
+            return j
+        p = 0
+        for x, y in zip(a[:4], b[:4]):
+            if x != y:
+                break
+            p += 1
+        return j + p * 0.1 * (1.0 - j)
+
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+
+    def inputs_partial(t: pa.Table) -> pa.Table:
+        names = set(t["p_name"].to_pylist())
+        inp = names | {_SNAP_VOWELS.sub("", n) for n in names}
+        return pa.table({"input_name": pa.array(sorted(inp), type=pa.string())})
+
+    def gaz_partial(t: pa.Table) -> pa.Table:
+        names = sorted(set(t["p_name"].to_pylist()))
+        return pa.table({"p_name": pa.array(names, type=pa.string())})
+
+    gaz = (
+        parts.map_batches(gaz_partial, batch_format="pyarrow")
+        .groupby("p_name")
+        .map_groups(
+            lambda g: pd.DataFrame({"p_name": [g["p_name"].iloc[0]]}),
+            batch_format="pandas",
+        )
+        .to_pandas()["p_name"]
+        .sort_values()
+        .tolist()
+    )
+    gref = ray.put(gaz)
+
+    inputs = (
+        parts.map_batches(inputs_partial, batch_format="pyarrow")
+        .groupby("input_name")
+        .map_groups(
+            lambda g: pd.DataFrame({"input_name": [g["input_name"].iloc[0]]}),
+            batch_format="pandas",
+        )
+    )
+
+    def snap(t: pa.Table) -> pa.Table:
+        cands = ray.get(gref)
+        cand_set = set(cands)
+        out_in, out_snap, out_jw, out_m = [], [], [], []
+        for name in t["input_name"].to_pylist():
+            if name in cand_set:  # exact hit short-circuits (reference :1729)
+                best_c, best_jw = name, 1_000_000
+            else:
+                best_c, best_jw = None, -1
+                for c in cands:  # cands sorted ASC → ties keep lexic. min
+                    jw = int(np.floor(jw_duck(name, c) * 1e6 + 1e-7))
+                    if jw > best_jw:
+                        best_c, best_jw = c, jw
+            meth = (
+                "exact"
+                if best_jw == 1_000_000
+                else ("fuzzy" if best_jw >= _SNAP_ACCEPT_MICRO else "none")
+            )
+            out_in.append(name)
+            out_snap.append(best_c if meth != "none" else None)
+            out_jw.append(best_jw)
+            out_m.append(meth)
+        return pa.table(
+            {
+                "input_name": pa.array(out_in, type=pa.string()),
+                "snapped": pa.array(out_snap, type=pa.string()),
+                "jw_micro": pa.array(out_jw, type=pa.int64()),
+                "method": pa.array(out_m, type=pa.string()),
+            }
+        )
+
+    return inputs.map_batches(snap, batch_format="pyarrow", batch_size=64)
+
+
+def q_signature_blocks(sf_dir: str):
+    """Component-signature blocking — the reference's
+    ``_build_component_signature`` variants (token sequence, joined,
+    initials; fuzz/inexus_parser.py:2475-2507) as blocking keys
+    (M19 of SURVEY §2.2, now full).  Each distinct name emits three
+    signatures: 'initials' (first char of each space-token — acronym
+    blocking), 'joined' (spaces removed — glued-form blocking) and
+    'prefix' (first token — the reference's prefix-detect key M18).
+    Output: per (kind, sig) block with ≥ 2 members, the member count,
+    the C(n,2) candidate-pair bound (the blocking-cost statistic) and
+    the min-name representative.
+
+    Shape: the name panel is built distributed (per-batch dedup →
+    vocabulary-bounded groupby), signatures are a stateless flat map,
+    and the block rollup is ONE single-key groupby on the fused
+    ``kind|sig`` key (composite-groupby trap avoided) — shuffles are
+    bounded by name vocabulary at any corpus size.  Full SQL oracle
+    (list_transform initials / replace / split[1])."""
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+
+    def dedup_partial(t: pa.Table) -> pa.Table:
+        names = sorted(set(t["p_name"].to_pylist()))
+        return pa.table({"p_name": pa.array(names, type=pa.string())})
+
+    def sigs(df: pd.DataFrame) -> pd.DataFrame:
+        keys, names = [], []
+        for name in df["p_name"]:
+            toks = name.split(" ")
+            for k, s in (
+                ("initials", "".join(t[:1] for t in toks)),
+                ("joined", name.replace(" ", "")),
+                ("prefix", toks[0]),
+            ):
+                keys.append(f"{k}\x1f{s}")
+                names.append(name)
+        return pd.DataFrame({"key": keys, "p_name": names})
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "kind": pd.Series([], dtype=str),
+                    "sig": pd.Series([], dtype=str),
+                    "n_names": pd.Series([], dtype=np.int64),
+                    "n_pairs": pd.Series([], dtype=np.int64),
+                    "rep": pd.Series([], dtype=str),
+                }
+            )
+        kind, sig = g["key"].iloc[0].split("\x1f", 1)
+        return pd.DataFrame(
+            {
+                "kind": [kind],
+                "sig": [sig],
+                "n_names": np.array([n], dtype=np.int64),
+                "n_pairs": np.array([n * (n - 1) // 2], dtype=np.int64),
+                "rep": [g["p_name"].min()],
+            }
+        )
+
+    return (
+        parts.map_batches(dedup_partial, batch_format="pyarrow")
+        .groupby("p_name")
+        .map_groups(
+            lambda g: pd.DataFrame({"p_name": [g["p_name"].iloc[0]]}),
+            batch_format="pandas",
+        )
+        .map_batches(sigs, batch_format="pandas")
+        .groupby("key")
+        .map_groups(rollup, batch_format="pandas")
+    )
+
+
+def q_token_transforms(sf_dir: str):
+    """Spec-driven per-token transforms — the reference's
+    ``transform_tokens(tokens, spec)`` (ner/build_standard_dataset.py:
+    443-452; M14 of SURVEY §2.2, now full): a declarative spec picks
+    which normalization each token gets.  Three specs: 'lower'
+    (casefold), 'fold' (NFD accent-fold — DuckDB ``strip_accents``
+    twin; ASCII tokens short-circuit), 'alnum' (lowercase then strip
+    non-[a-z0-9] — the M2 ``_normalize_token_basic`` rule).  Output per
+    (spec, lang): token count and how many tokens the spec actually
+    changed — the audit that tells a pipeline author what each
+    normalization level costs in information.
+
+    Shape: stateless per-batch transforms (pandas str kernels; the
+    accent fold only ever touches non-ASCII tokens) emitting
+    (spec × langs) partial counts, one fused single-key combine —
+    shuffle rows are blocks × specs × langs regardless of corpus
+    size.  Full SQL oracle (lower / strip_accents / regexp_replace
+    over the exploded token stream)."""
+    from address_parser_ray.functions.normalize import strip_accents
+
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks, langs = [], []
+        for lang, text in zip(df["lang"], df["text"]):
+            ws = [w for w in _ws_tokens(text) if w]
+            toks.extend(ws)
+            langs.extend([lang] * len(ws))
+        s = pd.Series(toks, dtype=object)
+        lang_s = pd.Series(langs, dtype=object)
+        if not len(s):
+            return pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype=str),
+                    "n_tokens": pd.Series([], dtype=np.int64),
+                    "n_changed": pd.Series([], dtype=np.int64),
+                }
+            )
+        low = s.str.lower()
+        alnum = low.str.replace("[^a-z0-9]", "", regex=True)
+        is_ascii = s.map(str.isascii)
+        fold_chg = np.zeros(len(s), dtype=bool)
+        for i in np.flatnonzero(~is_ascii.to_numpy()):
+            fold_chg[i] = strip_accents(s.iloc[i]) != s.iloc[i]
+        chg = pd.DataFrame(
+            {
+                "lower": (low != s).to_numpy(),
+                "fold": fold_chg,
+                "alnum": (alnum != s).to_numpy(),
+                "lang": lang_s,
+            }
+        )
+        out = []
+        for spec in ("lower", "fold", "alnum"):
+            g = chg.groupby("lang", sort=False)[spec].agg(["count", "sum"])
+            for lang, row in g.iterrows():
+                out.append((f"{spec}\x1f{lang}", int(row["count"]), int(row["sum"])))
+        return pd.DataFrame(
+            {
+                "key": [o[0] for o in out],
+                "n_tokens": np.array([o[1] for o in out], dtype=np.int64),
+                "n_changed": np.array([o[2] for o in out], dtype=np.int64),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        spec, lang = g["key"].iloc[0].split("\x1f", 1)
+        return pd.DataFrame(
+            {
+                "spec": [spec],
+                "lang": [lang],
+                "n_tokens": np.array([int(g["n_tokens"].sum())], dtype=np.int64),
+                "n_changed": np.array([int(g["n_changed"].sum())], dtype=np.int64),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("key")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -10817,6 +11078,9 @@ QUERIES = {
     "clustering_agreement": q_clustering_agreement,
     "event_transitions": q_event_transitions,
     "canopy_clusters": q_canopy_clusters,
+    "canonical_snap": q_canonical_snap,
+    "signature_blocks": q_signature_blocks,
+    "token_transforms": q_token_transforms,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

@@ -167,7 +167,53 @@ SQL_CHECKED = [
     "zorder_vs_linear",
     "clustering_agreement",
     "event_transitions",
+    "canonical_snap",
+    "signature_blocks",
+    "token_transforms",
 ]
+
+
+def test_canonical_snap_semantics(ray_session):
+    """The P3 matcher must (a) resolve every canonical name exactly,
+    (b) snap the bulk of vowel-stripped variants back to their source
+    name, and (c) leave sub-threshold inputs unresolved (snapped NULL)
+    rather than force a bad match — the reference's accept-cutoff
+    behavior (fuzz/inexus_parser.py:1718-1756)."""
+    import re
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["canonical_snap"](SF).to_pandas()
+    exact = df[df["method"] == "exact"]
+    canon = set(exact["input_name"])
+    assert len(exact) and (exact["snapped"] == exact["input_name"]).all()
+    assert (exact["jw_micro"] == 1_000_000).all()
+    # every 'none' row carries the best candidate's score but no snap
+    none = df[df["method"] == "none"]
+    assert none["snapped"].isna().all()
+    assert (none["jw_micro"] < 890_000).all()
+    # fuzzy variants mostly recover their source canonical name
+    fuzzy = df[df["method"] == "fuzzy"]
+    ok = sum(
+        1
+        for _, r in fuzzy.iterrows()
+        if r["snapped"] in canon
+        and re.sub(r"[aeiou]", "", r["snapped"]) == r["input_name"]
+    )
+    assert len(fuzzy) and ok / len(fuzzy) >= 0.85
+
+
+def test_signature_blocks_semantics(ray_session):
+    """Signature blocks must be consistent: n_pairs = C(n,2), the rep
+    is a member, and the prefix blocks partition names by first token
+    (every multi-member first-token group appears)."""
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["signature_blocks"](SF).to_pandas()
+    assert (df["n_names"] >= 2).all()
+    assert (df["n_pairs"] == df["n_names"] * (df["n_names"] - 1) // 2).all()
+    pref = df[df["kind"] == "prefix"]
+    assert len(pref) and pref["rep"].str.split(" ").str[0].eq(pref["sig"]).all()
 
 
 def test_hll_distinct_accuracy(ray_session, con):
