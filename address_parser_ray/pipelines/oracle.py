@@ -3426,3 +3426,127 @@ ORACLE_SQL["token_transforms"] = """
                AS n_changed
     FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+# Cluster medoid election: the recursive closure (minhash_cluster_ids)
+# + distinct shingle-hash sets (containment_pairs) + per-cluster argmax
+# of summed integer micro-Jaccard. Member cap 256 in doc_id order
+# mirrors the Ray side's deterministic cap.
+_MEDOID_TAIL = """, edges AS (
+    SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+    FROM keys a JOIN keys b
+      ON a.band = b.band AND a.k = b.k AND a.doc_id <> b.doc_id
+), reach AS (
+    SELECT doc_id AS id, doc_id AS lab FROM documents
+    UNION
+    SELECT e.dst AS id, r.lab
+    FROM reach r JOIN edges e ON e.src = r.id
+), comp AS (
+    SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1
+), mem AS (
+    SELECT doc_id, cluster_id,
+           row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS rn,
+           count(*) OVER (PARTITION BY cluster_id) AS csz
+    FROM comp
+), m2 AS (
+    SELECT doc_id, cluster_id FROM mem WHERE csz >= 2 AND rn <= 256
+), sh AS (
+    SELECT DISTINCT doc_id, hv FROM h
+), sz AS (
+    SELECT doc_id, CAST(count(*) AS HUGEINT) AS n FROM sh GROUP BY 1
+), prs AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib, a.cluster_id
+    FROM m2 a JOIN m2 b
+      ON a.cluster_id = b.cluster_id AND a.doc_id <> b.doc_id
+), inter AS (
+    SELECT p.ia, p.cluster_id, p.ib, CAST(count(*) AS HUGEINT) AS ni
+    FROM prs p
+    JOIN sh x ON x.doc_id = p.ia
+    JOIN sh y ON y.doc_id = p.ib AND y.hv = x.hv
+    GROUP BY 1, 2, 3
+), jpp AS (
+    SELECT i.ia, i.cluster_id,
+           sum(CAST(i.ni * 1000000 // (za.n + zb.n - i.ni) AS BIGINT))
+               AS score
+    FROM inter i
+    JOIN sz za ON za.doc_id = i.ia
+    JOIN sz zb ON zb.doc_id = i.ib
+    GROUP BY 1, 2
+), allm AS (
+    SELECT m2.doc_id AS ia, m2.cluster_id, COALESCE(j.score, 0) AS score
+    FROM m2 LEFT JOIN jpp j
+      ON j.ia = m2.doc_id AND j.cluster_id = m2.cluster_id
+), best AS (
+    SELECT cluster_id, ia AS medoid_id, score,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY score DESC, ia) AS rn
+    FROM allm
+), csize AS (
+    SELECT cluster_id, count(*) AS nm FROM m2 GROUP BY 1
+)
+SELECT b.cluster_id, b.medoid_id,
+       CAST(b.score AS BIGINT) AS score_micro,
+       CAST(c.nm AS BIGINT) AS n_members
+FROM best b JOIN csize c USING (cluster_id)
+WHERE b.rn = 1 ORDER BY b.cluster_id
+"""
+
+ORACLE_SQL["cluster_medoids"] = (
+    _minhash_keys_sql(recursive=True).rstrip() + _MEDOID_TAIL
+)
+
+# Interval sweep-line: lag-gap sessionization, sessions split across
+# day boundaries via generate_series, per-day running-sum sweep with
+# the (+1 before -1 at equal t) tie rule pinned by ORDER BY t, d DESC.
+ORACLE_SQL["session_concurrency"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+    o AS (
+        SELECT user_id, t,
+               lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt
+        FROM e
+    ),
+    m AS (
+        SELECT user_id, t,
+               CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1
+                    ELSE 0 END AS brk
+        FROM o
+    ),
+    s AS (
+        SELECT user_id, t,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    ),
+    sess AS (
+        SELECT user_id, sid, min(t) AS st, max(t) AS en
+        FROM s GROUP BY 1, 2
+    ),
+    days AS (
+        SELECT st, en,
+               unnest(generate_series(st // 86400000000,
+                                      en // 86400000000)) AS day
+        FROM sess
+    ),
+    clip AS (
+        SELECT day,
+               greatest(st, day * 86400000000) AS cst,
+               least(en, day * 86400000000 + 86399999999) AS cen
+        FROM days
+    ),
+    b AS (
+        SELECT day, cst AS t, 1 AS d FROM clip
+        UNION ALL
+        SELECT day, cen, -1 FROM clip
+    ),
+    r AS (
+        SELECT day,
+               sum(d) OVER (PARTITION BY day ORDER BY t, d DESC
+                            ROWS UNBOUNDED PRECEDING) AS conc
+        FROM b
+    )
+    SELECT CAST(c.day AS BIGINT) AS day_epoch,
+           CAST(c.n AS BIGINT) AS n_sessions,
+           CAST(x.mx AS BIGINT) AS max_concurrent
+    FROM (SELECT day, count(*) AS n FROM clip GROUP BY 1) c
+    JOIN (SELECT day, max(conc) AS mx FROM r GROUP BY 1) x USING (day)
+    ORDER BY 1
+"""

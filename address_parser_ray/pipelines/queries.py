@@ -11041,6 +11041,167 @@ def q_token_transforms(sf_dir: str):
     )
 
 
+_MEDOID_CAP = 256  # members per cluster considered (row_number ≤ cap in SQL)
+
+
+def q_cluster_medoids(sf_dir: str):
+    """Cluster MEDOID election — per LSH cluster, the member that
+    minimizes total distance to the others (equivalently maximizes
+    Σ Jaccard over distinct 8-gram shingle-hash sets, in integer
+    micro-units) — the content-aware canonicalization step beyond
+    ``cluster_canonical``'s min-id rule (reference P3/J5 pick-best
+    semantics, fuzz/inexus_parser.py:1396-1443, where the best-scoring
+    candidate represents the entity).  Tie-break: (score DESC, doc_id
+    ASC), identical integers on both engines.
+
+    Shape: clusters come from the SQL-checkable LSH clustering
+    (``_mh_assignments``); the per-cluster greedy is one vectorized
+    O(m²) set pass bounded by a deterministic 256-member cap taken in
+    doc_id order (mirrored in SQL via row_number ≤ cap — the SemDeDup
+    cap discipline).  Normalized texts ride the same broadcast panel
+    as ``containment_pairs`` (at 100 TB: the rescore band's bucketed
+    ``pinned_join`` by id); the assignments shuffle carries (id,
+    label) only.  Full SQL oracle (recursive-CTE closure + shingle-set
+    self-join + argmax window)."""
+    from address_parser_ray.functions.hashing import char_shingle_hashes
+    from address_parser_ray.functions.normalize import normalize_content_arrow
+
+    asg = _mh_assignments(sf_dir)
+
+    def norm_texts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm": normalize_content_arrow(t["text"]),
+            }
+        )
+
+    texts = pa.concat_tables(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(norm_texts, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=1 << 18, batch_format="pyarrow")
+    )
+    tids = np.asarray(texts["doc_id"], dtype=np.int64)
+    torder = np.argsort(tids)
+    norms_sorted = [texts["norm"].to_pylist()[i] for i in torder]
+    texts_ref = ray.put((tids[torder], norms_sorted))
+
+    def medoid(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["record_id"].to_numpy(np.int64))
+        empty = pd.DataFrame(
+            {
+                "cluster_id": pd.Series([], dtype=np.int64),
+                "medoid_id": pd.Series([], dtype=np.int64),
+                "score_micro": pd.Series([], dtype=np.int64),
+                "n_members": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(ids) < 2:
+            return empty
+        ids = ids[:_MEDOID_CAP]
+        ids_sorted, norms = ray.get(texts_ref)
+        pos = np.searchsorted(ids_sorted, ids)
+        sets = [set(char_shingle_hashes(norms[int(p)], 8).tolist()) for p in pos]
+        k = len(ids)
+        score = np.zeros(k, dtype=np.int64)
+        for i in range(k):
+            si, li = sets[i], len(sets[i])
+            for j in range(i + 1, k):
+                ni = len(si & sets[j])
+                if ni:
+                    jp = ni * 1_000_000 // (li + len(sets[j]) - ni)
+                    score[i] += jp
+                    score[j] += jp
+        best = int(np.lexsort((ids, -score))[0])
+        return pd.DataFrame(
+            {
+                "cluster_id": np.array(
+                    [g["cluster_id"].iloc[0]], dtype=np.int64
+                ),
+                "medoid_id": np.array([ids[best]], dtype=np.int64),
+                "score_micro": np.array([score[best]], dtype=np.int64),
+                "n_members": np.array([k], dtype=np.int64),
+            }
+        )
+
+    return asg.groupby("cluster_id").map_groups(medoid, batch_format="pandas")
+
+
+def q_session_concurrency(sf_dir: str):
+    """Interval SWEEP-LINE — per day, how many sessions ever run
+    concurrently (peak load / capacity planning over the session
+    intervals that ``user_sessions`` builds).  Sessions use the same
+    30-minute-gap rule; each session [start, end] is clipped to day
+    boundaries (a midnight-spanning session counts in both days — the
+    standard interval-split), then each day runs one boundary sweep:
+    (+1 at clipped start, −1 at clipped end), sorted by (t, delta
+    DESC) so a session starting exactly when another ends counts as
+    concurrent — the tie rule is pinned identically in the SQL window
+    ORDER BY.  max concurrent = max of the running sum.
+
+    Shape: session building is the per-user-bucket vectorized pass
+    (lexsort + boundary diff — no per-user Python); the sweep
+    re-groups by day, whose groups hold session-interval rows (users ×
+    sessions-that-day), not events — bounded regardless of event
+    volume.  Two single-key shuffles total.  Full SQL oracle
+    (lag-gap sessionization + generate_series day split + windowed
+    running sum)."""
+    from address_parser_ray.rayutil import default_num_partitions
+
+    DAY = 86_400_000_000  # µs
+    nparts = default_num_partitions()
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(_add_user_bucket(nparts), batch_format="pyarrow")
+
+    def intervals_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        tsi = g["ts"].to_numpy().view("i8")  # µs since epoch
+        order = np.lexsort((tsi, uid))
+        uid, tsi = uid[order], tsi[order]
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap = np.concatenate([[True], (tsi[1:] - tsi[:-1]) > 1_800_000_000])
+        starts = np.flatnonzero(first | gap)
+        ends = np.append(starts[1:], uid.size) - 1
+        st, en = tsi[starts], tsi[ends]
+        # split every session across the days it touches (vectorized)
+        d0, d1 = st // DAY, en // DAY
+        ndays = (d1 - d0 + 1).astype(np.int64)
+        total = int(ndays.sum())
+        rep = np.repeat(np.arange(len(st)), ndays)
+        offs = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(ndays)[:-1]]), ndays
+        )
+        day = d0[rep] + offs
+        cst = np.maximum(st[rep], day * DAY)
+        cen = np.minimum(en[rep], day * DAY + DAY - 1)
+        return pd.DataFrame({"day": day, "cst": cst, "cen": cen})
+
+    def sweep_day(g: pd.DataFrame) -> pd.DataFrame:
+        cst = g["cst"].to_numpy(np.int64)
+        cen = g["cen"].to_numpy(np.int64)
+        t = np.concatenate([cst, cen])
+        d = np.concatenate(
+            [np.ones(len(cst), dtype=np.int64), -np.ones(len(cen), dtype=np.int64)]
+        )
+        order = np.lexsort((-d, t))  # +1 before -1 at equal t
+        conc = np.cumsum(d[order])
+        return pd.DataFrame(
+            {
+                "day_epoch": np.array([g["day"].iloc[0]], dtype=np.int64),
+                "n_sessions": np.array([len(g)], dtype=np.int64),
+                "max_concurrent": np.array([int(conc.max())], dtype=np.int64),
+            }
+        )
+
+    return (
+        ev.groupby("bucket")
+        .map_groups(intervals_bucket, batch_format="pandas")
+        .groupby("day")
+        .map_groups(sweep_day, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11081,6 +11242,8 @@ QUERIES = {
     "canonical_snap": q_canonical_snap,
     "signature_blocks": q_signature_blocks,
     "token_transforms": q_token_transforms,
+    "cluster_medoids": q_cluster_medoids,
+    "session_concurrency": q_session_concurrency,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

@@ -170,6 +170,8 @@ SQL_CHECKED = [
     "canonical_snap",
     "signature_blocks",
     "token_transforms",
+    "cluster_medoids",
+    "session_concurrency",
 ]
 
 
