@@ -3550,3 +3550,24 @@ ORACLE_SQL["session_concurrency"] = """
     JOIN (SELECT day, max(conc) AS mx FROM r GROUP BY 1) x USING (day)
     ORDER BY 1
 """
+
+# Balanced shard assignment: size-rank round-robin striping.
+ORACLE_SQL["shard_balance"] = """
+    WITH d AS (
+        SELECT doc_id,
+               octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n_bytes
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_bytes,
+               row_number() OVER (ORDER BY n_bytes DESC, doc_id) AS rn
+        FROM d
+    ),
+    a AS (SELECT (rn - 1) % 16 AS shard, n_bytes FROM r)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+           CAST(max(n_bytes) AS BIGINT) AS max_bytes
+    FROM a GROUP BY 1 ORDER BY 1
+"""

@@ -11202,6 +11202,167 @@ def q_session_concurrency(sf_dir: str):
     )
 
 
+_SHARD_K = 16  # output shards
+
+
+def q_shard_balance(sf_dir: str):
+    """Balanced training-shard assignment — size-rank round-robin: docs
+    are ranked by (bytes DESC, doc_id), shard = (rank−1) mod K.  The
+    striped assignment bounds shard-size spread by one max-doc (vs the
+    2x spread of naive hash placement) — the shard-writing step of a
+    training-data pipeline, and the planning audit for it.
+
+    Shape: the exact global rank reuses the ``user_spend_ranks``
+    distributed-rank primitive — (doc_id, n_bytes) panel, deterministic
+    boundary sample → range partitions on n_bytes only (equal sizes
+    never straddle a partition), per-partition counts → exclusive
+    prefix offsets (one nparts-int driver fold), local sort + offset.
+    No global sort materialization; content never moves — only the
+    16-byte (id, size) panel, twice.  Per-shard rollups ride the same
+    pass as partials into one K-row combine.  SQL twin: row_number()
+    OVER (ORDER BY n_bytes DESC, doc_id) striping."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def size_panel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nb = pc.binary_length(
+            pc.cast(pc.coalesce(t["text"], ""), pa.binary())
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": pc.cast(nb, pa.int64()),
+            }
+        )
+
+    panel = docs.map_batches(
+        size_panel, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    sample = np.sort(
+        np.concatenate(
+            [
+                np.asarray(b["n_bytes"])[np.asarray(b["doc_id"]) % 101 == 0]
+                for b in panel.iter_batches(
+                    batch_size=1 << 18, batch_format="pyarrow"
+                )
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    nb_ = min(nparts - 1, len(sample))
+    bounds = (
+        sample[np.linspace(0, len(sample) - 1, nb_ + 2)[1:-1].astype(int)]
+        if nb_ > 0
+        else np.empty(0, np.int64)
+    )
+    bref = ray.put(np.unique(bounds))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        bnds = ray.get(bref)
+        p = np.searchsorted(
+            bnds, np.asarray(t["n_bytes"], dtype=np.int64), side="right"
+        ).astype(np.int64)
+        return t.append_column("part", pa.array(p))
+
+    parted = panel.map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    cnt = np.zeros(len(np.unique(bounds)) + 1, dtype=np.int64)
+    for b in parted.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        idx, c = np.unique(np.asarray(b["part"]), return_counts=True)
+        cnt[idx] += c
+    total = int(cnt.sum())
+    offsets = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    oref = ray.put((offsets, total))
+
+    def shard_partial(g: pd.DataFrame) -> pd.DataFrame:
+        offs, n_total = ray.get(oref)
+        g = g.sort_values(["n_bytes", "doc_id"], ascending=[True, False])
+        base = int(offs[int(g["part"].iloc[0])])
+        rank_asc = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        rn_desc = n_total + 1 - rank_asc
+        shard = (rn_desc - 1) % _SHARD_K
+        nb2 = g["n_bytes"].to_numpy(np.int64)
+        h = pd.DataFrame({"shard": shard, "n_bytes": nb2}).groupby(
+            "shard", as_index=False
+        )["n_bytes"].agg(["count", "sum", "min", "max"])
+        return pd.DataFrame(
+            {
+                "shard": h["shard"].astype(np.int64),
+                "part_docs": h["count"].astype(np.int64),
+                "part_bytes": h["sum"].astype(np.int64),
+                "part_min": h["min"].astype(np.int64),
+                "part_max": h["max"].astype(np.int64),
+            }
+        )
+
+    def shard_final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "shard": np.array([g["shard"].iloc[0]], dtype=np.int64),
+                "n_docs": np.array([int(g["part_docs"].sum())], dtype=np.int64),
+                "total_bytes": np.array(
+                    [int(g["part_bytes"].sum())], dtype=np.int64
+                ),
+                "min_bytes": np.array([int(g["part_min"].min())], dtype=np.int64),
+                "max_bytes": np.array([int(g["part_max"].max())], dtype=np.int64),
+            }
+        )
+
+    return (
+        parted.groupby("part")
+        .map_groups(shard_partial, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(shard_final, batch_format="pandas")
+    )
+
+
+def q_compression_quality(sf_dir: str):
+    """Compressibility quality signal — per-doc zlib (level 6) ratio in
+    ppm: highly compressible text is repetitive/boilerplate (the
+    Gopher/FineWeb-style curation feature next to ``repetition_stats``'
+    duplicate-n-gram fraction; both feed the same keep/drop decision).
+    Output per doc: raw UTF-8 bytes, compressed bytes, ratio_ppm =
+    zlib_len·10⁶ // n_bytes, and the is_repetitive flag (ratio below
+    250 000 — compresses 4:1 or better).  Stateless vectorizable
+    ``map_batches`` (zlib releases the GIL; one C call per doc, no
+    content shuffle — the signal panel is 4 ints/doc).  Rows-only by
+    nature (no zlib in the SQL engine); determinism and the
+    repetitive-vs-varied ordering property are pytest-pinned."""
+    import zlib
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def comp(t: pa.Table) -> pa.Table:
+        out_n, out_z, out_r = [], [], []
+        for s in t["text"].to_pylist():
+            raw = (s or "").encode("utf-8")
+            z = len(zlib.compress(raw, 6))
+            n = len(raw)
+            out_n.append(n)
+            out_z.append(z)
+            out_r.append(z * 1_000_000 // n if n else 1_000_000)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": pa.array(out_n, type=pa.int64()),
+                "zlib_bytes": pa.array(out_z, type=pa.int64()),
+                "ratio_ppm": pa.array(out_r, type=pa.int64()),
+                "is_repetitive": pa.array(
+                    [r < 250_000 for r in out_r], type=pa.bool_()
+                ),
+            }
+        )
+
+    return docs.map_batches(comp, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11244,6 +11405,8 @@ QUERIES = {
     "token_transforms": q_token_transforms,
     "cluster_medoids": q_cluster_medoids,
     "session_concurrency": q_session_concurrency,
+    "shard_balance": q_shard_balance,
+    "compression_quality": q_compression_quality,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

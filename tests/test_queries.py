@@ -172,6 +172,7 @@ SQL_CHECKED = [
     "token_transforms",
     "cluster_medoids",
     "session_concurrency",
+    "shard_balance",
 ]
 
 
@@ -216,6 +217,53 @@ def test_signature_blocks_semantics(ray_session):
     assert (df["n_pairs"] == df["n_names"] * (df["n_names"] - 1) // 2).all()
     pref = df[df["kind"] == "prefix"]
     assert len(pref) and pref["rep"].str.split(" ").str[0].eq(pref["sig"]).all()
+
+
+def test_compression_quality_properties(ray_session, con):
+    """zlib ratio signal: covers every doc, ratios positive and
+    deterministic; the is_repetitive rule matches the ratio column;
+    and the signal orders repetitive below varied text (checked on
+    synthetic strings with the same zlib level the query uses)."""
+    import zlib
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["compression_quality"](SF).to_pandas()
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(df) == n_docs
+    assert (df["ratio_ppm"] > 0).all()
+    assert (
+        df["is_repetitive"] == (df["ratio_ppm"] < 250_000)
+    ).all()
+    assert (
+        df["ratio_ppm"]
+        == df["zlib_bytes"] * 1_000_000 // df["n_bytes"].clip(lower=1)
+    ).all()
+
+    def ratio(s: str) -> int:
+        raw = s.encode()
+        return len(zlib.compress(raw, 6)) * 1_000_000 // len(raw)
+
+    import hashlib
+
+    rep = ratio("import os\n" * 2000)
+    varied = ratio(
+        "".join(hashlib.md5(str(i).encode()).hexdigest() for i in range(2000))
+    )
+    assert rep < 250_000 < varied  # the flag separates the two regimes
+
+
+def test_shard_balance_spread(ray_session):
+    """Size-rank striping must balance shards: every shard gets within
+    one doc of n/K docs, and byte totals spread far tighter than the
+    max-doc size (the property hash placement cannot give)."""
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["shard_balance"](SF).to_pandas()
+    assert len(df) == 16
+    assert df["n_docs"].max() - df["n_docs"].min() <= 1
+    spread = int(df["total_bytes"].max() - df["total_bytes"].min())
+    assert spread <= int(df["max_bytes"].max())
 
 
 def test_hll_distinct_accuracy(ray_session, con):
