@@ -3571,3 +3571,33 @@ ORACLE_SQL["shard_balance"] = """
            CAST(max(n_bytes) AS BIGINT) AS max_bytes
     FROM a GROUP BY 1 ORDER BY 1
 """
+
+# INT8 quantization audit: per-dim affine quantize on the milli-grid;
+# all division operands nonnegative so // semantics agree.
+ORACLE_SQL["embedding_quantize"] = """
+    WITH v AS (
+        SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    ), m AS (
+        SELECT CAST(dim AS BIGINT) AS dim,
+               CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xm
+        FROM v
+    ), mm AS (
+        SELECT dim, min(xm) AS mn, max(xm) AS mx FROM m GROUP BY 1
+    ), qq AS (
+        SELECT m.dim, m.xm, mm.mn, mm.mx,
+               CASE WHEN mm.mx > mm.mn
+                    THEN (m.xm - mm.mn) * 255 // (mm.mx - mm.mn)
+                    ELSE 0 END AS q
+        FROM m JOIN mm USING (dim)
+    ), r AS (
+        SELECT dim, xm, q, mn + q * (mx - mn) // 255 AS recon FROM qq
+    )
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(q) AS BIGINT) AS sum_q,
+           CAST(sum(abs(xm - recon)) AS BIGINT) AS sum_abs_err_milli,
+           CAST(max(abs(xm - recon)) AS BIGINT) AS max_abs_err_milli
+    FROM r GROUP BY 1 ORDER BY 1
+"""

@@ -11363,6 +11363,104 @@ def q_compression_quality(sf_dir: str):
     return docs.map_batches(comp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_embedding_quantize(sf_dir: str):
+    """INT8 embedding quantization audit — per-dim min/max affine
+    quantization to [0, 255] with exact integer arithmetic throughout:
+    q = (x − min)·255 // (max − min) on the milli-grid, recon = min +
+    q·(max − min) // 255, reported per dim as Σq plus the summed and
+    max absolute reconstruction error in milli-units.  This is the
+    vector-compression planning pass (4× memory cut for the ANN /
+    SemDeDup stages) with its error budget measured, not guessed.
+    All operands are nonnegative, so // floor-vs-trunc semantics never
+    diverge between engines.
+
+    Shape: pass 1 = the ``embedding_dim_stats`` per-dim min/max panel
+    (blocks × dims partials, one combine, 64-row broadcast); pass 2 =
+    stateless zero-copy quantize emitting per-dim error partials; one
+    single-key combine.  Vectors never shuffle — only (dims)-row
+    panels.  Full SQL oracle (unnest + the same integer formulas)."""
+    emb_ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        emb = np.asarray(
+            t["embedding"].combine_chunks().flatten(), dtype=np.float64
+        ).reshape(t.num_rows, -1)
+        milli = np.floor(emb * 1000.0).astype(np.int64)
+        d = milli.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "mn": pa.array(milli.min(axis=0)),
+                "mx": pa.array(milli.max(axis=0)),
+            }
+        )
+
+    def minmax_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "dim": [int(g["dim"].iloc[0])],
+                "mn": [int(g["mn"].min())],
+                "mx": [int(g["mx"].max())],
+            }
+        )
+
+    panel = (
+        emb_ds.map_batches(
+            minmax_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("dim")
+        .map_groups(minmax_combine, batch_format="pandas")
+        .to_pandas()
+        .sort_values("dim")
+    )
+    mn = panel["mn"].to_numpy(np.int64)
+    mx = panel["mx"].to_numpy(np.int64)
+    pref = ray.put((mn, mx))
+
+    def quant_partial(t: pa.Table) -> pa.Table:
+        mn_, mx_ = ray.get(pref)
+        emb = np.asarray(
+            t["embedding"].combine_chunks().flatten(), dtype=np.float64
+        ).reshape(t.num_rows, -1)
+        milli = np.floor(emb * 1000.0).astype(np.int64)
+        span = np.maximum(mx_ - mn_, 1)
+        q = (milli - mn_[None, :]) * 255 // span[None, :]
+        q[:, mx_ == mn_] = 0
+        recon = mn_[None, :] + q * (mx_ - mn_)[None, :] // 255
+        err = np.abs(milli - recon)
+        d = milli.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "n": pa.array(np.full(d, milli.shape[0], dtype=np.int64)),
+                "sum_q": pa.array(q.sum(axis=0)),
+                "sum_abs_err_milli": pa.array(err.sum(axis=0)),
+                "max_abs_err_milli": pa.array(err.max(axis=0)),
+            }
+        )
+
+    def quant_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "dim": [int(g["dim"].iloc[0])],
+                "n": [int(g["n"].sum())],
+                "sum_q": [int(g["sum_q"].sum())],
+                "sum_abs_err_milli": [int(g["sum_abs_err_milli"].sum())],
+                "max_abs_err_milli": [int(g["max_abs_err_milli"].max())],
+            }
+        )
+
+    return (
+        emb_ds.map_batches(
+            quant_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("dim")
+        .map_groups(quant_combine, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11407,6 +11505,7 @@ QUERIES = {
     "session_concurrency": q_session_concurrency,
     "shard_balance": q_shard_balance,
     "compression_quality": q_compression_quality,
+    "embedding_quantize": q_embedding_quantize,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

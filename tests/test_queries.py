@@ -173,6 +173,7 @@ SQL_CHECKED = [
     "cluster_medoids",
     "session_concurrency",
     "shard_balance",
+    "embedding_quantize",
 ]
 
 
