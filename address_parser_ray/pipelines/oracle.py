@@ -3601,3 +3601,24 @@ ORACLE_SQL["embedding_quantize"] = """
            CAST(max(abs(xm - recon)) AS BIGINT) AS max_abs_err_milli
     FROM r GROUP BY 1 ORDER BY 1
 """
+
+# Full-outer cross-system reconciliation: urgent orders vs purchase
+# events per key, null-filled and side-classified.
+ORACLE_SQL["activity_reconcile"] = """
+    WITH l AS (
+        SELECT o_custkey AS k, count(*) AS n
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    ),
+    r AS (
+        SELECT user_id AS k, count(*) AS n
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT COALESCE(l.k, r.k) AS user_key,
+           CAST(COALESCE(l.n, 0) AS BIGINT) AS n_urgent_orders,
+           CAST(COALESCE(r.n, 0) AS BIGINT) AS n_purchases,
+           CASE WHEN l.k IS NULL THEN 'events_only'
+                WHEN r.k IS NULL THEN 'orders_only'
+                ELSE 'both' END AS side
+    FROM l FULL OUTER JOIN r ON l.k = r.k
+    ORDER BY 1
+"""

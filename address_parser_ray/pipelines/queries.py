@@ -11461,6 +11461,89 @@ def q_embedding_quantize(sf_dir: str):
     )
 
 
+def q_activity_reconcile(sf_dir: str):
+    """FULL-OUTER reconciliation across two fact systems — per key,
+    urgent-order count (orders table) vs purchase-event count (events
+    table), keeping keys present in EITHER side null-filled-to-zero and
+    classifying each as both / orders_only / events_only.  The
+    cross-system audit shape (order book vs clickstream) that inner /
+    anti joins cannot express; rides the ``pinned_join`` full-outer
+    path (per-bucket Arrow full outers compose into the global one
+    because both sides hash on the same key).
+
+    Shape: each side pre-aggregates to a (key, count) panel before the
+    join — per-batch partials, one key-bucket combine — so the join
+    moves key-cardinality rows, never facts.  Full SQL oracle
+    (FULL OUTER JOIN + COALESCE)."""
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions, pinned_join
+
+    nparts = default_num_partitions()
+
+    def panel(ds, keycol, outcol):
+        def part(t: pa.Table) -> pa.Table:
+            k = np.asarray(t[keycol], dtype=np.int64)
+            uniq, cnt = np.unique(k, return_counts=True)
+            kb = (splitmix64(uniq.view(np.uint64)) % np.uint64(nparts)).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "kb": pa.array(kb),
+                    "key": pa.array(uniq),
+                    "part_n": pa.array(cnt.astype(np.int64)),
+                }
+            )
+
+        def comb(g: pd.DataFrame) -> pd.DataFrame:
+            h = g.groupby("key", as_index=False)["part_n"].sum()
+            return pd.DataFrame(
+                {
+                    "key": h["key"].astype(np.int64),
+                    outcol: h["part_n"].astype(np.int64),
+                }
+            )
+
+        return (
+            ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("kb")
+            .map_groups(comb, batch_format="pandas")
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    ).filter(expr="event_type == 'purchase'")
+
+    lt = panel(orders, "o_custkey", "n_urgent_orders")
+    rt = panel(events, "user_id", "n_purchases")
+    joined = pinned_join(
+        lt, rt, on="key", num_partitions=nparts, join_type="full outer"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        no = df["n_urgent_orders"]
+        np_ = df["n_purchases"]
+        side = np.where(
+            no.isna(), "events_only", np.where(np_.isna(), "orders_only", "both")
+        )
+        return pa.table(
+            {
+                "user_key": pa.array(df["key"].to_numpy(np.int64)),
+                "n_urgent_orders": pa.array(
+                    no.fillna(0).to_numpy(np.int64)
+                ),
+                "n_purchases": pa.array(np_.fillna(0).to_numpy(np.int64)),
+                "side": pa.array(side, type=pa.string()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11506,6 +11589,7 @@ QUERIES = {
     "shard_balance": q_shard_balance,
     "compression_quality": q_compression_quality,
     "embedding_quantize": q_embedding_quantize,
+    "activity_reconcile": q_activity_reconcile,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

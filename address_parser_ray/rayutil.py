@@ -174,10 +174,18 @@ def pinned_join(
     the right; only the right KEYS travel through the shuffle (payload
     dropped at the tag stage), so the anti side is as light as a
     semi-join filter.
+
+    ``join_type="full outer"`` keeps unmatched rows from BOTH sides
+    (missing side null-filled) — per-bucket Arrow full-outer joins are
+    exactly the global full outer because both sides hash on the same
+    key, so no key can match across buckets.
     """
-    if join_type not in ("inner", "left anti"):
-        raise NotImplementedError("only inner / left-anti joins are used")
+    if join_type not in ("inner", "left anti", "full outer"):
+        raise NotImplementedError(
+            "only inner / left-anti / full-outer joins are used"
+        )
     anti = join_type == "left anti"
+    fullo = join_type == "full outer"
     right_on = right_on or on
     ls, rs = _arrow_schema(left), _arrow_schema(right)
     lpay = [c for c in ls.names if c != on]
@@ -235,7 +243,7 @@ def pinned_join(
     def join_bucket(g: pa.Table) -> pa.Table:
         side = np.asarray(g["__side"])
         lmask = side == 0
-        if not lmask.any() or (lmask.all() and not anti):
+        if not fullo and (not lmask.any() or (lmask.all() and not anti)):
             return out_schema.empty_table()
         lt_rows = g.filter(pa.array(lmask))
         rt_rows = g.filter(pa.array(~lmask))
@@ -245,7 +253,8 @@ def pinned_join(
         rt = pa.table(
             {"__key": rt_rows["__key"], **{ren[c]: rt_rows["r." + ren[c]] for c in rpay}}
         )
-        j = lt.join(rt, keys=["__key"], join_type="left anti" if anti else "inner")
+        jt = "left anti" if anti else ("full outer" if fullo else "inner")
+        j = lt.join(rt, keys=["__key"], join_type=jt)
         cols = {on: j["__key"].cast(key_type)}
         for c in lpay:
             cols[c] = j[c]

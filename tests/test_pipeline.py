@@ -257,6 +257,35 @@ def test_pinned_join_left_anti(ray_session):
     assert sorted(out3["k"].tolist()) == [1, 2, 3, 4, 5]
 
 
+def test_pinned_join_full_outer(ray_session):
+    """Full-outer pinned_join: matched rows join, unmatched rows from
+    BOTH sides survive null-filled, duplicate keys fan out, and the
+    per-bucket joins compose into the exact global full outer."""
+    import pyarrow as pa
+    import ray
+
+    from address_parser_ray.rayutil import pinned_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": [1, 2, 3, 4], "name": list("abcd")})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": [2, 4, 4, 9], "val": [20, 40, 41, 90]})
+    )
+    out = (
+        pinned_join(left, right, on="k", right_on="rk", join_type="full outer")
+        .to_pandas()
+        .sort_values(["k", "val"], na_position="last")
+        .reset_index(drop=True)
+    )
+    # 1,3 left-only; 2 matched; 4 fans out twice; 9 right-only
+    assert len(out) == 6
+    assert out[out["name"].isna()]["val"].tolist() == [90]
+    assert sorted(out[out["val"].isna()]["name"].tolist()) == ["a", "c"]
+    assert sorted(out[out["k"] == 4]["val"].tolist()) == [40, 41]
+    assert out[out["k"] == 2]["val"].tolist() == [20]
+
+
 def test_kmeans_fit_monotone_objective(ray_session):
     """Spherical k-means over the embeddings table: the cosine objective
     must be non-decreasing across Lloyd iterations (the property that

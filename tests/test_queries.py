@@ -174,6 +174,7 @@ SQL_CHECKED = [
     "session_concurrency",
     "shard_balance",
     "embedding_quantize",
+    "activity_reconcile",
 ]
 
 
