@@ -3622,3 +3622,25 @@ ORACLE_SQL["activity_reconcile"] = """
     FROM l FULL OUTER JOIN r ON l.k = r.k
     ORDER BY 1
 """
+
+# m-estimate smoothed source quality: shrink per-source mean length
+# toward the corpus mean with m = 50 pseudo-counts, milli-integer.
+ORACLE_SQL["source_quality_prior"] = """
+    WITH d AS (
+        SELECT source, length(COALESCE(text, '')) AS L FROM documents
+    ),
+    s AS (
+        SELECT source, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(L) AS HUGEINT) AS sl
+        FROM d GROUP BY 1
+    ),
+    g AS (
+        SELECT sum(sl) * 1000 // sum(n) AS prior FROM s
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(sl * 1000 // n AS BIGINT) AS mean_len_milli,
+           CAST((sl * 1000 + 50 * prior) // (n + 50) AS BIGINT)
+               AS smoothed_milli
+    FROM s, g ORDER BY 1
+"""

@@ -11544,6 +11544,72 @@ def q_activity_reconcile(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+_MEST_M = 50  # pseudo-count weight of the global prior
+
+
+def q_source_quality_prior(sf_dir: str):
+    """m-estimate SMOOTHED source quality — per-source mean doc length
+    shrunk toward the corpus mean with m = 50 pseudo-counts:
+    smoothed = (Σlen·1000 + m·prior) // (n + m), prior = corpus mean in
+    milli-chars.  The Bayesian-shrinkage rollup every curation pipeline
+    needs before ranking SOURCES by a per-doc signal: a 3-doc crawl
+    cannot outrank a 30 000-doc one on noise (reference analogue: the
+    specificity-aware ranking that keeps low-evidence candidates from
+    winning, fuzz/inexus_parser.py:2926-2937).  Pure-integer milli
+    arithmetic; all division operands nonnegative.
+
+    Shape: per-batch (source, n, Σlen) partials → one key combine; the
+    global prior folds from the sources-sized panel itself (tiny by
+    definition) and broadcasts back.  Full SQL oracle (two-level CTE
+    with the same integer formula)."""
+    docs = _docs(sf_dir, ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ln = df["text"].fillna("").str.len().to_numpy(np.int64)
+        g = pd.DataFrame({"source": df["source"], "n": 1, "sl": ln}).groupby(
+            "source", as_index=False
+        ).agg({"n": "sum", "sl": "sum"})
+        g["n"] = g["n"].astype(np.int64)
+        g["sl"] = g["sl"].astype(np.int64)
+        return g
+
+    panel = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "source": [g["source"].iloc[0]],
+                    "n": np.array([int(g["n"].sum())], dtype=np.int64),
+                    "sl": np.array([int(g["sl"].sum())], dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    tot = panel.to_pandas()
+    prior_milli = int(tot["sl"].sum()) * 1000 // max(1, int(tot["n"].sum()))
+    pref = ray.put(prior_milli)
+
+    def smooth(t: pa.Table) -> pa.Table:
+        prior = ray.get(pref)
+        n = np.asarray(t["n"], dtype=np.int64)
+        sl = np.asarray(t["sl"], dtype=np.int64)
+        mean = sl * 1000 // np.maximum(n, 1)
+        smoothed = (sl * 1000 + _MEST_M * prior) // (n + _MEST_M)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pa.array(n),
+                "mean_len_milli": pa.array(mean),
+                "smoothed_milli": pa.array(smoothed),
+            }
+        )
+
+    return panel.map_batches(smooth, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11590,6 +11656,7 @@ QUERIES = {
     "compression_quality": q_compression_quality,
     "embedding_quantize": q_embedding_quantize,
     "activity_reconcile": q_activity_reconcile,
+    "source_quality_prior": q_source_quality_prior,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

@@ -175,6 +175,7 @@ SQL_CHECKED = [
     "shard_balance",
     "embedding_quantize",
     "activity_reconcile",
+    "source_quality_prior",
 ]
 
 
