@@ -11610,6 +11610,127 @@ def q_source_quality_prior(sf_dir: str):
     return panel.map_batches(smooth, batch_format="pyarrow")
 
 
+_PC_ITERS = 5
+
+
+def q_embedding_top_pc(sf_dir: str):
+    """Top principal component by POWER ITERATION — the iterative
+    linear-algebra loop (beside the k-means fit and PageRank): v ←
+    normalize(Xcᵀ(Xc v)) over mean-centered embeddings, 5 rounds.
+    Every distributed quantity is EXACT INTEGER so the combine is
+    order-free and runs are bit-identical at any parallelism:
+    embeddings quantize per element to the milli-grid (row-local, batch-
+    independent), the center is the integer milli-mean, each pass emits
+    per-dim partials of Xcᵀ(Xc v) in pure int64 (one matmul pair per
+    batch, vectors never shuffle — only (dims)-row panels), and only
+    the driver-side normalize of the 64-int result touches floats
+    (deterministic given the ints).  Output: (dim, v_milli, lam_milli)
+    — λ = Rayleigh quotient in milli-units.  Rows-only (iterative float
+    normalize isn't SQL); pytest pins run-to-run determinism, unit
+    norm, and the Rayleigh quotient against numpy's exact λ_max (the
+    fixture spectrum is nearly flat, so the eigenvalue — not the
+    ill-conditioned eigenvector — is the honest 5-round guarantee).
+    int64 headroom: |partial| ≤ rows·2e3·(d·2e3·1e3) ≈ 2.6e14 per
+    1000-row batch; combine overflows only past ~10^4 blocks per dim —
+    swap the combine to Python int (HUGEINT-style) beyond that."""
+    emb_ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).materialize()
+
+    def milli_panel(t: pa.Table) -> pa.Table:
+        emb = np.asarray(
+            t["embedding"].combine_chunks().flatten(), dtype=np.float64
+        ).reshape(t.num_rows, -1)
+        m = np.floor(emb * 1000.0).astype(np.int64)
+        d = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "n": pa.array(np.full(d, m.shape[0], dtype=np.int64)),
+                "s": pa.array(m.sum(axis=0)),
+            }
+        )
+
+    stats = (
+        emb_ds.map_batches(
+            milli_panel, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("dim")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "dim": [int(g["dim"].iloc[0])],
+                    "n": [int(g["n"].sum())],
+                    "s": [int(g["s"].sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("dim")
+    )
+    n_rows = int(stats["n"].iloc[0])
+    mu = (stats["s"].to_numpy(np.int64) // max(1, n_rows)).astype(np.int64)
+    d = len(mu)
+
+    v = np.full(d, 1000 // 1, dtype=np.int64)  # un-normalized start
+    lam_milli = 0
+    for _ in range(_PC_ITERS):
+        ref = ray.put((mu, v))
+
+        def w_partial(t: pa.Table) -> pa.Table:
+            mu_, v_ = ray.get(ref)
+            emb = np.asarray(
+                t["embedding"].combine_chunks().flatten(), dtype=np.float64
+            ).reshape(t.num_rows, -1)
+            xc = np.floor(emb * 1000.0).astype(np.int64) - mu_[None, :]
+            y = xc @ v_
+            w = xc.T @ y
+            return pa.table(
+                {
+                    "dim": pa.array(
+                        np.arange(1, len(w) + 1, dtype=np.int64)
+                    ),
+                    "w": pa.array(w),
+                }
+            )
+
+        wp = (
+            emb_ds.map_batches(
+                w_partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("dim")
+            .map_groups(
+                lambda g: pd.DataFrame(
+                    {
+                        "dim": [int(g["dim"].iloc[0])],
+                        "w": [int(g["w"].sum())],
+                    }
+                ),
+                batch_format="pandas",
+            )
+            .to_pandas()
+            .sort_values("dim")
+        )
+        w = wp["w"].to_numpy(np.int64)
+        vn = np.linalg.norm(v.astype(np.float64))
+        wn = np.linalg.norm(w.astype(np.float64))
+        if wn == 0:
+            break
+        lam_milli = int(
+            np.floor(float(v @ w) / (vn * vn) / 1_000.0 + 1e-7)
+        )  # Rayleigh vᵀCv/vᵀv on the milli² grid → milli
+        v = np.floor(w / wn * 1000.0 + 1e-7).astype(np.int64)
+
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "v_milli": pa.array(v),
+            "lam_milli": pa.array(np.full(d, lam_milli, dtype=np.int64)),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11657,6 +11778,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "activity_reconcile": q_activity_reconcile,
     "source_quality_prior": q_source_quality_prior,
+    "embedding_top_pc": q_embedding_top_pc,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

@@ -269,6 +269,41 @@ def test_shard_balance_spread(ray_session):
     assert spread <= int(df["max_bytes"].max())
 
 
+def test_embedding_top_pc_vs_numpy(ray_session):
+    """Power iteration must (a) be bit-identical across runs (the
+    integer-iterate guarantee), (b) emit a ~unit vector, and (c) reach
+    a Rayleigh quotient close to numpy's exact λ_max of the centered
+    milli-grid covariance.  The fixture spectrum is nearly flat
+    (synthetic embeddings ⇒ λ₁/λ₂ ≈ 1.07), so the eigenVECTOR is
+    ill-conditioned — the honest power-iteration guarantee at 5 rounds
+    is the eigenvalue estimate, measured at ~0.85·λ_max here (vs the
+    spectrum mean at 0.54·λ_max); the bound asserts ≥ 0.75."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    t1 = QUERIES["embedding_top_pc"](SF).to_pandas().sort_values("dim")
+    t2 = QUERIES["embedding_top_pc"](SF).to_pandas().sort_values("dim")
+    assert t1.reset_index(drop=True).equals(t2.reset_index(drop=True))
+
+    v = t1["v_milli"].to_numpy(np.int64).astype(np.float64) / 1000.0
+    assert abs(np.linalg.norm(v) - 1.0) < 0.05
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    X = np.asarray(
+        emb["embedding"].combine_chunks().flatten(), dtype=np.float64
+    ).reshape(emb.num_rows, -1)
+    Xm = np.floor(X * 1000.0).astype(np.int64)
+    mu = Xm.sum(axis=0) // Xm.shape[0]
+    Xc = (Xm - mu).astype(np.float64)
+    w = np.linalg.eigvalsh(Xc.T @ Xc)
+    lam = float(t1["lam_milli"].iloc[0]) * 1000.0  # back to milli² units
+    assert lam <= w[-1] * 1.001  # Rayleigh never exceeds λ_max
+    assert lam >= 0.75 * w[-1]  # and beats the flat-spectrum mean easily
+    assert lam >= 1.2 * float(w.mean())
+
+
 def test_hll_distinct_accuracy(ray_session, con):
     """The stored register state must support both estimator branches:
     the raw integer estimate rides in the row; the small-range
