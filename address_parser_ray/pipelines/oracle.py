@@ -3644,3 +3644,26 @@ ORACLE_SQL["source_quality_prior"] = """
                AS smoothed_milli
     FROM s, g ORDER BY 1
 """
+
+# Dedup ROI: per-source byte savings of exact dedup; identical texts
+# have identical lengths so totals fold from the distinct-text panel.
+ORACLE_SQL["dedup_savings"] = """
+    WITH d AS (
+        SELECT source, md5(COALESCE(text, '')) AS h,
+               octet_length(CAST(COALESCE(text, '') AS BLOB)) AS nb
+        FROM documents
+    ),
+    g AS (
+        SELECT source, h, CAST(count(*) AS HUGEINT) AS n,
+               CAST(min(nb) AS HUGEINT) AS nb
+        FROM d GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(n * nb) AS BIGINT) AS bytes_total,
+           CAST(sum(nb) AS BIGINT) AS bytes_unique,
+           CAST((sum(n * nb) - sum(nb)) * 1000000
+                // greatest(sum(n * nb), 1) AS BIGINT) AS saved_ppm
+    FROM g GROUP BY 1 ORDER BY 1
+"""

@@ -11731,6 +11731,81 @@ def q_embedding_top_pc(sf_dir: str):
     )
 
 
+def q_dedup_savings(sf_dir: str):
+    """Dedup ROI report — per source, the byte savings exact dedup
+    would deliver: n_docs vs n_unique (distinct text), total stored
+    bytes vs bytes after keeping one representative per duplicate
+    group, and saved_ppm.  This is the report that justifies running
+    the dedup pipeline at all (and the per-source view says WHERE the
+    duplication lives — crawl A re-crawling crawl B).  Identical texts
+    have identical byte lengths, so total bytes = Σ n·bytes over
+    distinct texts — one (source, md5) panel carries everything.
+
+    Shape: per-batch distinct (source|md5, n, bytes) partials → one
+    fused-key combine (shuffle bounded by distinct texts, never docs)
+    → a sources-sized rollup.  Pure-integer ppm.  Full SQL oracle."""
+    docs = _docs(sf_dir, ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_60bit(df["text"].tolist())
+        nb = (
+            df["text"].fillna("").str.encode("utf-8").str.len().to_numpy(np.int64)
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "key": df["source"].astype(str)
+                    + "\x1f"
+                    + pd.Series(h).astype(str),
+                    "n": np.int64(1),
+                    "nb": nb,
+                }
+            )
+            .groupby("key", as_index=False)
+            .agg({"n": "sum", "nb": "min"})
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["nb"] = g["nb"].astype(np.int64)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        source = g["key"].iloc[0].split("\x1f", 1)[0]
+        return pd.DataFrame(
+            {
+                "source": [source],
+                "n": np.array([int(g["n"].sum())], dtype=np.int64),
+                "nb": np.array([int(g["nb"].min())], dtype=np.int64),
+            }
+        )
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(np.int64)
+        nb = g["nb"].to_numpy(np.int64)
+        total = int((n * nb).sum())
+        uniq = int(nb.sum())
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": np.array([int(n.sum())], dtype=np.int64),
+                "n_unique": np.array([len(g)], dtype=np.int64),
+                "bytes_total": np.array([total], dtype=np.int64),
+                "bytes_unique": np.array([uniq], dtype=np.int64),
+                "saved_ppm": np.array(
+                    [(total - uniq) * 1_000_000 // max(total, 1)],
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("key")
+        .map_groups(combine, batch_format="pandas")
+        .groupby("source")
+        .map_groups(rollup, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11779,6 +11854,7 @@ QUERIES = {
     "activity_reconcile": q_activity_reconcile,
     "source_quality_prior": q_source_quality_prior,
     "embedding_top_pc": q_embedding_top_pc,
+    "dedup_savings": q_dedup_savings,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

@@ -176,6 +176,7 @@ SQL_CHECKED = [
     "embedding_quantize",
     "activity_reconcile",
     "source_quality_prior",
+    "dedup_savings",
 ]
 
 
