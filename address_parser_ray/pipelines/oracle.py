@@ -3667,3 +3667,36 @@ ORACLE_SQL["dedup_savings"] = """
                 // greatest(sum(n * nb), 1) AS BIGINT) AS saved_ppm
     FROM g GROUP BY 1 ORDER BY 1
 """
+
+# Association lift over the top-32 vocabulary: integer ppm lift —
+# nb·N·10^6 // (na·nb) — no float probability on either engine.
+ORACLE_SQL["token_lift"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(COALESCE(text, ''), '\\s+')) AS tok
+        FROM documents
+    ), tc AS (
+        SELECT tok, count(*) AS n FROM toks WHERE tok != '' GROUP BY 1
+    ), top AS (
+        SELECT tok FROM tc ORDER BY n DESC, tok LIMIT 32
+    ), dt AS (
+        SELECT DISTINCT doc_id, tok FROM toks
+        WHERE tok IN (SELECT tok FROM top)
+    ), cnt AS (
+        SELECT tok, CAST(count(*) AS HUGEINT) AS n FROM dt GROUP BY 1
+    ), nd AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n FROM documents
+    ), prs AS (
+        SELECT a.tok AS ta, b.tok AS tb, CAST(count(*) AS HUGEINT) AS nb
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2
+    )
+    SELECT p.ta AS tok_a, p.tb AS tok_b,
+           CAST(p.nb AS BIGINT) AS n_docs_both,
+           CAST(p.nb * nd.n * 1000000 // (ca.n * cb.n) AS BIGINT)
+               AS lift_ppm
+    FROM prs p
+    JOIN cnt ca ON ca.tok = p.ta
+    JOIN cnt cb ON cb.tok = p.tb, nd
+    ORDER BY 1, 2
+"""

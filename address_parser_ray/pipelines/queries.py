@@ -11806,6 +11806,113 @@ def q_dedup_savings(sf_dir: str):
     )
 
 
+def q_token_lift(sf_dir: str):
+    """Association LIFT over the top-32 vocabulary — market-basket
+    mining on docs-as-baskets: lift(a,b) = P(a∧b) / (P(a)·P(b)) =
+    n_both·N·10⁶ // (n_a·n_b) in integer ppm (>10⁶ ⇒ tokens attract,
+    <10⁶ ⇒ repel) — no float probability ever materializes, so the
+    ranking is hash-exact.  The signal a curation pipeline uses to find
+    templated co-occurrence (license headers, generated-code idioms)
+    beyond raw counts.
+
+    Shape: same two passes as ``token_cooccurrence`` — distributed
+    top-K vocabulary, then ONE K×K presence-count matrix per batch
+    (P.T@P, diagonal = per-token doc counts, an extra sentinel row
+    carries the batch doc count) combined in a single-key groupby —
+    the shuffle is blocks × K² tiny rows regardless of corpus size.
+    Full SQL oracle (pair self-join + per-token counts + integer
+    lift)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c = Counter()
+        for text in df["text"]:
+            for w in _WS_ASCII.split(text or ""):
+                if w:
+                    c[w] += 1
+        return pd.DataFrame(
+            {"tok": list(c.keys()), "n": np.fromiter(c.values(), dtype=np.int64)}
+        )
+
+    top = (
+        docs.map_batches(count_partial, batch_format="pandas")
+        .groupby("tok")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {"tok": [g["tok"].iloc[0]], "n": [int(g["n"].sum())]}
+            ),
+            batch_format="pandas",
+        )
+        .sort(["n", "tok"], descending=[True, False])
+        .limit(_COOC_TOP)
+        .to_pandas()["tok"]
+        .tolist()
+    )
+    vocab = np.asarray(sorted(top), dtype=object)
+    vref = ray.put(vocab)
+
+    def matrix_partial(df: pd.DataFrame) -> pd.DataFrame:
+        voc = ray.get(vref)
+        k = len(voc)
+        idx = {t: i for i, t in enumerate(voc)}
+        P = np.zeros((len(df), k), dtype=np.int64)
+        for r, text in enumerate(df["text"]):
+            for w in set(_WS_ASCII.split(text or "")):
+                j = idx.get(w)
+                if j is not None:
+                    P[r, j] = 1
+        M = P.T @ P  # diagonal = per-token doc counts
+        iu, ju = np.triu_indices(k)  # k=0 keeps the diagonal
+        rows = {
+            "i": np.append(iu, -1),
+            "j": np.append(ju, -1),
+            "n": np.append(M[iu, ju], len(df)),  # sentinel: batch docs
+        }
+        out = pd.DataFrame(rows)
+        out["key"] = out["i"] * 1000 + out["j"]
+        return out[["key", "i", "j", "n"]]
+
+    def cell_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "i": np.array([int(g["i"].iloc[0])], dtype=np.int64),
+                "j": np.array([int(g["j"].iloc[0])], dtype=np.int64),
+                "n": np.array([int(g["n"].sum())], dtype=np.int64),
+            }
+        )
+
+    cells = (
+        docs.map_batches(matrix_partial, batch_format="pandas")
+        .groupby("key")
+        .map_groups(cell_combine, batch_format="pandas")
+        .to_pandas()
+    )
+    n_total = int(cells.loc[cells["i"] == -1, "n"].iloc[0])
+    diag = {
+        int(r["i"]): int(r["n"])
+        for _, r in cells[(cells["i"] == cells["j"]) & (cells["i"] >= 0)].iterrows()
+    }
+    pairs = cells[(cells["i"] >= 0) & (cells["i"] < cells["j"]) & (cells["n"] > 0)]
+    out_a, out_b, out_n, out_l = [], [], [], []
+    for _, r in pairs.iterrows():
+        i, j, nb = int(r["i"]), int(r["j"]), int(r["n"])
+        na, nbb = diag[i], diag[j]
+        out_a.append(vocab[i])
+        out_b.append(vocab[j])
+        out_n.append(nb)
+        out_l.append(nb * n_total * 1_000_000 // (na * nbb))
+    return pa.table(
+        {
+            "tok_a": pa.array(out_a, type=pa.string()),
+            "tok_b": pa.array(out_b, type=pa.string()),
+            "n_docs_both": pa.array(out_n, type=pa.int64()),
+            "lift_ppm": pa.array(out_l, type=pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11855,6 +11962,7 @@ QUERIES = {
     "source_quality_prior": q_source_quality_prior,
     "embedding_top_pc": q_embedding_top_pc,
     "dedup_savings": q_dedup_savings,
+    "token_lift": q_token_lift,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

@@ -177,6 +177,7 @@ SQL_CHECKED = [
     "activity_reconcile",
     "source_quality_prior",
     "dedup_savings",
+    "token_lift",
 ]
 
 
