@@ -3700,3 +3700,45 @@ ORACLE_SQL["token_lift"] = """
     JOIN cnt cb ON cb.tok = p.tb, nd
     ORDER BY 1, 2
 """
+
+# 2-D decile contingency: integer rank-rule boundaries per axis,
+# bucket = count of boundaries strictly below the value.
+ORACLE_SQL["decile_grid"] = """
+    WITH d AS (
+        SELECT length(COALESCE(text, '')) AS nc,
+               len(list_filter(
+                   regexp_split_to_array(trim(COALESCE(text, '')), '\\s+'),
+                   x -> x != '')) AS nt
+        FROM documents
+    ),
+    ps AS (SELECT unnest([10,20,30,40,50,60,70,80,90]) AS p),
+    hx AS (SELECT nc AS v, count(*) AS n FROM d GROUP BY 1),
+    cx AS (
+        SELECT v, sum(n) OVER (ORDER BY v) AS cum, sum(n) OVER () AS total
+        FROM hx
+    ),
+    bx AS (
+        SELECT p, min(CASE WHEN cum >= (p * total + 99) // 100 THEN v END)
+                   AS b
+        FROM cx, ps GROUP BY p
+    ),
+    hy AS (SELECT nt AS v, count(*) AS n FROM d GROUP BY 1),
+    cy AS (
+        SELECT v, sum(n) OVER (ORDER BY v) AS cum, sum(n) OVER () AS total
+        FROM hy
+    ),
+    byy AS (
+        SELECT p, min(CASE WHEN cum >= (p * total + 99) // 100 THEN v END)
+                   AS b
+        FROM cy, ps GROUP BY p
+    ),
+    assigned AS (
+        SELECT (SELECT count(*) FROM bx WHERE bx.b < d.nc) AS xd,
+               (SELECT count(*) FROM byy WHERE byy.b < d.nt) AS yd
+        FROM d
+    )
+    SELECT CAST(xd AS BIGINT) AS x_decile,
+           CAST(yd AS BIGINT) AS y_decile,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -11913,6 +11913,113 @@ def q_token_lift(sf_dir: str):
     )
 
 
+_DECILE_PS = (10, 20, 30, 40, 50, 60, 70, 80, 90)
+
+
+def q_decile_grid(sf_dir: str):
+    """2-D DECILE CONTINGENCY — the feature-crossing grid (doc length
+    deciles × token-count deciles → cell counts) an analysis pipeline
+    draws before trusting one quality signal as a proxy for another.
+    Decile boundaries come from the pinned integer rank rule
+    ``cum ≥ (p·n + 99) // 100`` on compacted value histograms (the
+    ``event_value_percentiles`` idiom — exact, no float quantiles);
+    bucket = #{boundaries < v} (searchsorted-left ≡ the SQL boundary
+    count, identical under duplicate boundaries).
+
+    Shape: pass 1 emits per-batch (axis, value, n) histogram partials
+    (panel = distinct lengths × 2, not docs); the 9+9 boundaries fold
+    on the driver and broadcast; pass 2 assigns buckets vectorized and
+    emits (xd, yd, n) partials into one fused-key combine — ≤ 100
+    cells regardless of corpus size.  Full SQL oracle."""
+    docs = _docs(sf_dir, ["text"])
+
+    def nt_of(texts) -> np.ndarray:
+        return np.fromiter(
+            (sum(1 for w in _ws_tokens(t) if w) for t in texts),
+            dtype=np.int64,
+        )
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nc = df["text"].fillna("").str.len().to_numpy(np.int64)
+        nt = nt_of(df["text"].tolist())
+        out = []
+        for axis, v in (("nc", nc), ("nt", nt)):
+            u, c = np.unique(v, return_counts=True)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "key": [f"{axis}\x1f{x}" for x in u],
+                        "n": c.astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    hist = (
+        docs.map_batches(hist_partial, batch_format="pandas")
+        .groupby("key")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {"key": [g["key"].iloc[0]], "n": [int(g["n"].sum())]}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    hist[["axis", "v"]] = hist["key"].str.split("\x1f", expand=True)
+    hist["v"] = hist["v"].astype(np.int64)
+
+    def bounds_of(axis: str) -> np.ndarray:
+        h = hist[hist["axis"] == axis].sort_values("v")
+        cum = h["n"].cumsum().to_numpy(np.int64)
+        total = int(cum[-1])
+        vs = h["v"].to_numpy(np.int64)
+        return np.array(
+            [
+                vs[np.searchsorted(cum, (p * total + 99) // 100, side="left")]
+                for p in _DECILE_PS
+            ],
+            dtype=np.int64,
+        )
+
+    bx, by = bounds_of("nc"), bounds_of("nt")
+    bref = ray.put((np.sort(bx), np.sort(by)))
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bx_, by_ = ray.get(bref)
+        nc = df["text"].fillna("").str.len().to_numpy(np.int64)
+        nt = nt_of(df["text"].tolist())
+        xb = np.searchsorted(bx_, nc, side="left")
+        yb = np.searchsorted(by_, nt, side="left")
+        g = (
+            pd.DataFrame({"cell": xb * 100 + yb})
+            .groupby("cell", as_index=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "cell": g["cell"].astype(np.int64),
+                "n": g["size"].astype(np.int64),
+            }
+        )
+
+    def cell_final(g: pd.DataFrame) -> pd.DataFrame:
+        cell = int(g["cell"].iloc[0])
+        return pd.DataFrame(
+            {
+                "x_decile": np.array([cell // 100], dtype=np.int64),
+                "y_decile": np.array([cell % 100], dtype=np.int64),
+                "n_docs": np.array([int(g["n"].sum())], dtype=np.int64),
+            }
+        )
+
+    return (
+        docs.map_batches(cell_partial, batch_format="pandas")
+        .groupby("cell")
+        .map_groups(cell_final, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11963,6 +12070,7 @@ QUERIES = {
     "embedding_top_pc": q_embedding_top_pc,
     "dedup_savings": q_dedup_savings,
     "token_lift": q_token_lift,
+    "decile_grid": q_decile_grid,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

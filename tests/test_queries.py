@@ -178,6 +178,7 @@ SQL_CHECKED = [
     "source_quality_prior",
     "dedup_savings",
     "token_lift",
+    "decile_grid",
 ]
 
 
