@@ -12020,6 +12020,109 @@ def q_decile_grid(sf_dir: str):
     )
 
 
+def q_bpe_eval(sf_dir: str):
+    """BPE tokenizer EVALUATION — the held-out half of the tokenizer
+    story (``bpe_train_merges`` trains; this measures): merges learned
+    on the train slice (doc_id % 10 != 0) are applied to the HELD-OUT
+    slice (doc_id % 10 == 0) and the compression they deliver is
+    reported per lang: symbols before (chars + </w> per word) vs
+    tokens after, compression_ppm = after·10⁶ // before.  The
+    tokens-per-byte number that decides whether a tokenizer ships.
+
+    Shape: training reuses the distributed vocabulary reduction +
+    deterministic merge loop; the 20 learned rules broadcast via
+    ``ray.put`` (bytes); the eval pass is stateless ``map_batches``
+    with a per-batch word→encoding cache (words repeat heavily — the
+    same compaction the trainer exploits) emitting per-lang integer
+    partials into one combine.  Rows-only (iterative merge application
+    is non-SQL); pytest pins after ≤ before, determinism, and that
+    more merges never tokenize worse."""
+    from collections import Counter
+
+    def train_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        keep = df["doc_id"].to_numpy(np.int64) % 10 != 0
+        for text in df["text"][keep]:
+            c.update(_ws_tokens(text))
+        return pd.DataFrame(
+            {
+                "word": list(c.keys()),
+                "part_n": np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+            }
+        )
+
+    vocab = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(train_partial, batch_format="pandas")
+        .groupby("word")
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    words = [tuple(w) + ("</w>",) for w in vocab["word"]]
+    counts = vocab["n"].to_numpy(np.int64)
+    rules = _bpe_merge_loop_driver(words, counts, _BPE_MERGES)
+    merges = list(zip(rules["left"], rules["right"])) if len(rules) else []
+    mref = ray.put(merges)
+
+    def eval_partial(df: pd.DataFrame) -> pd.DataFrame:
+        mg = ray.get(mref)
+        cache: dict = {}
+
+        def enc(w: str):
+            got = cache.get(w)
+            if got is None:
+                syms = tuple(w) + ("</w>",)
+                for left, right in mg:
+                    syms = _bpe_apply_merge([syms], left, right)[0]
+                got = (len(w) + 1, len(syms))
+                cache[w] = got
+            return got
+
+        keep = df["doc_id"].to_numpy(np.int64) % 10 == 0
+        rows: dict = {}
+        for lang, text in zip(df["lang"][keep], df["text"][keep]):
+            nd, nw, nb, na = rows.get(lang, (0, 0, 0, 0))
+            for w in _ws_tokens(text):
+                if not w:
+                    continue
+                b, a = enc(w)
+                nw += 1
+                nb += b
+                na += a
+            rows[lang] = (nd + 1, nw, nb, na)
+        return pd.DataFrame(
+            {
+                "lang": list(rows.keys()),
+                "nd": np.array([v[0] for v in rows.values()], dtype=np.int64),
+                "nw": np.array([v[1] for v in rows.values()], dtype=np.int64),
+                "nb": np.array([v[2] for v in rows.values()], dtype=np.int64),
+                "na": np.array([v[3] for v in rows.values()], dtype=np.int64),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        nb, na = int(g["nb"].sum()), int(g["na"].sum())
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n_docs": np.array([int(g["nd"].sum())], dtype=np.int64),
+                "n_words": np.array([int(g["nw"].sum())], dtype=np.int64),
+                "symbols_before": np.array([nb], dtype=np.int64),
+                "tokens_after": np.array([na], dtype=np.int64),
+                "compression_ppm": np.array(
+                    [na * 1_000_000 // max(nb, 1)], dtype=np.int64
+                ),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(eval_partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -12071,6 +12174,7 @@ QUERIES = {
     "dedup_savings": q_dedup_savings,
     "token_lift": q_token_lift,
     "decile_grid": q_decile_grid,
+    "bpe_eval": q_bpe_eval,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

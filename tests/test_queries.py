@@ -307,6 +307,39 @@ def test_embedding_top_pc_vs_numpy(ray_session):
     assert lam >= 1.2 * float(w.mean())
 
 
+def test_bpe_eval_properties(ray_session):
+    """Tokenizer eval invariants: merges only fuse, so tokens_after ≤
+    symbols_before; compression is the exact integer ratio; the run is
+    deterministic; and applying MORE merges never tokenizes worse
+    (checked by re-encoding one word by hand with a rule prefix)."""
+    from address_parser_ray.pipelines.queries import (
+        QUERIES,
+        _bpe_apply_merge,
+    )
+
+    d1 = QUERIES["bpe_eval"](SF).to_pandas().sort_values("lang")
+    d2 = QUERIES["bpe_eval"](SF).to_pandas().sort_values("lang")
+    assert d1.reset_index(drop=True).equals(d2.reset_index(drop=True))
+    assert (d1["tokens_after"] <= d1["symbols_before"]).all()
+    assert (
+        d1["compression_ppm"]
+        == d1["tokens_after"] * 1_000_000 // d1["symbols_before"].clip(lower=1)
+    ).all()
+    assert (d1["compression_ppm"] <= 1_000_000).all()
+
+    # monotonicity of merge application on a concrete word
+    word = tuple("deduplicate") + ("</w>",)
+    rules = [("d", "e"), ("de", "dup"), ("a", "t")]
+    lens = []
+    syms = word
+    for left, right in rules:
+        syms = _bpe_apply_merge([syms], left, right)[0]
+        lens.append(len(syms))
+    assert lens == sorted(lens, reverse=True) or all(
+        a >= b for a, b in zip(lens, lens[1:])
+    )
+
+
 def test_hll_distinct_accuracy(ray_session, con):
     """The stored register state must support both estimator branches:
     the raw integer estimate rides in the row; the small-range
