@@ -10923,17 +10923,9 @@ def q_signature_blocks(sf_dir: str):
         return pd.DataFrame({"key": keys, "p_name": names})
 
     def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        # singleton blocks are emitted then filtered downstream — an
+        # empty object-dtype frame here trips Ray's size estimator
         n = len(g)
-        if n < 2:
-            return pd.DataFrame(
-                {
-                    "kind": pd.Series([], dtype=str),
-                    "sig": pd.Series([], dtype=str),
-                    "n_names": pd.Series([], dtype=np.int64),
-                    "n_pairs": pd.Series([], dtype=np.int64),
-                    "rep": pd.Series([], dtype=str),
-                }
-            )
         kind, sig = g["key"].iloc[0].split("\x1f", 1)
         return pd.DataFrame(
             {
@@ -10955,6 +10947,7 @@ def q_signature_blocks(sf_dir: str):
         .map_batches(sigs, batch_format="pandas")
         .groupby("key")
         .map_groups(rollup, batch_format="pandas")
+        .filter(expr="n_names >= 2")
     )
 
 
