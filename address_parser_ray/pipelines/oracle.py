@@ -3742,3 +3742,39 @@ ORACLE_SQL["decile_grid"] = """
            CAST(count(*) AS BIGINT) AS n_docs
     FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+# Review-pair sampling: rep-vs-member pairs per non-singleton LSH
+# cluster, top-2 by md5 hash priority of the member id.
+_REVIEW_TAIL = """, edges AS (
+    SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+    FROM keys a JOIN keys b
+      ON a.band = b.band AND a.k = b.k AND a.doc_id <> b.doc_id
+), reach AS (
+    SELECT doc_id AS id, doc_id AS lab FROM documents
+    UNION
+    SELECT e.dst AS id, r.lab
+    FROM reach r JOIN edges e ON e.src = r.id
+), comp AS (
+    SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1
+), mem AS (
+    SELECT doc_id, cluster_id,
+           min(doc_id) OVER (PARTITION BY cluster_id) AS rep,
+           count(*) OVER (PARTITION BY cluster_id) AS csz
+    FROM comp
+), cand AS (
+    SELECT cluster_id, rep AS id_a, doc_id AS id_b,
+           md5(CAST(doc_id AS VARCHAR)) AS pri
+    FROM mem WHERE csz >= 2 AND doc_id <> rep
+), ranked AS (
+    SELECT cluster_id, id_a, id_b,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY pri, id_b) AS rk
+    FROM cand
+)
+SELECT cluster_id, id_a, id_b, CAST(rk AS BIGINT) AS pick_rank
+FROM ranked WHERE rk <= 2 ORDER BY 1, 4
+"""
+
+ORACLE_SQL["review_pairs"] = (
+    _minhash_keys_sql(recursive=True).rstrip() + _REVIEW_TAIL
+)

@@ -12116,6 +12116,52 @@ def q_bpe_eval(sf_dir: str):
     )
 
 
+def q_review_pairs(sf_dir: str):
+    """Human-review QUEUE construction — the labeling-workflow step of
+    an ER engine: from every non-singleton LSH cluster, sample ≤ 2
+    (representative, member) pairs for annotator review, picked by md5
+    hash priority of the member id (hash-order "random" — reproducible
+    at any cluster size, the T6 sampling discipline; reference
+    analogue: the golden-pair eval sets of hcmut_assigment/test.json).
+    Pairing members against the min-id representative (not all-pairs)
+    keeps the queue linear in cluster count.
+
+    Shape: the assignments panel ((id, label) rows, content never
+    moves) groups per cluster; the pick is an in-group sort of ≤
+    member-count hash strings.  Full SQL oracle (recursive-CTE
+    clusters + row_number over md5 priority)."""
+    import hashlib
+
+    asg = _mh_assignments(sf_dir)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["record_id"].to_numpy(np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "cluster_id": pd.Series([], dtype=np.int64),
+                    "id_a": pd.Series([], dtype=np.int64),
+                    "id_b": pd.Series([], dtype=np.int64),
+                    "pick_rank": pd.Series([], dtype=np.int64),
+                }
+            )
+        rep = int(ids[0])
+        members = ids[1:]
+        pri = [hashlib.md5(str(int(m)).encode()).hexdigest() for m in members]
+        order = np.lexsort((members, np.asarray(pri, dtype=object)))[:2]
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(len(order), g["cluster_id"].iloc[0],
+                                      dtype=np.int64),
+                "id_a": np.full(len(order), rep, dtype=np.int64),
+                "id_b": members[order],
+                "pick_rank": np.arange(1, len(order) + 1, dtype=np.int64),
+            }
+        )
+
+    return asg.groupby("cluster_id").map_groups(pick, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -12168,6 +12214,7 @@ QUERIES = {
     "token_lift": q_token_lift,
     "decile_grid": q_decile_grid,
     "bpe_eval": q_bpe_eval,
+    "review_pairs": q_review_pairs,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

@@ -179,6 +179,7 @@ SQL_CHECKED = [
     "dedup_savings",
     "token_lift",
     "decile_grid",
+    "review_pairs",
 ]
 
 
