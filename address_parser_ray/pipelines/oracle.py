@@ -3778,3 +3778,24 @@ FROM ranked WHERE rk <= 2 ORDER BY 1, 4
 ORACLE_SQL["review_pairs"] = (
     _minhash_keys_sql(recursive=True).rstrip() + _REVIEW_TAIL
 )
+
+# Gap-filled hourly series: dense (type, hour) grid over the global
+# span, zero-filled LEFT JOIN; hours as epoch-hour BIGINTs.
+ORACLE_SQL["events_hourly_dense"] = """
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events
+    ),
+    c AS (SELECT event_type, h, count(*) AS n FROM e GROUP BY 1, 2),
+    sp AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+    t AS (SELECT DISTINCT event_type FROM events),
+    grid AS (
+        SELECT t.event_type, unnest(generate_series(sp.lo, sp.hi)) AS h
+        FROM t, sp
+    )
+    SELECT g.event_type,
+           CAST(g.h AS BIGINT) AS hour_epoch,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM grid g
+    LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h
+    ORDER BY 1, 2
+"""

@@ -12162,6 +12162,67 @@ def q_review_pairs(sf_dir: str):
     return asg.groupby("cluster_id").map_groups(pick, batch_format="pandas")
 
 
+def q_events_hourly_dense(sf_dir: str):
+    """GAP-FILLED hourly series — ``events_hourly`` emits only hours
+    that HAVE events; every downstream window/decay/anomaly computation
+    needs the dense grid (a missing hour is a zero, not an absent
+    row).  Emits every (event_type, hour) in the global hour span with
+    zero-filled counts — the generate_series + LEFT JOIN fill of SQL,
+    as a distributed op.
+
+    Shape: the same per-batch (type, hour, n) partials as
+    ``events_hourly`` (panel-sized, never event rows); the global
+    [min, max] hour folds from the partial panel on the driver
+    (types × hours × blocks tiny rows) and broadcasts into the
+    per-type combine, which emits the dense grid directly.  Hours
+    travel as epoch-hour BIGINTs (no timestamp-dtype kind ambiguity).
+    Full SQL oracle."""
+    HOUR_US = 3_600_000_000
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ts"].to_numpy().view("i8") // HOUR_US
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "h": h})
+            .groupby(["event_type", "h"], sort=False, as_index=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "h": g["h"].astype(np.int64),
+                "part_n": g["size"].astype(np.int64),
+            }
+        )
+
+    partials = ev.map_batches(partial, batch_format="pandas").materialize()
+    lo, hi = None, None
+    for b in partials.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        hs = np.asarray(b["h"], dtype=np.int64)
+        if len(hs):
+            lo = int(hs.min()) if lo is None else min(lo, int(hs.min()))
+            hi = int(hs.max()) if hi is None else max(hi, int(hs.max()))
+    span_ref = ray.put((lo, hi))
+
+    def dense(g: pd.DataFrame) -> pd.DataFrame:
+        lo_, hi_ = ray.get(span_ref)
+        grid = np.arange(lo_, hi_ + 1, dtype=np.int64)
+        n = np.zeros(len(grid), dtype=np.int64)
+        agg = g.groupby("h", as_index=False)["part_n"].sum()
+        n[agg["h"].to_numpy(np.int64) - lo_] = agg["part_n"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]] * len(grid),
+                "hour_epoch": grid,
+                "n_events": n,
+            }
+        )
+
+    return partials.groupby("event_type").map_groups(dense, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -12215,6 +12276,7 @@ QUERIES = {
     "decile_grid": q_decile_grid,
     "bpe_eval": q_bpe_eval,
     "review_pairs": q_review_pairs,
+    "events_hourly_dense": q_events_hourly_dense,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

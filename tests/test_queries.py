@@ -180,6 +180,7 @@ SQL_CHECKED = [
     "token_lift",
     "decile_grid",
     "review_pairs",
+    "events_hourly_dense",
 ]
 
 
