@@ -3799,3 +3799,167 @@ ORACLE_SQL["events_hourly_dense"] = """
     LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h
     ORDER BY 1, 2
 """
+
+# Interval-union coverage per day: same sessionization + day split as
+# session_concurrency; covered = sum of sweep segments with run > 0
+# (half-open [cst, cen+1) boundaries — single-event sessions cover 1 µs).
+ORACLE_SQL["session_coverage"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+    o AS (
+        SELECT user_id, t,
+               lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt
+        FROM e
+    ),
+    m AS (
+        SELECT user_id, t,
+               CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1
+                    ELSE 0 END AS brk
+        FROM o
+    ),
+    s AS (
+        SELECT user_id, t,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    ),
+    sess AS (
+        SELECT user_id, sid, min(t) AS st, max(t) AS en
+        FROM s GROUP BY 1, 2
+    ),
+    days AS (
+        SELECT st, en,
+               unnest(generate_series(st // 86400000000,
+                                      en // 86400000000)) AS day
+        FROM sess
+    ),
+    clip AS (
+        SELECT day,
+               greatest(st, day * 86400000000) AS cst,
+               least(en, day * 86400000000 + 86399999999) AS cen
+        FROM days
+    ),
+    b AS (
+        SELECT day, cst AS t, 1 AS d FROM clip
+        UNION ALL
+        SELECT day, cen + 1, -1 FROM clip
+    ),
+    r AS (
+        SELECT day, t,
+               sum(d) OVER (PARTITION BY day ORDER BY t, d DESC
+                            ROWS UNBOUNDED PRECEDING) AS run,
+               lead(t) OVER (PARTITION BY day ORDER BY t, d DESC) AS nt
+        FROM b
+    ),
+    cov AS (
+        SELECT day,
+               sum(CASE WHEN run > 0 AND nt IS NOT NULL THEN nt - t
+                        ELSE 0 END) AS covered
+        FROM r GROUP BY 1
+    )
+    SELECT CAST(c.day AS BIGINT) AS day_epoch,
+           CAST(ns.n AS BIGINT) AS n_sessions,
+           CAST(c.covered AS BIGINT) AS covered_us,
+           CAST(c.covered * 1000000 // 86400000000 AS BIGINT)
+               AS coverage_ppm
+    FROM cov c
+    JOIN (SELECT day, count(*) AS n FROM clip GROUP BY 1) ns
+      ON ns.day = c.day
+    ORDER BY 1
+"""
+
+# Lang similarity: integer cos² in ppm between per-lang token-count
+# vectors over the top-32 vocabulary (HUGEINT absorbs the squared
+# numerator).
+ORACLE_SQL["lang_similarity"] = """
+    WITH toks AS (
+        SELECT lang,
+               unnest(regexp_split_to_array(COALESCE(text, ''), '\\s+')) AS tok
+        FROM documents
+    ), tc AS (
+        SELECT tok, count(*) AS n FROM toks WHERE tok != '' GROUP BY 1
+    ), top AS (
+        SELECT tok FROM tc ORDER BY n DESC, tok LIMIT 32
+    ), lv AS (
+        SELECT lang, tok, CAST(count(*) AS HUGEINT) AS n
+        FROM toks WHERE tok IN (SELECT tok FROM top) GROUP BY 1, 2
+    ), nr AS (
+        SELECT lang, sum(n * n) AS n2 FROM lv GROUP BY 1
+    ), dd AS (
+        SELECT a.lang AS la, b.lang AS lb, sum(a.n * b.n) AS d
+        FROM lv a JOIN lv b ON a.tok = b.tok AND a.lang < b.lang
+        GROUP BY 1, 2
+    )
+    SELECT dd.la AS lang_a, dd.lb AS lang_b,
+           CAST(dd.d AS BIGINT) AS dot,
+           CAST(dd.d * dd.d * 1000000
+                // greatest(na.n2 * nb.n2, 1) AS BIGINT) AS cos2_ppm
+    FROM dd
+    JOIN nr na ON na.lang = dd.la
+    JOIN nr nb ON nb.lang = dd.lb
+    ORDER BY 1, 2
+"""
+
+# Hourly anomalies: division-free integer 3-sigma over the dense grid;
+# worst offender = max count, tie earliest hour.
+ORACLE_SQL["hourly_anomalies"] = """
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events
+    ),
+    c AS (SELECT event_type, h, count(*) AS n FROM e GROUP BY 1, 2),
+    sp AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+    t AS (SELECT DISTINCT event_type FROM events),
+    grid AS (
+        SELECT t.event_type, unnest(generate_series(sp.lo, sp.hi)) AS h
+        FROM t, sp
+    ),
+    d AS (
+        SELECT g.event_type, g.h,
+               CAST(COALESCE(c.n, 0) AS HUGEINT) AS x
+        FROM grid g
+        LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h
+    ),
+    mo AS (
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS s1, sum(x * x) AS s2
+        FROM d GROUP BY 1
+    ),
+    fl AS (
+        SELECT d.event_type, d.h, d.x,
+               CASE WHEN (d.x * mo.n - mo.s1) * (d.x * mo.n - mo.s1)
+                         > 9 * (mo.n * mo.s2 - mo.s1 * mo.s1)
+                    THEN 1 ELSE 0 END AS anom,
+               row_number() OVER (PARTITION BY d.event_type
+                                  ORDER BY d.x DESC, d.h) AS rk
+        FROM d JOIN mo USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(anom) AS BIGINT) AS n_anomalies,
+           CAST(min(CASE WHEN rk = 1 THEN h END) AS BIGINT)
+               AS max_hour_epoch,
+           CAST(min(CASE WHEN rk = 1 THEN x END) AS BIGINT) AS max_n
+    FROM fl GROUP BY 1 ORDER BY 1
+"""
+
+# Vocabulary-tail stats: hapax fraction + type-token ratio per lang.
+ORACLE_SQL["hapax_stats"] = """
+    WITH toks AS (
+        SELECT lang,
+               unnest(regexp_split_to_array(COALESCE(text, ''), '\\s+')) AS tok
+        FROM documents
+    ),
+    lv AS (
+        SELECT lang, tok, CAST(count(*) AS HUGEINT) AS n
+        FROM toks WHERE tok != '' GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+                // greatest(count(*), 1) AS BIGINT) AS hapax_ppm,
+           CAST(count(*) * 1000000 // greatest(sum(n), 1) AS BIGINT)
+               AS ttr_ppm
+    FROM lv GROUP BY 1 ORDER BY 1
+"""

@@ -12223,6 +12223,314 @@ def q_events_hourly_dense(sf_dir: str):
     return partials.groupby("event_type").map_groups(dense, batch_format="pandas")
 
 
+def q_session_coverage(sf_dir: str):
+    """Interval-UNION coverage — per day, how many µs are covered by at
+    least one active session (the uptime/coverage dual of
+    ``session_concurrency``'s peak): same gap-rule sessions, same
+    day-boundary split, same boundary sweep — but instead of max of
+    the running sum, it accumulates segment lengths where the running
+    count is > 0 (closed intervals: a boundary instant itself counts
+    one µs only through the segment arithmetic, pinned identically in
+    SQL via lead()).  Output per day: n_sessions, covered_us,
+    coverage_ppm of the 86 400-second day.
+
+    Shape: identical to the concurrency op — two single-key shuffles,
+    day groups hold session intervals.  Full SQL oracle (windowed
+    running sum + lead segment lengths)."""
+    from address_parser_ray.rayutil import default_num_partitions
+
+    DAY = 86_400_000_000  # µs
+    nparts = default_num_partitions()
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(_add_user_bucket(nparts), batch_format="pyarrow")
+
+    def intervals_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        tsi = g["ts"].to_numpy().view("i8")
+        order = np.lexsort((tsi, uid))
+        uid, tsi = uid[order], tsi[order]
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap = np.concatenate([[True], (tsi[1:] - tsi[:-1]) > 1_800_000_000])
+        starts = np.flatnonzero(first | gap)
+        ends = np.append(starts[1:], uid.size) - 1
+        st, en = tsi[starts], tsi[ends]
+        d0, d1 = st // DAY, en // DAY
+        ndays = (d1 - d0 + 1).astype(np.int64)
+        total = int(ndays.sum())
+        rep = np.repeat(np.arange(len(st)), ndays)
+        offs = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(ndays)[:-1]]), ndays
+        )
+        day = d0[rep] + offs
+        cst = np.maximum(st[rep], day * DAY)
+        cen = np.minimum(en[rep], day * DAY + DAY - 1)
+        return pd.DataFrame({"day": day, "cst": cst, "cen": cen})
+
+    def sweep_day(g: pd.DataFrame) -> pd.DataFrame:
+        cst = g["cst"].to_numpy(np.int64)
+        # half-open sweep [cst, cen+1): covered length sums exactly,
+        # single-event sessions cover 1 µs — the rule lead() mirrors
+        cen1 = g["cen"].to_numpy(np.int64) + 1
+        t = np.concatenate([cst, cen1])
+        d = np.concatenate(
+            [np.ones(len(cst), dtype=np.int64), -np.ones(len(cen1), dtype=np.int64)]
+        )
+        order = np.lexsort((-d, t))
+        ts_, ds_ = t[order], d[order]
+        run = np.cumsum(ds_)
+        seg = np.diff(ts_)  # length of [t_i, t_{i+1})
+        covered = int(seg[run[:-1] > 0].sum())
+        return pd.DataFrame(
+            {
+                "day_epoch": np.array([g["day"].iloc[0]], dtype=np.int64),
+                "n_sessions": np.array([len(g)], dtype=np.int64),
+                "covered_us": np.array([covered], dtype=np.int64),
+                "coverage_ppm": np.array(
+                    [covered * 1_000_000 // DAY], dtype=np.int64
+                ),
+            }
+        )
+
+    return (
+        ev.groupby("bucket")
+        .map_groups(intervals_bucket, batch_format="pandas")
+        .groupby("day")
+        .map_groups(sweep_day, batch_format="pandas")
+    )
+
+
+def q_lang_similarity(sf_dir: str):
+    """Corpus-slice SIMILARITY MATRIX — pairwise cosine² between
+    per-lang token-count vectors over the top-32 vocabulary, in exact
+    integer ppm: cos²(a,b) = (Σ cₐc_b)²·10⁶ // (Σcₐ²·Σc_b²) — squaring
+    avoids the sqrt, so an inherently float similarity becomes
+    hash-exact (the ``embedding_near_dup`` trick applied to corpus
+    profiling).  The report that says which slices share a token
+    distribution (domain leakage / dedup-across-langs candidates).
+
+    Shape: the same distributed top-K vocabulary as ``token_lift``;
+    per-batch (lang, tok, n) partials → one fused-key combine; the
+    (langs × 32) panel folds on the driver where Python bigints absorb
+    the 10²⁸-scale numerators (HUGEINT on the SQL side).  Full SQL
+    oracle."""
+    from collections import Counter
+
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for text in df["text"]:
+            for w in _WS_ASCII.split(text or ""):
+                if w:
+                    c[w] += 1
+        return pd.DataFrame(
+            {"tok": list(c.keys()), "n": np.fromiter(c.values(), dtype=np.int64)}
+        )
+
+    top = (
+        docs.map_batches(count_partial, batch_format="pandas")
+        .groupby("tok")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {"tok": [g["tok"].iloc[0]], "n": [int(g["n"].sum())]}
+            ),
+            batch_format="pandas",
+        )
+        .sort(["n", "tok"], descending=[True, False])
+        .limit(_COOC_TOP)
+        .to_pandas()["tok"]
+        .tolist()
+    )
+    vset = frozenset(top)
+    vref = ray.put(vset)
+
+    def lv_partial(df: pd.DataFrame) -> pd.DataFrame:
+        voc = ray.get(vref)
+        c = Counter()
+        for lang, text in zip(df["lang"], df["text"]):
+            for w in _WS_ASCII.split(text or ""):
+                if w in voc:
+                    c[(lang, w)] += 1
+        return pd.DataFrame(
+            {
+                "key": [f"{k[0]}\x1f{k[1]}" for k in c],
+                "n": np.fromiter(c.values(), dtype=np.int64),
+            }
+        )
+
+    panel = (
+        docs.map_batches(lv_partial, batch_format="pandas")
+        .groupby("key")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {"key": [g["key"].iloc[0]], "n": [int(g["n"].sum())]}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    panel[["lang", "tok"]] = panel["key"].str.split("\x1f", expand=True)
+    vecs: dict = {}
+    for lang, grp in panel.groupby("lang"):
+        vecs[lang] = {t: int(n) for t, n in zip(grp["tok"], grp["n"])}
+    langs = sorted(vecs)
+    out_a, out_b, out_d, out_c = [], [], [], []
+    for i, la in enumerate(langs):
+        va = vecs[la]
+        n2a = sum(v * v for v in va.values())
+        for lb in langs[i + 1 :]:
+            vb = vecs[lb]
+            n2b = sum(v * v for v in vb.values())
+            dot = sum(va[t] * vb.get(t, 0) for t in va)
+            out_a.append(la)
+            out_b.append(lb)
+            out_d.append(dot)
+            out_c.append(dot * dot * 1_000_000 // max(n2a * n2b, 1))
+    return pa.table(
+        {
+            "lang_a": pa.array(out_a, type=pa.string()),
+            "lang_b": pa.array(out_b, type=pa.string()),
+            "dot": pa.array(out_d, type=pa.int64()),
+            "cos2_ppm": pa.array(out_c, type=pa.int64()),
+        }
+    )
+
+
+def q_hourly_anomalies(sf_dir: str):
+    """Timeseries ANOMALY detection — per event type, hours whose count
+    sits more than 3σ from the type's mean over the DENSE hour grid
+    (zeros included — the reason ``events_hourly_dense`` exists), using
+    the division-free integer inequality (x·n − Σx)² > 9·(n·Σx² −
+    (Σx)²) — exact bigints on both engines, zero float comparisons
+    (the ``length_outliers`` rule applied to the time axis).  Output
+    per type: grid size, anomaly count, and the worst offender
+    (max-count hour, tie → earliest).
+
+    Shape: the same panel partials as the dense series; moments and
+    flags both fold inside one per-type group over the grid.  Full SQL
+    oracle."""
+    HOUR_US = 3_600_000_000
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ts"].to_numpy().view("i8") // HOUR_US
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "h": h})
+            .groupby(["event_type", "h"], sort=False, as_index=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "h": g["h"].astype(np.int64),
+                "part_n": g["size"].astype(np.int64),
+            }
+        )
+
+    partials = ev.map_batches(partial, batch_format="pandas").materialize()
+    lo, hi = None, None
+    for b in partials.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        hs = np.asarray(b["h"], dtype=np.int64)
+        if len(hs):
+            lo = int(hs.min()) if lo is None else min(lo, int(hs.min()))
+            hi = int(hs.max()) if hi is None else max(hi, int(hs.max()))
+    span_ref = ray.put((lo, hi))
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        lo_, hi_ = ray.get(span_ref)
+        grid = np.arange(lo_, hi_ + 1, dtype=np.int64)
+        x = np.zeros(len(grid), dtype=np.int64)
+        agg = g.groupby("h", as_index=False)["part_n"].sum()
+        x[agg["h"].to_numpy(np.int64) - lo_] = agg["part_n"].to_numpy(np.int64)
+        n = len(grid)
+        s1, s2 = int(x.sum()), int((x * x).sum())
+        lhs = (x.astype(object) * n - s1) ** 2  # object → Python bigints
+        rhs = 9 * (n * s2 - s1 * s1)
+        anom = np.array([int(v) > rhs for v in lhs], dtype=bool)
+        order = np.lexsort((grid, -x))
+        worst = int(order[0])
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_hours": np.array([n], dtype=np.int64),
+                "n_anomalies": np.array([int(anom.sum())], dtype=np.int64),
+                "max_hour_epoch": np.array([grid[worst]], dtype=np.int64),
+                "max_n": np.array([x[worst]], dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("event_type").map_groups(flag, batch_format="pandas")
+
+
+def q_hapax_stats(sf_dir: str):
+    """Vocabulary-tail statistics — per lang: hapax legomena (tokens
+    occurring exactly once) count and fraction, plus the integer
+    type-token ratio.  The lexical-diversity signal of corpus
+    linguistics: a high hapax fraction marks organic text (or OCR
+    noise), a collapsed one marks template/boilerplate floods — the
+    vocabulary-side complement of the per-doc ``repetition_stats``.
+
+    Shape: per-batch (lang, tok) partial counts → one fused-key
+    combine (shuffle bounded by vocabulary) → per-lang rollup of the
+    count panel.  Pure-integer ppm.  Full SQL oracle."""
+    from collections import Counter
+
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for lang, text in zip(df["lang"], df["text"]):
+            for w in _WS_ASCII.split(text or ""):
+                if w:
+                    c[(lang, w)] += 1
+        return pd.DataFrame(
+            {
+                "key": [f"{k[0]}\x1f{k[1]}" for k in c],
+                "n": np.fromiter(c.values(), dtype=np.int64),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        lang = g["key"].iloc[0].split("\x1f", 1)[0]
+        return pd.DataFrame(
+            {
+                "lang": [lang],
+                "n": np.array([int(g["n"].sum())], dtype=np.int64),
+            }
+        )
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(np.int64)
+        vocab = len(n)
+        tokens = int(n.sum())
+        hapax = int((n == 1).sum())
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n_tokens": np.array([tokens], dtype=np.int64),
+                "vocab_size": np.array([vocab], dtype=np.int64),
+                "n_hapax": np.array([hapax], dtype=np.int64),
+                "hapax_ppm": np.array(
+                    [hapax * 1_000_000 // max(vocab, 1)], dtype=np.int64
+                ),
+                "ttr_ppm": np.array(
+                    [vocab * 1_000_000 // max(tokens, 1)], dtype=np.int64
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("key")
+        .map_groups(combine, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(rollup, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -12277,6 +12585,10 @@ QUERIES = {
     "bpe_eval": q_bpe_eval,
     "review_pairs": q_review_pairs,
     "events_hourly_dense": q_events_hourly_dense,
+    "session_coverage": q_session_coverage,
+    "lang_similarity": q_lang_similarity,
+    "hourly_anomalies": q_hourly_anomalies,
+    "hapax_stats": q_hapax_stats,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

@@ -181,6 +181,10 @@ SQL_CHECKED = [
     "decile_grid",
     "review_pairs",
     "events_hourly_dense",
+    "session_coverage",
+    "lang_similarity",
+    "hourly_anomalies",
+    "hapax_stats",
 ]
 
 
