@@ -3963,3 +3963,48 @@ ORACLE_SQL["hapax_stats"] = """
                AS ttr_ppm
     FROM lv GROUP BY 1 ORDER BY 1
 """
+
+# Mixed-language docs: the proven langid stopword-argmax rule applied
+# per LINE, distinct predicted langs per doc (CJK branch vacuous on
+# this ASCII corpus, as in langid_pred's twin).
+ORACLE_SQL["mixed_lang_docs"] = """
+    WITH lines AS (
+        SELECT doc_id,
+               unnest(string_split(COALESCE(text, ''), chr(10))) AS ln
+        FROM documents
+    ), w AS (
+        SELECT doc_id,
+               list_transform(
+                   regexp_extract_all(substr(ln, 1, 4000), '[a-zA-Z]+'),
+                   x -> lower(x)) AS words
+        FROM lines
+    ), h AS (
+        SELECT doc_id,
+               len(list_filter(words, x -> list_contains(
+                   ['der','die','das','und','ist','nicht','ein','eine','mit','von','zu'], x))) AS h_de,
+               len(list_filter(words, x -> list_contains(
+                   ['the','and','of','to','a','in','is','that','for','it','with','was'], x))) AS h_en,
+               len(list_filter(words, x -> list_contains(
+                   ['el','la','los','las','es','una','del','que','por','para','como'], x))) AS h_es,
+               len(list_filter(words, x -> list_contains(
+                   ['le','la','les','et','est','une','des','dans','que','pour','pas'], x))) AS h_fr
+        FROM w
+    ), p AS (
+        SELECT doc_id,
+               CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'
+                    WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                    WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                    WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                    ELSE 'fr' END AS plang
+        FROM h
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN plang <> 'unknown' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pred_lines,
+           CAST(count(DISTINCT CASE WHEN plang <> 'unknown' THEN plang END)
+                AS BIGINT) AS n_langs,
+           count(DISTINCT CASE WHEN plang <> 'unknown' THEN plang END) >= 2
+               AS is_mixed
+    FROM p GROUP BY 1 ORDER BY 1
+"""

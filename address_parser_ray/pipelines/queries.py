@@ -12531,6 +12531,56 @@ def q_hapax_stats(sf_dir: str):
     )
 
 
+def q_mixed_lang_docs(sf_dir: str):
+    """Mixed-language DOCUMENT detector — the curation filter LLM
+    pipelines run before language-bucketed training: language-ID per
+    LINE (the same stopword-argmax heuristic as ``langid_pred``, whose
+    SQL twin is already hash-proven), then per doc the number of
+    distinct predicted line languages; ≥ 2 ⇒ mixed (concatenated
+    crawls, bilingual boilerplate).  Output per doc: line count,
+    lines with a prediction, distinct langs, is_mixed.
+
+    Shape: stateless ``map_batches`` with a per-batch line→lang cache
+    (generated corpora repeat lines heavily — the BPE-eval compaction
+    trick); per-doc partials only, no shuffle at all.  Full SQL oracle
+    (line unnest + the proven langid CASE per line)."""
+    from address_parser_ray.functions.text import detect_lang
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        cache: dict = {}
+        out_id, out_nl, out_np, out_k, out_m = [], [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            lines = (text or "").split("\n")
+            langs = set()
+            npred = 0
+            for ln in lines:
+                p = cache.get(ln)
+                if p is None:
+                    p = detect_lang(ln)
+                    cache[ln] = p
+                if p != "unknown":
+                    npred += 1
+                    langs.add(p)
+            out_id.append(doc_id)
+            out_nl.append(len(lines))
+            out_np.append(npred)
+            out_k.append(len(langs))
+            out_m.append(len(langs) >= 2)
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(out_id, dtype=np.int64),
+                "n_lines": np.asarray(out_nl, dtype=np.int64),
+                "n_pred_lines": np.asarray(out_np, dtype=np.int64),
+                "n_langs": np.asarray(out_k, dtype=np.int64),
+                "is_mixed": np.asarray(out_m, dtype=bool),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -12589,6 +12639,7 @@ QUERIES = {
     "lang_similarity": q_lang_similarity,
     "hourly_anomalies": q_hourly_anomalies,
     "hapax_stats": q_hapax_stats,
+    "mixed_lang_docs": q_mixed_lang_docs,
     "vocab_stats": q_vocab_stats,
     "stratified_sample": q_stratified_sample,
     "customers_without_orders": q_customers_without_orders,

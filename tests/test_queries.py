@@ -185,6 +185,7 @@ SQL_CHECKED = [
     "lang_similarity",
     "hourly_anomalies",
     "hapax_stats",
+    "mixed_lang_docs",
 ]
 
 
@@ -344,6 +345,20 @@ def test_bpe_eval_properties(ray_session):
     assert lens == sorted(lens, reverse=True) or all(
         a >= b for a, b in zip(lens, lens[1:])
     )
+
+
+def test_mixed_lang_detector_fires():
+    """The corpus has no mixed docs (oracle parity shows 0), so pin
+    separately that the per-line rule CAN fire: a doc with an English
+    line and a German line yields two distinct predictions."""
+    from address_parser_ray.functions.text import detect_lang
+
+    doc = (
+        "the cat is on the mat and it was good\n"
+        "der hund ist nicht mit der katze und das ist gut\n"
+    )
+    langs = {detect_lang(ln) for ln in doc.split("\n") if ln}
+    assert langs == {"en", "de"}
 
 
 def test_hll_distinct_accuracy(ray_session, con):
