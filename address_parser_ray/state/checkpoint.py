@@ -129,6 +129,74 @@ class Checkpointer:
             acc = hex_multiset_fingerprint(t[column], acc)
         return acc
 
+    def vacuum(self, dry_run: bool = False, drop_stale: bool = False) -> dict:
+        """Garbage-collect the checkpoint root — the lakehouse VACUUM:
+
+        - leftover ``*.tmp`` stage dirs (crashed writes that never
+          renamed; ``stage()`` would also clear them, but only when that
+          stage reruns);
+        - files inside COMPLETED stage dirs that the ``_lineage.json``
+          manifest does not reference (orphans from a partial rewrite —
+          they would otherwise be read back by ``read_parquet`` on
+          resume, silently duplicating rows);
+        - with ``drop_stale=True``: whole stage dirs whose recorded
+          context_key mismatches this Checkpointer's context (outputs
+          of a different config/input — never resumable here).
+
+        Never touches ``_lineage.json`` itself or manifest-referenced
+        part files, so a completed stage stays byte-identical.  Returns
+        the report {tmp_dirs, orphan_files, stale_stages, bytes_freed};
+        ``dry_run=True`` only reports."""
+        report = {
+            "tmp_dirs": [],
+            "orphan_files": [],
+            "stale_stages": [],
+            "bytes_freed": 0,
+        }
+
+        def _size(p: str) -> int:
+            if os.path.isdir(p):
+                return sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(p)
+                    for f in fs
+                )
+            return os.path.getsize(p)
+
+        for entry in sorted(os.listdir(self.root)):
+            path = os.path.join(self.root, entry)
+            if entry.endswith(".tmp"):
+                report["tmp_dirs"].append(entry)
+                report["bytes_freed"] += _size(path)
+                if not dry_run:
+                    (shutil.rmtree if os.path.isdir(path) else os.remove)(path)
+                continue
+            if not os.path.isdir(path):
+                continue
+            lin = self.lineage(entry)
+            if lin is None:
+                continue  # incomplete dir: stage() owns its fate
+            if (
+                drop_stale
+                and self.context is not None
+                and lin.get("context_key") != self.context
+            ):
+                report["stale_stages"].append(entry)
+                report["bytes_freed"] += _size(path)
+                if not dry_run:
+                    shutil.rmtree(path)
+                continue
+            manifest = set(lin.get("files", {}))
+            for fname in sorted(os.listdir(path)):
+                if fname == "_lineage.json" or fname in manifest:
+                    continue
+                fpath = os.path.join(path, fname)
+                report["orphan_files"].append(f"{entry}/{fname}")
+                report["bytes_freed"] += _size(fpath)
+                if not dry_run:
+                    (shutil.rmtree if os.path.isdir(fpath) else os.remove)(fpath)
+        return report
+
     def save_json(self, name: str, obj) -> None:
         """Persist a small JSON sidecar payload (e.g. the hot-key map the
         band index was salted with) atomically next to the stage dirs."""

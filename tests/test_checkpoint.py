@@ -184,3 +184,50 @@ def test_multiset_fingerprint_breaks_xor_cancellation():
     # order-insensitive, fold-associative (per-file accumulation)
     assert fp([a, b]) == fp([b, a])
     assert hex_multiset_fingerprint(pa.array([b]), fp([a])) == fp([a, b])
+
+
+def test_vacuum(ray_session, tmp_path):
+    """VACUUM removes crashed .tmp dirs, manifest-orphan part files and
+    (opt-in) stale-context stages — and never touches manifest-listed
+    files, so a completed stage resumes byte-identical."""
+    from address_parser_ray.state.checkpoint import context_key
+
+    root = str(tmp_path / "ck")
+    k1 = context_key({"v": 1}, "/in")
+    ck = Checkpointer(root, context=k1)
+    ck.stage("good", lambda: _toy_ds(ray_session))
+    before = ck.invariant_xor("good", column="x") if False else ck.lineage("good")
+
+    # crashed write
+    os.makedirs(os.path.join(root, "dead.tmp"))
+    with open(os.path.join(root, "dead.tmp", "part.parquet"), "wb") as f:
+        f.write(b"junk")
+    # orphan inside a completed stage (would duplicate rows on resume)
+    orphan = os.path.join(root, "good", "zz_orphan.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"x": pa.array([99], type=pa.int64())}), orphan)
+    # stale-context stage
+    ck2 = Checkpointer(root, context=context_key({"v": 2}, "/in"))
+    ck2.stage("stale", lambda: _toy_ds(ray_session))
+
+    # dry run reports but deletes nothing
+    rep = ck.vacuum(dry_run=True, drop_stale=True)
+    assert rep["tmp_dirs"] == ["dead.tmp"]
+    assert rep["orphan_files"] == ["good/zz_orphan.parquet"]
+    assert rep["stale_stages"] == ["stale"]
+    assert rep["bytes_freed"] > 0
+    assert os.path.exists(orphan)
+
+    rep2 = ck.vacuum(drop_stale=True)
+    assert rep2["orphan_files"] == ["good/zz_orphan.parquet"]
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(os.path.join(root, "dead.tmp"))
+    assert not os.path.exists(os.path.join(root, "stale"))
+
+    # the completed stage is intact and resumes with the same data
+    assert ck.is_done("good")
+    assert ck.lineage("good")["files"] == before["files"]
+    ds = ck.stage("good", lambda: _toy_ds(ray_session))
+    assert ds.count() == 10
+    assert sorted(ds.to_pandas()["x"].tolist()) == list(range(10))
