@@ -137,6 +137,88 @@ def ensure_schema(ds, schema: pa.Schema):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def evolve_schema(ds, schema: pa.Schema):
+    """SCHEMA-EVOLUTION projection: project every block to ``schema`` —
+    missing columns null-filled, extra columns dropped, types cast
+    (int widening etc.).  The read-side half of schema evolution for a
+    long-lived dataset whose early files predate a column: a 100 TB
+    corpus is never rewritten when a field is added, the reader
+    reconciles.  ``ensure_schema`` (above) is the strict variant that
+    requires every column present."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols = {}
+        for f in schema:
+            if f.name in t.column_names:
+                cols[f.name] = t[f.name].cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(t.num_rows, f.type)
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def unified_parquet_schema(path: str) -> pa.Schema:
+    """Union of the field sets across every ``*.parquet`` footer in a
+    directory (first occurrence pins a field's type; later files may
+    add fields but not silently change types — a changed type raises).
+    Footer reads are metadata-only — no row data is touched."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    fields: dict[str, pa.Field] = {}
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".parquet"):
+            continue
+        sch = pq.read_schema(os.path.join(path, fname))
+        for f in sch:
+            prev = fields.get(f.name)
+            if prev is None:
+                fields[f.name] = f
+            elif prev.type != f.type and not pa.types.is_null(f.type):
+                raise ValueError(
+                    f"schema evolution conflict on column '{f.name}': "
+                    f"{prev.type} vs {f.type} — widen explicitly"
+                )
+    return pa.schema(list(fields.values()))
+
+
+def read_parquet_evolving(path: str, **kwargs):
+    """Read a parquet directory whose files were written under EVOLVING
+    schemas (columns added over time): derives the unified schema from
+    the footers, reads each homogeneous file, and projects every block
+    to the union (missing columns null-filled).  Per-file reads keep
+    each ``read_parquet`` schema-homogeneous — Ray 2.49 rejects mixed
+    schemas inside one read — and ``union`` streams them."""
+    import os
+
+    import ray.data
+
+    schema = unified_parquet_schema(path)
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    # group files by their exact footer schema so each read is
+    # homogeneous; one read per schema generation, not per file
+    import pyarrow.parquet as pq
+
+    by_schema: dict[str, list[str]] = {}
+    for f in files:
+        key = str(pq.read_schema(f))
+        by_schema.setdefault(key, []).append(f)
+    parts = [
+        evolve_schema(ray.data.read_parquet(group, **kwargs), schema)
+        for group in by_schema.values()
+    ]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
 def _arrow_schema(ds) -> pa.Schema:
     """ray.data.Schema → pyarrow.Schema (ray wraps the arrow schema)."""
     s = ds.schema()

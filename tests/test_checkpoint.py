@@ -231,3 +231,53 @@ def test_vacuum(ray_session, tmp_path):
     ds = ck.stage("good", lambda: _toy_ds(ray_session))
     assert ds.count() == 10
     assert sorted(ds.to_pandas()["x"].tolist()) == list(range(10))
+
+
+def test_read_parquet_evolving(ray_session, tmp_path):
+    """Schema evolution: files written before a column existed read
+    back null-filled under the unified schema; int widening casts; a
+    true type CONFLICT raises instead of silently coercing."""
+    import pyarrow.parquet as pq
+
+    from address_parser_ray.rayutil import (
+        read_parquet_evolving,
+        unified_parquet_schema,
+    )
+
+    d = tmp_path / "evolving"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"repo": ["a", "b"], "n": pa.array([1, 2], type=pa.int32())}),
+        str(d / "part-000.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["c"],
+                "n": pa.array([3], type=pa.int32()),
+                "stars": pa.array([7], type=pa.int64()),
+            }
+        ),
+        str(d / "part-001.parquet"),
+    )
+    sch = unified_parquet_schema(str(d))
+    assert sch.names == ["repo", "n", "stars"]
+
+    df = (
+        read_parquet_evolving(str(d))
+        .to_pandas()
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+    assert len(df) == 3
+    assert df["stars"].tolist()[:2] == [None, None] or df["stars"].isna().tolist()[:2] == [True, True]
+    assert df.loc[2, "stars"] == 7
+    assert df["n"].tolist() == [1, 2, 3]
+
+    # type conflict raises
+    pq.write_table(
+        pa.table({"repo": ["x"], "n": pa.array(["oops"], type=pa.string())}),
+        str(d / "part-002.parquet"),
+    )
+    with pytest.raises(ValueError, match="schema evolution conflict"):
+        unified_parquet_schema(str(d))
