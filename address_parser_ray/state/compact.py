@@ -99,6 +99,35 @@ def hex_multiset_fingerprint(col, acc: tuple = (0, 0, 0, 0)) -> tuple:
         )
 
 
+def multiset_fingerprint(col, acc: tuple = (0, 0, 0, 0)) -> tuple:
+    """Type-dispatching multiset fingerprint: integer columns fold
+    splitmix64 over the raw values; string columns use the hex path
+    (``hex_multiset_fingerprint``).  Same (xor, sum, n_null, n_rows)
+    contract."""
+    from address_parser_ray.functions.hashing import splitmix64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        n = len(col)
+        valid = col.drop_null()
+        n_null = n - len(valid)
+        x, s = np.uint64(0), np.uint64(0)
+        if len(valid):
+            m = splitmix64(np.asarray(valid, dtype=np.int64).view(np.uint64))
+            x = np.bitwise_xor.reduce(m)
+            with np.errstate(over="ignore"):
+                s = np.add.reduce(m)
+        with np.errstate(over="ignore"):
+            return (
+                int(acc[0]) ^ int(x),
+                int((np.uint64(acc[1]) + s) & np.uint64(0xFFFFFFFFFFFFFFFF)),
+                acc[2] + n_null,
+                acc[3] + n,
+            )
+    return hex_multiset_fingerprint(col, acc)
+
+
 def _xor_column(path: str, column: str) -> tuple:
     """Multiset fingerprint of ``column`` across every part file (same
     rule as ``Checkpointer.invariant_xor``). Vectorized — the audit reads

@@ -281,3 +281,49 @@ def test_read_parquet_evolving(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="schema evolution conflict"):
         unified_parquet_schema(str(d))
+
+
+def test_diff_stages(ray_session, tmp_path):
+    """Backfill planning: a cloned stage diffs empty; a same-row-count
+    content mutation is caught by the fingerprint pass; an extra file
+    lands in only_b."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "ck")
+    ck = Checkpointer(root)
+    ck.stage("s", lambda: _toy_ds(ray_session, n=10))
+    a = os.path.join(root, "s")
+    b = os.path.join(root, "s_replica")
+    shutil.copytree(a, b)
+
+    d0 = Checkpointer.diff_stages(a, b, column="x")
+    assert d0["drifted"] == [] and d0["only_a"] == [] and d0["only_b"] == []
+    assert d0["identical"] >= 1
+
+    # mutate one replica file, SAME row count — only the fingerprint sees it
+    fname = sorted(f for f in os.listdir(b) if f.endswith(".parquet"))[0]
+    t = pq.read_table(os.path.join(b, fname))
+    xs = t["x"].to_pylist()
+    xs[0] = 9999
+    pq.write_table(
+        pa.table({"x": pa.array(xs, type=pa.int64())}), os.path.join(b, fname)
+    )
+    d1 = Checkpointer.diff_stages(a, b)  # manifest-only: invisible
+    assert d1["drifted"] == []
+    d2 = Checkpointer.diff_stages(a, b, column="x")  # fingerprint: caught
+    assert d2["drifted"] == [fname]
+
+    # extra file in the replica manifest
+    extra = "zz_extra.parquet"
+    pq.write_table(
+        pa.table({"x": pa.array([1], type=pa.int64())}), os.path.join(b, extra)
+    )
+    with open(os.path.join(b, "_lineage.json")) as f:
+        lin = json.load(f)
+    lin["files"][extra] = 1
+    with open(os.path.join(b, "_lineage.json"), "w") as f:
+        json.dump(lin, f)
+    d3 = Checkpointer.diff_stages(a, b, column="x")
+    assert d3["only_b"] == [extra]
