@@ -4008,3 +4008,81 @@ ORACLE_SQL["mixed_lang_docs"] = """
                AS is_mixed
     FROM p GROUP BY 1 ORDER BY 1
 """
+
+# Duplicate-cap sampling: keep the 2 smallest doc_ids per exact
+# content-sha256 group (C4/Gopher "at most m copies").
+ORACLE_SQL["dup_cap_sample"] = """
+    WITH g AS (
+        SELECT doc_id,
+               row_number() OVER (
+                   PARTITION BY sha256(COALESCE(text, ''))
+                   ORDER BY doc_id) AS copy_idx,
+               count(*) OVER (
+                   PARTITION BY sha256(COALESCE(text, ''))) AS group_n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(copy_idx AS BIGINT) AS copy_idx,
+           CAST(group_n AS BIGINT) AS group_n
+    FROM g WHERE copy_idx <= 2 ORDER BY doc_id
+"""
+
+# CCNet-style per-line corpus dedup: a nonempty line occurrence is
+# removed unless this doc is the line's min-doc_id owner.
+ORACLE_SQL["line_dedup_filter"] = """
+    WITH lines AS (
+        SELECT doc_id, ln, length(ln) AS clen
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(COALESCE(text, ''), chr(10))) AS ln
+            FROM documents
+        ) WHERE ln != ''
+    ), owner AS (
+        SELECT ln, min(doc_id) AS own FROM lines GROUP BY 1
+    ), per AS (
+        SELECT l.doc_id,
+               count(*) AS n_lines,
+               sum(CASE WHEN o.own = l.doc_id THEN 1 ELSE 0 END) AS n_kept,
+               sum(CASE WHEN o.own <> l.doc_id THEN l.clen ELSE 0 END)
+                   AS removed_chars
+        FROM lines l JOIN owner o ON l.ln = o.ln GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(COALESCE(p.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(p.removed_chars, 0) AS BIGINT) AS removed_chars
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    ORDER BY 1
+"""
+
+# Splink-style TF-adjusted match evidence over rare shared token
+# 3-grams (document frequency 2..4): weight = sum(1e6 // df),
+# integer-exact. Phrases, not tokens: the corpus vocabulary is a
+# closed 31-word set, so single tokens carry no rarity signal.
+ORACLE_SQL["tf_match_weights"] = """
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS a
+        FROM documents
+    ), g AS (
+        SELECT DISTINCT doc_id,
+               lower(list_aggregate(a[i:i+2], 'string_agg', ' ')) AS gram
+        FROM (
+            SELECT doc_id, a,
+                   unnest(range(1, greatest(len(a) - 1, 1))) AS i
+            FROM t
+        )
+    ), df AS (
+        SELECT gram, count(*) AS ndocs
+        FROM g GROUP BY 1
+        HAVING count(*) BETWEEN 2 AND 4
+    )
+    SELECT a.doc_id AS doc_a,
+           b.doc_id AS doc_b,
+           CAST(sum(1000000 // d.ndocs) AS BIGINT) AS tf_weight,
+           CAST(count(*) AS BIGINT) AS n_shared_rare
+    FROM df d
+    JOIN g a ON a.gram = d.gram
+    JOIN g b ON b.gram = d.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -12581,6 +12581,363 @@ def q_mixed_lang_docs(sf_dir: str):
     return docs.map_batches(fn, batch_format="pandas")
 
 
+def q_dup_cap_sample(sf_dir: str):
+    """Duplicate-CAP sampling (the C4/Gopher curation middle ground):
+    instead of collapsing each exact-dup group to one representative
+    (``exact_dedup_groups``) keep the ``m = 2`` smallest doc_ids per
+    content-sha256 group — natural duplication signal survives, but
+    boilerplate can never dominate the token budget. Output per
+    SURVIVOR: (doc_id, copy_idx 1-based, group_n).
+
+    Shape: one content pass emits only (bucket, 32-byte sha, doc_id) —
+    text never shuffles; the sha's own first 8 bytes pick the bucket so
+    each group lives in exactly ONE bucket and the per-group head-2 is
+    exact with a single single-key shuffle. Per bucket: one stable sort
+    + cumcount (vectorized pandas), no Python loop over groups."""
+    import hashlib
+
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    CAP = 2
+    nparts = default_num_partitions()
+
+    def emit(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        shas = [hashlib.sha256((x or "").encode()).digest() for x in texts]
+        pref = np.frombuffer(
+            b"".join(s[:8] for s in shas), dtype=np.uint64
+        ) if shas else np.empty(0, dtype=np.uint64)
+        bucket = (splitmix64(pref) % np.uint64(nparts)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "sha": pa.array(shas, type=pa.binary()),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    def cap_groups(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sha", "doc_id"], kind="stable")
+        grp = g.groupby("sha", sort=False)
+        copy_idx = grp.cumcount().to_numpy() + 1
+        group_n = grp["doc_id"].transform("size").to_numpy(np.int64)
+        keep = copy_idx <= CAP
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64)[keep],
+                "copy_idx": copy_idx[keep].astype(np.int64),
+                "group_n": group_n[keep],
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cap_groups, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+def q_line_dedup_filter(sf_dir: str):
+    """CCNet-style per-LINE corpus dedup as a TRANSFORM: a nonempty line
+    occurrence is REMOVED when the identical line also occurs in some
+    smaller-doc_id document (the min-doc_id owner keeps all its
+    occurrences — "first wins" at line granularity). This is the unit
+    the CCNet/RefinedWeb pipelines dedup at, distinct from the
+    token-8-gram windows of ``dup_span_stats`` and the content-defined
+    chunks of ``cdc_chunk_stats``. Output per doc: (doc_id, n_lines,
+    n_kept, removed_chars); zero-line docs surface as zeros.
+
+    Shape (the proven postings contract): one content pass emits
+    (bucket, 16-byte blake2b line key, doc_id, cnt, clen) pre-counted
+    per (doc, line) and hash-bucketed by key — lines never shuffle,
+    only digests; each bucket computes the min owner per key in one
+    vectorized pandas pass; a single-key ``groupby(doc_id)`` Sum
+    combines. A key=b'' marker row per doc keeps empty docs present."""
+    import hashlib
+    from collections import Counter
+
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def emit_postings(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        docs, keys, cnts, lens = [], [], [], []
+        for d, text in zip(doc_ids, texts):
+            docs.append(d)  # marker row
+            keys.append(b"")
+            cnts.append(0)
+            lens.append(0)
+            c = Counter(ln for ln in (text or "").split("\n") if ln != "")
+            for ln, n in c.items():
+                docs.append(d)
+                keys.append(
+                    hashlib.blake2b(ln.encode(), digest_size=16).digest()
+                )
+                cnts.append(n)
+                lens.append(len(ln))
+        doc_arr = np.asarray(docs, dtype=np.int64)
+        pref = np.array(
+            [int.from_bytes(k[:8], "little") if k else 0 for k in keys],
+            dtype=np.uint64,
+        )
+        is_marker = np.array([not k for k in keys], dtype=bool)
+        mixed = np.where(is_marker, doc_arr.view(np.uint64), pref)
+        bucket = (splitmix64(mixed) % np.uint64(nparts)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "key": pa.array(keys, type=pa.binary()),
+                "doc_id": pa.array(doc_arr),
+                "cnt": pa.array(np.asarray(cnts, dtype=np.int64)),
+                "clen": pa.array(np.asarray(lens, dtype=np.int64)),
+            }
+        )
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        marker = g["key"].str.len() == 0
+        lines = g[~marker]
+        parts = [
+            pd.DataFrame(
+                {
+                    "doc_id": g.loc[marker, "doc_id"].to_numpy(np.int64),
+                    "part_n": np.int64(0),
+                    "part_kept": np.int64(0),
+                    "part_removed_chars": np.int64(0),
+                }
+            )
+        ]
+        if len(lines):
+            owner = lines.groupby("key")["doc_id"].transform("min")
+            own = (owner.to_numpy() == lines["doc_id"].to_numpy())
+            cnt = lines["cnt"].to_numpy(np.int64)
+            clen = lines["clen"].to_numpy(np.int64)
+            per = (
+                pd.DataFrame(
+                    {
+                        "doc_id": lines["doc_id"].to_numpy(np.int64),
+                        "part_n": cnt,
+                        "part_kept": np.where(own, cnt, 0),
+                        "part_removed_chars": np.where(own, 0, clen * cnt),
+                    }
+                )
+                .groupby("doc_id", sort=False, as_index=False)
+                .sum()
+            )
+            parts.append(per)
+        out = pd.concat(parts, ignore_index=True)
+        for c in ("part_n", "part_kept", "part_removed_chars"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(emit_postings, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("part_n", alias_name="n_lines"),
+            Sum("part_kept", alias_name="n_kept"),
+            Sum("part_removed_chars", alias_name="removed_chars"),
+        )
+        .sort("doc_id")
+    )
+
+
+_TF_DF_MIN, _TF_DF_MAX = 2, 4  # "rare phrase" document-frequency window
+
+
+def q_tf_match_weights(sf_dir: str):
+    """Splink-style term-frequency-ADJUSTED match evidence: two records
+    sharing a RARE feature are far stronger match evidence than two
+    sharing a common one — the TF adjustment every production linkage
+    engine applies on top of Fellegi-Sunter m/u weights
+    (``fellegi_sunter_em`` here). The feature unit is the token
+    3-gram (phrase), because this corpus's whitespace vocabulary is a
+    closed 31-word set (min df 25 — single tokens carry zero rarity);
+    phrases recover a real df tail. Candidate pairs = docs sharing a
+    3-gram with document frequency in [2, 4]; evidence = Σ over shared
+    rare phrases of ``1_000_000 // df`` (integer micro-units — rarer ⇒
+    heavier; no float log ever materializes, so the ranking is
+    hash-exact). Output (doc_a, doc_b, tf_weight, n_shared_rare).
+
+    Shape: pass 1 emits per-doc DISTINCT phrase postings (16-byte keys)
+    hash-bucketed by phrase, so each phrase's exact df lives in one
+    bucket; rare phrases fan out ≤ C(4,2) = 6 pair partials each — the
+    df cap bounds the quadratic exactly like the blocking stage's
+    max-block caps; pass 2 folds pair partials in pair-hash buckets.
+    Content never shuffles; both shuffles carry only digests + ids."""
+    import hashlib
+
+    from address_parser_ray.functions.hashing import splitmix64
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def emit_tokens(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        docs, keys = [], []
+        for d, text in zip(doc_ids, texts):
+            toks = _ws_tokens(text)
+            grams = {
+                " ".join(toks[i : i + 3]).lower()
+                for i in range(len(toks) - 2)
+            }
+            for w in grams:
+                docs.append(d)
+                keys.append(
+                    hashlib.blake2b(w.encode(), digest_size=16).digest()
+                )
+        pref = (
+            np.array(
+                [int.from_bytes(k[:8], "little") for k in keys],
+                dtype=np.uint64,
+            )
+            if keys
+            else np.empty(0, dtype=np.uint64)
+        )
+        bucket = (splitmix64(pref) % np.uint64(nparts)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "key": pa.array(keys, type=pa.binary()),
+                "doc_id": pa.array(np.asarray(docs, dtype=np.int64)),
+            }
+        )
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        df_per_key = g.groupby("key")["doc_id"].transform("size")
+        rare = g[(df_per_key >= _TF_DF_MIN) & (df_per_key <= _TF_DF_MAX)]
+        out_a, out_b, out_w = [], [], []
+        for _, grp in rare.groupby("key", sort=False):
+            ids = np.sort(grp["doc_id"].to_numpy(np.int64))
+            w = 1_000_000 // len(ids)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+            out_w.append(np.full(len(ia), w, dtype=np.int64))
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            w = np.concatenate(out_w)
+        else:
+            a = b = w = np.empty(0, dtype=np.int64)
+        pb = (
+            splitmix64(a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                       ^ b.view(np.uint64))
+            % np.uint64(nparts)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"pair_bucket": pb, "doc_a": a, "doc_b": b, "w": w}
+        )
+
+    def fold_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["doc_a", "doc_b"], sort=False)["w"]
+            .agg(["sum", "size"])
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "doc_a": agg["doc_a"].to_numpy(np.int64),
+                "doc_b": agg["doc_b"].to_numpy(np.int64),
+                "tf_weight": agg["sum"].to_numpy(np.int64),
+                "n_shared_rare": agg["size"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(emit_tokens, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby("pair_bucket")
+        .map_groups(fold_pairs, batch_format="pandas")
+        .sort(["doc_a", "doc_b"])
+    )
+
+
+def q_cluster_density(sf_dir: str):
+    """ER cluster-QA diagnostic (Splink's cluster-metrics surface): per
+    near-dup cluster, the EDGE DENSITY — decided edges (score ≥
+    match_threshold with both endpoints inside the cluster) over
+    possible pairs n·(n-1)/2, in integer ppm. Low-density big clusters
+    are the classic transitive-closure failure (one spurious bridge
+    glues two real entities); density 10⁶ means a clique. Rows-only
+    (cluster membership comes from LSH + scoring, non-SQL). Output
+    (cluster_id, n_members, n_edges, density_ppm), n ≥ 2 clusters only.
+
+    Shape: assignments join onto the already-materialized scored-pairs
+    panel via two id-bucketed ``pinned_join``s (ids only — content
+    never moves); edge counts and member counts fold in one single-key
+    groupby each."""
+    res = _dedup_documents(sf_dir)
+    thr = DEFAULT_CONFIG.match_threshold
+    if res.scored_pairs is None:
+        return pd.DataFrame(
+            {
+                "cluster_id": pd.Series([], dtype="int64"),
+                "n_members": pd.Series([], dtype="int64"),
+                "n_edges": pd.Series([], dtype="int64"),
+                "density_ppm": pd.Series([], dtype="int64"),
+            }
+        )
+
+    edges = res.scored_pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["score"], thr)).select(
+            ["id_a", "id_b"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ej = pinned_join(edges, res.assignments, on="id_a", right_on="record_id")
+    ej = pinned_join(ej, res.assignments, on="id_b", right_on="record_id")
+
+    def same_cluster(t: pa.Table) -> pa.Table:
+        ca = np.asarray(t["cluster_id"], dtype=np.int64)
+        cb = np.asarray(t["cluster_id_r"], dtype=np.int64)
+        keep = ca == cb
+        return pa.table({"cluster_id": pa.array(ca[keep])})
+
+    edge_counts = (
+        ej.map_batches(same_cluster, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(Count(alias_name="n_edges"))
+    )
+    members = res.assignments.groupby("cluster_id").aggregate(
+        Count(alias_name="n_members")
+    )
+    j = pinned_join(members, edge_counts, on="cluster_id")
+
+    def density(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_members"], dtype=np.int64)
+        e = np.asarray(t["n_edges"], dtype=np.int64)
+        keep = n >= 2
+        n, e = n[keep], e[keep]
+        possible = n * (n - 1) // 2
+        return pa.table(
+            {
+                "cluster_id": pa.array(
+                    np.asarray(t["cluster_id"], dtype=np.int64)[keep]
+                ),
+                "n_members": pa.array(n),
+                "n_edges": pa.array(e),
+                "density_ppm": pa.array(
+                    e * 1_000_000 // np.maximum(possible, 1)
+                ),
+            }
+        )
+
+    return j.map_batches(density, batch_format="pyarrow").sort("cluster_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -12757,4 +13114,8 @@ QUERIES = {
     "late_event_stats": q_late_event_stats,
     "rendezvous_rebalance": q_rendezvous_rebalance,
     "trigram_search": q_trigram_search,
+    "dup_cap_sample": q_dup_cap_sample,
+    "line_dedup_filter": q_line_dedup_filter,
+    "tf_match_weights": q_tf_match_weights,
+    "cluster_density": q_cluster_density,
 }

@@ -186,7 +186,26 @@ SQL_CHECKED = [
     "hourly_anomalies",
     "hapax_stats",
     "mixed_lang_docs",
+    "dup_cap_sample",
+    "line_dedup_filter",
+    "tf_match_weights",
 ]
+
+
+def test_cluster_density_bounds(ray_session):
+    """Cluster-QA density: every reported cluster has n >= 2 members,
+    edge count bounded by n*(n-1)/2, density in (0, 1e6]; the corpus's
+    exact-duplicate groups must surface at least one full clique."""
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    df = _to_df(QUERIES["cluster_density"](SF))
+    assert len(df) > 0
+    assert (df["n_members"] >= 2).all()
+    possible = df["n_members"] * (df["n_members"] - 1) // 2
+    assert (df["n_edges"] <= possible).all()
+    assert (df["density_ppm"] <= 1_000_000).all()
+    assert (df["density_ppm"] > 0).all()
+    assert (df["density_ppm"] == 1_000_000).any()
 
 
 def test_canonical_snap_semantics(ray_session):
