@@ -4086,3 +4086,56 @@ ORACLE_SQL["tf_match_weights"] = """
     JOIN g b ON b.gram = d.gram AND a.doc_id < b.doc_id
     GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+# Per-source language Gini impurity in integer ppm (mixture-curation
+# diversity diagnostic).
+ORACLE_SQL["source_lang_gini"] = """
+    WITH c AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ), s AS (
+        SELECT source,
+               sum(n) AS nd, count(*) AS nl, sum(n * n) AS ss
+        FROM c GROUP BY 1
+    )
+    SELECT source,
+           CAST(nd AS BIGINT) AS n_docs,
+           CAST(nl AS BIGINT) AS n_langs,
+           CAST(1000000 - (1000000 * ss) // (nd * nd) AS BIGINT)
+               AS gini_ppm
+    FROM s ORDER BY 1
+"""
+
+# k-anonymity class-size histogram over the quasi-identifier
+# (lang, source, n_chars // 256); at_risk = class_size < 5.
+ORACLE_SQL["k_anonymity_audit"] = """
+    WITH cls AS (
+        SELECT lang, source, n_chars // 256 AS sz,
+               CAST(count(*) AS BIGINT) AS class_size
+        FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT class_size,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(class_size * count(*) AS BIGINT) AS n_docs,
+           class_size < 5 AS at_risk
+    FROM cls GROUP BY 1 ORDER BY 1
+"""
+
+# Benford first-significant-digit shares of positive event value-cents.
+ORACLE_SQL["benford_digits"] = """
+    WITH c AS (
+        SELECT CAST(floor(value * 100) AS BIGINT) AS cents FROM events
+    ), d AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit
+        FROM c WHERE cents > 0
+    ), n AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n_events
+        FROM d GROUP BY 1
+    )
+    SELECT digit, n_events,
+           CAST(n_events * 1000000 //
+                greatest((SELECT sum(n_events) FROM n), 1) AS BIGINT)
+               AS share_ppm
+    FROM n ORDER BY 1
+"""

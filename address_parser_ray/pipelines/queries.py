@@ -12938,6 +12938,153 @@ def q_cluster_density(sf_dir: str):
     return j.map_batches(density, batch_format="pyarrow").sort("cluster_id")
 
 
+def q_source_lang_gini(sf_dir: str):
+    """Corpus-diversity diagnostic for mixture curation: per source, the
+    Gini IMPURITY of its language distribution in integer ppm —
+    ``1e6 − (1e6·Σnᵢ²)//n²`` (0 = monolingual source, → 1e6 = uniform
+    mix). The integer form keeps the panel hash-exact (no float Σpᵢ²);
+    a curation pipeline reads it to balance per-source sampling
+    temperature. Output (source, n_docs, n_langs, gini_ppm).
+
+    Shape: per-batch (source, lang) partial counts (domain-tiny), then
+    ONE single-key groupby(source) whose map_groups folds that source's
+    lang counts vectorized — no composite-key aggregate ever forms."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "lang"], sort=False, as_index=False).agg(
+            part_n=("lang", "size")
+        )
+        g["part_n"] = g["part_n"].astype(np.int64)
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per_lang = g.groupby("lang", sort=False)["part_n"].sum().to_numpy(np.int64)
+        n = int(per_lang.sum())
+        ss = int((per_lang * per_lang).sum())
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": np.array([n], dtype=np.int64),
+                "n_langs": np.array([len(per_lang)], dtype=np.int64),
+                "gini_ppm": np.array(
+                    [1_000_000 - (1_000_000 * ss) // (n * n)], dtype=np.int64
+                ),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["source", "lang"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(fold, batch_format="pandas")
+        .sort("source")
+    )
+
+
+def q_k_anonymity_audit(sf_dir: str):
+    """k-anonymity audit over the quasi-identifier (lang, source,
+    n_chars // 256) — the privacy/compliance pass a training-data
+    release runs: how many equivalence classes are smaller than k = 5
+    (rows in them are re-identifiable by the QI combination alone).
+    Output per class SIZE: (class_size, n_classes, n_docs, at_risk).
+
+    Shape: per-batch partial counts over the QI triple collapse the
+    stream to the class domain immediately; classes key a single-key
+    groupby via a derived qid string; the size histogram is a second
+    domain-tiny groupby. Nothing row-scale ever shuffles."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qid = (
+            df["lang"].astype(str)
+            + "|"
+            + df["source"].astype(str)
+            + "|"
+            + (df["n_chars"].to_numpy(np.int64) // 256).astype(str)
+        )
+        g = pd.DataFrame({"qid": qid}).groupby("qid", sort=False, as_index=False).agg(
+            part_n=("qid", "size")
+        )
+        g["part_n"] = g["part_n"].astype(np.int64)
+        return g
+
+    classes = (
+        _docs(sf_dir, ["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("qid")
+        .aggregate(Sum("part_n", alias_name="class_size"))
+    )
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("class_size", sort=False, as_index=False).agg(
+            n_classes=("class_size", "size")
+        )
+        g["n_docs"] = (
+            g["class_size"].to_numpy(np.int64) * g["n_classes"].to_numpy(np.int64)
+        )
+        g["n_classes"] = g["n_classes"].astype(np.int64)
+        return g[["class_size", "n_classes", "n_docs"]]
+
+    return (
+        classes.map_batches(hist, batch_format="pandas")
+        .groupby("class_size")
+        .aggregate(
+            Sum("n_classes", alias_name="n_classes"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .map_batches(
+            lambda df: df.assign(at_risk=df["class_size"] < 5),
+            batch_format="pandas",
+        )
+        .sort("class_size")
+    )
+
+
+def q_benford_digits(sf_dir: str):
+    """Benford first-digit screen over event values — the classic
+    data-forensics DQ check for fabricated or unit-mangled numeric
+    feeds: observed first-significant-digit shares of value-cents
+    (> 0). Output (digit 1-9, n_events, share_ppm) with integer ppm
+    shares (deviation from log10(1+1/d) is the reader's judgment —
+    keeping floats out keeps the panel hash-exact). Shape: per-batch
+    digit partials, one 9-row groupby; the total for ppm comes from
+    the same 9-row panel — no second pass."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        cents = cents[cents > 0]
+        if len(cents) == 0:
+            return pd.DataFrame(
+                {
+                    "digit": pd.Series([], dtype="int64"),
+                    "part_n": pd.Series([], dtype="int64"),
+                }
+            )
+        # first significant digit via decimal string — the exact rule
+        # the oracle's substr(CAST(cents AS VARCHAR),1,1) applies
+        d = np.char.mod("%d", cents).astype("U1").astype(np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pd.DataFrame(
+            {"digit": u.astype(np.int64), "part_n": c.astype(np.int64)}
+        )
+
+    panel = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("digit")
+        .aggregate(Sum("part_n", alias_name="n_events"))
+        .to_pandas()
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    total = int(panel["n_events"].sum())
+    panel["n_events"] = panel["n_events"].astype(np.int64)
+    panel["digit"] = panel["digit"].astype(np.int64)
+    panel["share_ppm"] = (
+        panel["n_events"].to_numpy(np.int64) * 1_000_000 // max(total, 1)
+    )
+    return panel
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -13118,4 +13265,7 @@ QUERIES = {
     "line_dedup_filter": q_line_dedup_filter,
     "tf_match_weights": q_tf_match_weights,
     "cluster_density": q_cluster_density,
+    "source_lang_gini": q_source_lang_gini,
+    "k_anonymity_audit": q_k_anonymity_audit,
+    "benford_digits": q_benford_digits,
 }

@@ -189,6 +189,9 @@ SQL_CHECKED = [
     "dup_cap_sample",
     "line_dedup_filter",
     "tf_match_weights",
+    "source_lang_gini",
+    "k_anonymity_audit",
+    "benford_digits",
 ]
 
 
