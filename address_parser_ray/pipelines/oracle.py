@@ -4139,3 +4139,135 @@ ORACLE_SQL["benford_digits"] = """
                AS share_ppm
     FROM n ORDER BY 1
 """
+
+# CUBE over (lang, source): all four grouping sets, '*' marks a
+# rolled-up axis (same sentinel convention as rollup_counts).
+ORACLE_SQL["cube_counts"] = """
+    SELECT CASE WHEN GROUPING(lang) = 1 THEN '*' ELSE lang END AS lang,
+           CASE WHEN GROUPING(source) = 1 THEN '*' ELSE source END
+               AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+"""
+
+# Held-out OOV rate: train = doc_id % 10 <> 0; per-lang distinct-token
+# set algebra with integer-ppm OOV share. Token classes = the BPE
+# pre-tokenizer runs (same pattern as vocab_stats).
+ORACLE_SQL["oov_rate"] = """
+    WITH tok AS (
+        SELECT lang,
+               unnest(regexp_extract_all(
+                   COALESCE(text, ''),
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS tok,
+               doc_id % 10 <> 0 AS tr
+        FROM documents
+    ), v AS (
+        SELECT lang, tok,
+               CAST(max(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT)
+                   AS in_train,
+               CAST(max(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT)
+                   AS in_holdout
+        FROM tok GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(in_train) AS BIGINT) AS n_train_vocab,
+           CAST(sum(in_holdout) AS BIGINT) AS n_holdout_vocab,
+           CAST(sum(in_train * in_holdout) AS BIGINT) AS n_common,
+           CAST(sum(CASE WHEN in_train = 0 AND in_holdout = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout_only,
+           CAST(sum(CASE WHEN in_train = 0 AND in_holdout = 1
+                         THEN 1 ELSE 0 END) * 1000000
+                // greatest(sum(in_holdout), 1) AS BIGINT) AS oov_ppm
+    FROM v GROUP BY 1 ORDER BY 1
+"""
+
+# Median / MAD length outliers per lang — the pinned integer rank rule
+# (50*n+99)//100 on the compacted histogram, deviation histogram
+# derived from the value histogram, outlier iff |v - med| > 3*MAD.
+ORACLE_SQL["mad_outliers"] = """
+    WITH h AS (
+        SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS pn
+        FROM documents GROUP BY 1, 2
+    ), t AS (
+        SELECT lang, CAST(sum(pn) AS BIGINT) AS total FROM h GROUP BY 1
+    ), c AS (
+        SELECT h.lang, v, pn,
+               sum(pn) OVER (PARTITION BY h.lang ORDER BY v) AS cum,
+               t.total
+        FROM h JOIN t ON h.lang = t.lang
+    ), med AS (
+        SELECT lang, CAST(min(v) AS BIGINT) AS median
+        FROM c WHERE cum >= (50 * total + 99) // 100 GROUP BY 1
+    ), d AS (
+        SELECT h.lang, abs(v - m.median) AS dev,
+               CAST(sum(pn) AS BIGINT) AS pn
+        FROM h JOIN med m ON h.lang = m.lang GROUP BY 1, 2
+    ), cd AS (
+        SELECT d.lang, dev, pn,
+               sum(pn) OVER (PARTITION BY d.lang ORDER BY dev) AS cum,
+               t.total
+        FROM d JOIN t ON d.lang = t.lang
+    ), mad AS (
+        SELECT lang, CAST(min(dev) AS BIGINT) AS mad
+        FROM cd WHERE cum >= (50 * total + 99) // 100 GROUP BY 1
+    )
+    SELECT h.lang,
+           CAST(max(t.total) AS BIGINT) AS n_docs,
+           CAST(max(m.median) AS BIGINT) AS median,
+           CAST(max(a.mad) AS BIGINT) AS mad,
+           CAST(COALESCE(sum(CASE WHEN abs(v - m.median) > 3 * a.mad
+                                  THEN pn END), 0) AS BIGINT) AS n_outliers
+    FROM h
+    JOIN t ON h.lang = t.lang
+    JOIN med m ON h.lang = m.lang
+    JOIN mad a ON h.lang = a.lang
+    GROUP BY 1 ORDER BY 1
+"""
+
+# Dense daily trend grid with LAG delta (first day's delta = its count).
+ORACLE_SQL["trending_types"] = """
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS d FROM events
+    ),
+    c AS (SELECT event_type, d, count(*) AS n FROM e GROUP BY 1, 2),
+    sp AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+    t AS (SELECT DISTINCT event_type FROM events),
+    grid AS (
+        SELECT t.event_type, unnest(generate_series(sp.lo, sp.hi)) AS d
+        FROM t, sp
+    ),
+    f AS (
+        SELECT g.event_type,
+               CAST(g.d AS BIGINT) AS day_epoch,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        FROM grid g
+        LEFT JOIN c ON c.event_type = g.event_type AND c.d = g.d
+    )
+    SELECT event_type, day_epoch, n_events,
+           CAST(n_events - COALESCE(lag(n_events) OVER (
+               PARTITION BY event_type ORDER BY day_epoch), 0)
+               AS BIGINT) AS delta
+    FROM f ORDER BY 1, 2
+"""
+
+# Market-basket part pairs: distinct (order, part) self-join, count per
+# unordered pair, top-20 under the pinned total order
+# (n_orders DESC, pk_a, pk_b) — pairs are unique so the cut is
+# deterministic under count ties.
+ORACLE_SQL["copurchase_pairs"] = """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pr AS (
+        SELECT a.l_partkey AS pk_a, b.l_partkey AS pk_b
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    c AS (
+        SELECT pk_a, pk_b, CAST(count(*) AS BIGINT) AS n_orders
+        FROM pr GROUP BY 1, 2
+    )
+    SELECT CAST(pk_a AS BIGINT) AS pk_a, CAST(pk_b AS BIGINT) AS pk_b,
+           n_orders
+    FROM c ORDER BY n_orders DESC, pk_a, pk_b LIMIT 20
+"""

@@ -13085,6 +13085,433 @@ def q_benford_digits(sf_dir: str):
     return panel
 
 
+def q_cube_counts(sf_dir: str):
+    """Full CUBE aggregate — all four grouping sets of (lang, source)
+    from ONE corpus pass: each batch partial-aggregates the finest
+    (lang, source) level locally and derives (lang, *), (*, source)
+    and the grand total from it, so the cube costs zero extra shuffles
+    over a flat groupby (``rollup_counts`` emits only the ROLLUP
+    subset; CUBE adds the (*, source) slice).  The combine runs on one
+    FUSED key — composite-key aggregate shuffles pay a multi-column
+    sort in Ray's sort shuffle.  Pre-combine volume is bounded by
+    (langs+1)·(sources+1) rows per block regardless of input size.
+    Full SQL oracle (GROUP BY CUBE + GROUPING())."""
+    SEP = "\x1f"
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        base = (
+            df.groupby(["lang", "source"], sort=False)
+            .agg(n=("n_chars", "size"), chars=("n_chars", "sum"))
+            .reset_index()
+        )
+        by_lang = (
+            base.groupby("lang", sort=False)
+            .agg(n=("n", "sum"), chars=("chars", "sum"))
+            .reset_index()
+        )
+        by_src = (
+            base.groupby("source", sort=False)
+            .agg(n=("n", "sum"), chars=("chars", "sum"))
+            .reset_index()
+        )
+        rows = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "k": base["lang"] + SEP + base["source"],
+                        "n": base["n"],
+                        "chars": base["chars"],
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "k": by_lang["lang"] + SEP + "*",
+                        "n": by_lang["n"],
+                        "chars": by_lang["chars"],
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "k": "*" + SEP + by_src["source"],
+                        "n": by_src["n"],
+                        "chars": by_src["chars"],
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "k": ["*" + SEP + "*"],
+                        "n": [int(base["n"].sum())],
+                        "chars": [int(base["chars"].sum())],
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+        rows["n"] = rows["n"].astype("int64")
+        rows["chars"] = rows["chars"].astype("int64")
+        return rows
+
+    def split_key(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["k"].str.split(SEP, expand=True)
+        return pd.DataFrame(
+            {
+                "lang": parts[0],
+                "source": parts[1],
+                "n_docs": df["n_docs"].astype("int64"),
+                "n_chars": df["n_chars"].astype("int64"),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["lang", "source", "n_chars"])
+        .map_batches(partials, batch_format="pandas")
+        .groupby("k")
+        .aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("chars", alias_name="n_chars"),
+        )
+        .map_batches(split_key, batch_format="pandas")
+        .sort(["lang", "source"])
+    )
+
+
+def q_oov_rate(sf_dir: str):
+    """Held-out out-of-vocabulary rate — the train/holdout DISTINCT-set
+    algebra (INTERSECT / EXCEPT counts) every tokenizer-training
+    pipeline checks before freezing a vocabulary: docs split by the T6
+    hash rule (doc_id % 10 == 0 → holdout), per-lang train vocabulary,
+    holdout vocabulary, their intersection, and the holdout-only (OOV)
+    count plus an integer-ppm OOV rate.  Shape: per-batch DISTINCT
+    (lang, token) rows with train/holdout presence flags fused to one
+    key (shuffle bounded by per-batch vocabulary, never token
+    occurrences), Max-combined flags, then per-batch per-lang count
+    partials → one langs-sized combine.  Tokens are the BPE
+    pre-tokenizer classes (``_bpe_findall``, RE2 parity).  Full SQL
+    oracle."""
+    SEP = "\x1f"
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def vocab_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "tok": _bpe_findall(df["text"]),
+                "tr": (df["doc_id"].to_numpy(np.int64) % 10) != 0,
+            }
+        ).explode("tok")
+        ex = ex[ex["tok"].notna()]
+        if len(ex) == 0:
+            return pd.DataFrame(
+                {
+                    "k": pd.Series([], dtype="str"),
+                    "tr": pd.Series([], dtype="int64"),
+                    "ho": pd.Series([], dtype="int64"),
+                }
+            )
+        ex["ho"] = ~ex["tr"]
+        g = ex.groupby(["lang", "tok"], sort=False, as_index=False)[
+            ["tr", "ho"]
+        ].max()
+        return pd.DataFrame(
+            {
+                "k": g["lang"] + SEP + g["tok"],
+                "tr": g["tr"].astype("int64"),
+                "ho": g["ho"].astype("int64"),
+            }
+        )
+
+    vocab = (
+        docs.map_batches(vocab_partial, batch_format="pandas")
+        .groupby("k")
+        .aggregate(
+            Max("tr", alias_name="in_train"),
+            Max("ho", alias_name="in_holdout"),
+        )
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        lang = df["k"].str.split(SEP, n=1, expand=True)[0]
+        tr = df["in_train"].to_numpy(np.int64)
+        ho = df["in_holdout"].to_numpy(np.int64)
+        return (
+            pd.DataFrame(
+                {
+                    "lang": lang,
+                    "ptr": tr,
+                    "pho": ho,
+                    "pboth": tr * ho,
+                    "ponly": ((tr == 0) & (ho == 1)).astype(np.int64),
+                }
+            )
+            .groupby("lang", as_index=False, sort=False)
+            .sum()
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["oov_ppm"] = out["n_holdout_only"].to_numpy(
+            np.int64
+        ) * 1_000_000 // np.maximum(
+            out["n_holdout_vocab"].to_numpy(np.int64), 1
+        )
+        return out
+
+    return (
+        vocab.map_batches(count_partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("ptr", alias_name="n_train_vocab"),
+            Sum("pho", alias_name="n_holdout_vocab"),
+            Sum("pboth", alias_name="n_common"),
+            Sum("ponly", alias_name="n_holdout_only"),
+        )
+        .map_batches(final, batch_format="pandas")
+        .sort("lang")
+    )
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust (median / MAD) length-outlier screen per lang — the
+    outlier detector that survives the heavy tails that saturate the
+    3σ z-score rule (``length_outliers``, whose mean and variance a
+    single megabyte file drags): both the median and the median
+    absolute deviation come from the SAME compacted (lang, n_chars)
+    histogram via the pinned integer rank rule ``(50·n+99)//100``
+    (shared with ``event_value_percentiles`` / ``winsorized_stats``);
+    the deviation histogram is DERIVED from the value histogram, so
+    the whole op is one corpus pass and the combine touches only
+    langs × distinct-lengths panels.  A doc is an outlier iff
+    |n_chars − median| > 3·MAD.  All integer.  Full SQL oracle."""
+    docs = _docs(sf_dir, ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pylist(),
+                "v": np.asarray(t["n_chars"], dtype=np.int64),
+            }
+        )
+        g = df.groupby(["lang", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"].tolist(), type=pa.string()),
+                "v": pa.array(g["v"].to_numpy(np.int64)),
+                "pn": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby("v", as_index=False)["pn"].sum().sort_values("v")
+        v = h["v"].to_numpy(np.int64)
+        n = h["pn"].to_numpy(np.int64)
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        med = int(v[np.searchsorted(cum, (50 * total + 99) // 100)])
+        dev = np.abs(v - med)
+        dh = (
+            pd.DataFrame({"dev": dev, "pn": n})
+            .groupby("dev", as_index=False)["pn"]
+            .sum()
+            .sort_values("dev")
+        )
+        dcum = np.cumsum(dh["pn"].to_numpy(np.int64))
+        mad = int(
+            dh["dev"].to_numpy(np.int64)[
+                np.searchsorted(dcum, (50 * total + 99) // 100)
+            ]
+        )
+        n_out = int(n[dev > 3 * mad].sum())
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n_docs": np.array([total], dtype=np.int64),
+                "median": np.array([med], dtype=np.int64),
+                "mad": np.array([mad], dtype=np.int64),
+                "n_outliers": np.array([n_out], dtype=np.int64),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_trending_types(sf_dir: str):
+    """Day-over-day trend panel — dense per-type DAILY counts with the
+    LAG delta (the "what spiked today" feed behind an ops dashboard):
+    the same gap-filled-grid discipline as ``events_hourly_dense``
+    (a missing day is a zero — deltas over a sparse series are wrong),
+    days travel as epoch-day BIGINTs, and the first day's delta is its
+    own count (LAG default 0).  Shape: per-batch (type, day) partials
+    (panel-sized, never event rows), the global [min, max] day folds
+    from the partial panel, and the per-type combine emits grid +
+    delta in one pass.  Full SQL oracle (generate_series grid + lag
+    window)."""
+    DAY_US = 86_400_000_000
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["ts"].to_numpy().view("i8") // DAY_US
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "d": d})
+            .groupby(["event_type", "d"], sort=False, as_index=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "d": g["d"].astype(np.int64),
+                "part_n": g["size"].astype(np.int64),
+            }
+        )
+
+    partials = ev.map_batches(partial, batch_format="pandas").materialize()
+    lo, hi = None, None
+    for b in partials.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        ds_ = np.asarray(b["d"], dtype=np.int64)
+        if len(ds_):
+            lo = int(ds_.min()) if lo is None else min(lo, int(ds_.min()))
+            hi = int(ds_.max()) if hi is None else max(hi, int(ds_.max()))
+    span_ref = ray.put((lo, hi))
+
+    def dense(g: pd.DataFrame) -> pd.DataFrame:
+        lo_, hi_ = ray.get(span_ref)
+        grid = np.arange(lo_, hi_ + 1, dtype=np.int64)
+        n = np.zeros(len(grid), dtype=np.int64)
+        agg = g.groupby("d", as_index=False)["part_n"].sum()
+        n[agg["d"].to_numpy(np.int64) - lo_] = agg["part_n"].to_numpy(np.int64)
+        delta = n - np.concatenate([[0], n[:-1]])
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]] * len(grid),
+                "day_epoch": grid,
+                "n_events": n,
+                "delta": delta,
+            }
+        )
+
+    return partials.groupby("event_type").map_groups(dense, batch_format="pandas")
+
+
+def q_copurchase_pairs(sf_dir: str):
+    """Frequent-itemset pair mining over FACTS — parts co-occurring in
+    the same order (the market-basket dual of ``token_lift``'s document
+    co-occurrence): distinct (order, part) per order → C(m,2) pair
+    emission inside orderkey-hash buckets (run-length-vectorized triu,
+    the simhash trick — no per-order Python loop), a fused-key
+    pair-count combine, then the global top-20 by
+    (n_orders DESC, pk_a, pk_b) — a pinned TOTAL order (pairs are
+    unique) so the cut is deterministic under the count ties a basket
+    workload always has.  Order baskets are domain-bounded (≤7
+    lineitems in the TPC-H shape), so pair volume is linear in orders.
+    Full SQL oracle (distinct self-join + ordered LIMIT)."""
+    from address_parser_ray.rayutil import default_num_partitions
+
+    NB = default_num_partitions()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t["l_orderkey"], dtype=np.int64)
+        return pa.table(
+            {
+                "b": pa.array(ok % NB),
+                "ok": pa.array(ok),
+                "pk": pa.array(np.asarray(t["l_partkey"], dtype=np.int64)),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["ok"].to_numpy(np.int64)
+        pk = g["pk"].to_numpy(np.int64)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        keep = np.concatenate(
+            [[True], (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+        )
+        ok, pk = ok[keep], pk[keep]
+        if ok.size < 2:
+            return pd.DataFrame(
+                {
+                    "pk_a": pd.Series([], dtype="int64"),
+                    "pk_b": pd.Series([], dtype="int64"),
+                    "pn": pd.Series([], dtype="int64"),
+                }
+            )
+        change = np.flatnonzero(np.diff(ok)) + 1
+        starts = np.concatenate([[0], change])
+        lens = np.diff(np.concatenate([starts, [ok.size]]))
+        out_a, out_b = [], []
+        for m in np.unique(lens):
+            if m < 2:
+                continue
+            sel = starts[lens == m]
+            pkm = pk[sel[:, None] + np.arange(m)[None, :]]
+            iu, ju = np.triu_indices(int(m), k=1)
+            out_a.append(pkm[:, iu].ravel())
+            out_b.append(pkm[:, ju].ravel())
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "pk_a": pd.Series([], dtype="int64"),
+                    "pk_b": pd.Series([], dtype="int64"),
+                    "pn": pd.Series([], dtype="int64"),
+                }
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        # in-order parts are sorted ascending, so a < b always holds
+        df = (
+            pd.DataFrame({"pk_a": a, "pk_b": b})
+            .groupby(["pk_a", "pk_b"], as_index=False, sort=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "pk_a": df["pk_a"].astype(np.int64),
+                "pk_b": df["pk_b"].astype(np.int64),
+                "pn": df["size"].astype(np.int64),
+            }
+        )
+
+    SEP = "\x1f"
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "pair": df["pk_a"].astype(str) + SEP + df["pk_b"].astype(str),
+                "pn": df["pn"].astype(np.int64),
+            }
+        )
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["pair"].str.split(SEP, expand=True)
+        return pd.DataFrame(
+            {
+                "pk_a": parts[0].astype(np.int64),
+                "pk_b": parts[1].astype(np.int64),
+                "n_orders": df["n_orders"].astype(np.int64),
+            }
+        )
+
+    return (
+        li.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .map_groups(pairs, batch_format="pandas")
+        .map_batches(fuse, batch_format="pandas")
+        .groupby("pair")
+        .aggregate(Sum("pn", alias_name="n_orders"))
+        .map_batches(split, batch_format="pandas")
+        .sort(["n_orders", "pk_a", "pk_b"], descending=[True, False, False])
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -13268,4 +13695,9 @@ QUERIES = {
     "source_lang_gini": q_source_lang_gini,
     "k_anonymity_audit": q_k_anonymity_audit,
     "benford_digits": q_benford_digits,
+    "cube_counts": q_cube_counts,
+    "oov_rate": q_oov_rate,
+    "mad_outliers": q_mad_outliers,
+    "trending_types": q_trending_types,
+    "copurchase_pairs": q_copurchase_pairs,
 }

@@ -192,6 +192,11 @@ SQL_CHECKED = [
     "source_lang_gini",
     "k_anonymity_audit",
     "benford_digits",
+    "cube_counts",
+    "oov_rate",
+    "mad_outliers",
+    "trending_types",
+    "copurchase_pairs",
 ]
 
 
