@@ -4271,3 +4271,69 @@ ORACLE_SQL["copurchase_pairs"] = """
            n_orders
     FROM c ORDER BY n_orders DESC, pk_a, pk_b LIMIT 20
 """
+
+# l-diversity over QI (source, n_chars // 256), sensitive = lang:
+# histogram of classes by distinct-lang count; at_risk = homogeneous.
+ORACLE_SQL["l_diversity_audit"] = """
+    WITH cls AS (
+        SELECT source, n_chars // 256 AS sz,
+               CAST(count(DISTINCT lang) AS BIGINT) AS l_distinct,
+               CAST(count(*) AS BIGINT) AS nd
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT l_distinct,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(nd) AS BIGINT) AS n_docs,
+           l_distinct < 2 AS at_risk
+    FROM cls GROUP BY 1 ORDER BY 1
+"""
+
+# Cumulative distinct users per day: first-seen-day histogram + window
+# sum over the dense [min, max] event-day grid.
+ORACLE_SQL["cumulative_users"] = """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+    ),
+    u AS (SELECT user_id, min(d) AS fd FROM e GROUP BY 1),
+    sp AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+    grid AS (SELECT unnest(generate_series(lo, hi)) AS d FROM sp),
+    nu AS (SELECT fd AS d, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1)
+    SELECT CAST(g.d AS BIGINT) AS day_epoch,
+           CAST(COALESCE(nu.n, 0) AS BIGINT) AS n_new_users,
+           CAST(sum(COALESCE(nu.n, 0)) OVER (ORDER BY g.d) AS BIGINT)
+               AS n_cum_users
+    FROM grid g LEFT JOIN nu ON nu.d = g.d ORDER BY 1
+"""
+
+# Weekly churn: distinct (user, week) self-join on w+1; the last week
+# churns by definition. Weeks = epoch-µs // 7 days (no ISO semantics).
+ORACLE_SQL["weekly_churn"] = """
+    WITH uw AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+        FROM events
+    )
+    SELECT CAST(a.w AS BIGINT) AS week_epoch,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned,
+           CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+                * 1000000 // greatest(count(*), 1) AS BIGINT)
+               AS churn_ppm
+    FROM uw a
+    LEFT JOIN uw b ON b.user_id = a.user_id AND b.w = a.w + 1
+    GROUP BY 1 ORDER BY 1
+"""
+
+# FK fanout histogram (orders per customer incl. the zero bucket).
+ORACLE_SQL["fanout_histogram"] = """
+    WITH oc AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    j AS (
+        SELECT c.c_custkey, CAST(COALESCE(oc.n, 0) AS BIGINT) AS n
+        FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+    )
+    SELECT n AS n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM j GROUP BY 1 ORDER BY 1
+"""

@@ -13512,6 +13512,309 @@ def q_copurchase_pairs(sf_dir: str):
     )
 
 
+def q_l_diversity_audit(sf_dir: str):
+    """l-diversity audit — the sibling of ``k_anonymity_audit`` that
+    k-anonymity alone misses: a QI class can be large yet expose its
+    members if every row shares the SAME sensitive value.  QI =
+    (source, n_chars // 256), sensitive attribute = lang; l(class) =
+    distinct langs in the class.  Output per l: (l_distinct,
+    n_classes, n_docs, at_risk = l < 2 — a homogeneous class leaks
+    the sensitive value outright).
+
+    Shape: per-batch partial (qid, lang) counts collapse the stream to
+    the class × sensitive domain; one fused-key combine; per-qid l and
+    doc counts fold from that panel (per-batch partials again); the l
+    histogram is a third domain-tiny groupby.  Nothing row-scale
+    shuffles.  Full SQL oracle."""
+    SEP = "\x1f"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        key = (
+            df["source"].astype(str)
+            + SEP
+            + (df["n_chars"].to_numpy(np.int64) // 256).astype(str)
+            + SEP
+            + df["lang"].astype(str)
+        )
+        g = (
+            pd.DataFrame({"ql": key})
+            .groupby("ql", sort=False, as_index=False)
+            .agg(part_n=("ql", "size"))
+        )
+        g["part_n"] = g["part_n"].astype(np.int64)
+        return g
+
+    cells = (
+        _docs(sf_dir, ["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("ql")
+        .aggregate(Sum("part_n", alias_name="n"))
+    )
+
+    def per_class(df: pd.DataFrame) -> pd.DataFrame:
+        qid = df["ql"].str.rsplit(SEP, n=1, expand=True)[0]
+        g = (
+            pd.DataFrame({"qid": qid, "pl": 1, "pd_": df["n"].to_numpy(np.int64)})
+            .groupby("qid", sort=False, as_index=False)
+            .sum()
+        )
+        g["pl"] = g["pl"].astype(np.int64)
+        g["pd_"] = g["pd_"].astype(np.int64)
+        return g
+
+    classes = (
+        cells.map_batches(per_class, batch_format="pandas")
+        .groupby("qid")
+        .aggregate(
+            Sum("pl", alias_name="l_distinct"),
+            Sum("pd_", alias_name="n_docs_c"),
+        )
+    )
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_distinct", sort=False, as_index=False).agg(
+            n_classes=("l_distinct", "size"), n_docs=("n_docs_c", "sum")
+        )
+        g["n_classes"] = g["n_classes"].astype(np.int64)
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        return g
+
+    return (
+        classes.map_batches(hist, batch_format="pandas")
+        .groupby("l_distinct")
+        .aggregate(
+            Sum("n_classes", alias_name="n_classes"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .map_batches(
+            lambda df: df.assign(at_risk=df["l_distinct"] < 2),
+            batch_format="pandas",
+        )
+        .sort("l_distinct")
+    )
+
+
+def q_cumulative_users(sf_dir: str):
+    """Cumulative distinct users per day — the RUNNING-DISTINCT shape
+    (growth dashboards, "total accounts ever active"): naive
+    count(DISTINCT) per day re-scans history; the distributed form is
+    first-seen-day per user (a users-sized panel), a day histogram of
+    first-seens, and one prefix sum over the dense day grid.  Days as
+    epoch-day BIGINTs; grid span = [min, max] event day, both folded
+    from the SAME user panel (min first-seen / max last-seen).  Output
+    (day_epoch, n_new_users, n_cum_users).  Full SQL oracle (window
+    sum over a generate_series grid)."""
+    DAY_US = 86_400_000_000
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["ts"].to_numpy().view("i8") // DAY_US
+        g = (
+            pd.DataFrame({"user_id": df["user_id"], "d": d})
+            .groupby("user_id", sort=False, as_index=False)
+            .agg(pmin=("d", "min"), pmax=("d", "max"))
+        )
+        g["pmin"] = g["pmin"].astype(np.int64)
+        g["pmax"] = g["pmax"].astype(np.int64)
+        return g
+
+    users = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(
+            Min("pmin", alias_name="first_day"),
+            Max("pmax", alias_name="last_day"),
+        )
+        .materialize()
+    )
+
+    # fold the users panel down to a DAYS-sized panel distributed —
+    # the driver only ever touches (days × blocks) tiny rows: per-batch
+    # first-seen-day counts plus a per-batch max(last_day) marker row
+    # (pn = 0) so the grid's right edge folds from the same panel.
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        fd = df["first_day"].to_numpy(np.int64)
+        g = (
+            pd.DataFrame({"d": fd})
+            .groupby("d", sort=False, as_index=False)
+            .agg(pn=("d", "size"))
+        )
+        marker = pd.DataFrame(
+            {"d": [int(df["last_day"].to_numpy(np.int64).max())], "pn": [0]}
+        )
+        out = pd.concat([g, marker], ignore_index=True)
+        out["d"] = out["d"].astype(np.int64)
+        out["pn"] = out["pn"].astype(np.int64)
+        return out
+
+    panel = (
+        users.map_batches(day_partial, batch_format="pandas")
+        .groupby("d")
+        .aggregate(Sum("pn", alias_name="n_new"))
+        .to_pandas()
+        .sort_values("d")
+        .reset_index(drop=True)
+    )
+    lo = int(panel["d"].min())
+    hi = int(panel["d"].max())
+    grid = np.arange(lo, hi + 1, dtype=np.int64)
+    n = np.zeros(len(grid), dtype=np.int64)
+    n[panel["d"].to_numpy(np.int64) - lo] = panel["n_new"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "day_epoch": grid,
+            "n_new_users": n,
+            "n_cum_users": np.cumsum(n),
+        }
+    )
+
+
+def q_weekly_churn(sf_dir: str):
+    """Weekly churn — users active in week w but absent in week w+1
+    (the LEAD-absence window every retention report is built on; the
+    final week churns by definition, as in the SQL twin).  Weeks are
+    epoch-µs // 7-day buckets (deterministic, no ISO-week locale
+    semantics).  Shape: per-batch DISTINCT (user, week) partials
+    (shuffle bounded by users × weeks, never events), user-hash
+    buckets, one vectorized next-week membership probe per bucket
+    (sorted fused (user, week) keys + searchsorted — no per-user
+    loop), per-week partials → one weeks-sized combine with integer
+    churn_ppm.  Full SQL oracle (distinct self-join on w+1)."""
+    from address_parser_ray.rayutil import default_num_partitions
+
+    WEEK_US = 604_800_000_000
+    NB = default_num_partitions()
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["ts"].to_numpy().view("i8") // WEEK_US
+        g = (
+            pd.DataFrame({"user_id": df["user_id"], "w": w})
+            .drop_duplicates()
+            .reset_index(drop=True)
+        )
+        g["b"] = g["user_id"].to_numpy(np.int64) % NB
+        g["w"] = g["w"].astype(np.int64)
+        return g
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        uw = g[["user_id", "w"]].drop_duplicates()
+        u = uw["user_id"].to_numpy(np.int64)
+        w = uw["w"].to_numpy(np.int64)
+        # fused sortable key: (user, week) — week spans are tiny, so
+        # u * 2^20 + (w - min_w) cannot collide or overflow
+        off = w - w.min()
+        if u.size and (int(u.max()) >= (1 << 43) or int(off.max()) >= (1 << 20) - 1):
+            raise NotImplementedError(
+                "weekly_churn int64 packing exceeded — raise the bucket "
+                "fan-out or widen the key"
+            )
+        key = u * (1 << 20) + off
+        order = np.argsort(key)
+        key_sorted = key[order]
+        nxt = key + 1  # same user, week + 1
+        idx = np.searchsorted(key_sorted, nxt)
+        has_next = (idx < key_sorted.size) & (
+            key_sorted[np.minimum(idx, key_sorted.size - 1)] == nxt
+        )
+        out = (
+            pd.DataFrame({"w": w, "act": 1, "churn": (~has_next).astype(np.int64)})
+            .groupby("w", sort=False, as_index=False)
+            .sum()
+        )
+        out["act"] = out["act"].astype(np.int64)
+        out["churn"] = out["churn"].astype(np.int64)
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "week_epoch": df["w"].astype(np.int64),
+                "n_active": df["n_active"].astype(np.int64),
+                "n_churned": df["n_churned"].astype(np.int64),
+                "churn_ppm": df["n_churned"].to_numpy(np.int64)
+                * 1_000_000
+                // np.maximum(df["n_active"].to_numpy(np.int64), 1),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("b")
+        .map_groups(probe, batch_format="pandas")
+        .groupby("w")
+        .aggregate(
+            Sum("act", alias_name="n_active"),
+            Sum("churn", alias_name="n_churned"),
+        )
+        .map_batches(final, batch_format="pandas")
+        .sort("week_epoch")
+    )
+
+
+def q_fanout_histogram(sf_dir: str):
+    """FK fanout profile — the 1:N cardinality histogram (orders per
+    customer, INCLUDING the zero bucket) that a join planner and every
+    skew diagnosis starts from: per-batch partial counts by custkey,
+    one key-bounded combine, a histogram pass over the counts panel,
+    and the zero bucket closed from the customer dimension count minus
+    the distinct ordering customers (no anti-join needed — the
+    arithmetic is exact because TPC-H FKs hold, and the SQL twin's
+    LEFT JOIN encodes the same rule).  Output (n_orders, n_customers).
+    Full SQL oracle."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    n_cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+
+    def partial(t: pa.Table) -> pa.Table:
+        ck = np.asarray(t["o_custkey"], dtype=np.int64)
+        u, c = np.unique(ck, return_counts=True)
+        return pa.table({"ck": pa.array(u), "pn": pa.array(c.astype(np.int64))})
+
+    counts = (
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ck")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n", sort=False, as_index=False).agg(
+            pc=("n", "size")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["pc"] = g["pc"].astype(np.int64)
+        return g
+
+    panel = (
+        counts.map_batches(hist, batch_format="pandas")
+        .groupby("n")
+        .aggregate(Sum("pc", alias_name="n_customers"))
+        .to_pandas()
+        .sort_values("n")
+        .reset_index(drop=True)
+    )
+    n_with_orders = int(panel["n_customers"].sum())
+    zero = pd.DataFrame(
+        {"n": np.array([0], dtype=np.int64),
+         "n_customers": np.array([n_cust - n_with_orders], dtype=np.int64)}
+    )
+    out = pd.concat([zero, panel], ignore_index=True)
+    out = out[out["n_customers"] > 0].reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "n_orders": out["n"].astype(np.int64),
+            "n_customers": out["n_customers"].astype(np.int64),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -13700,4 +14003,8 @@ QUERIES = {
     "mad_outliers": q_mad_outliers,
     "trending_types": q_trending_types,
     "copurchase_pairs": q_copurchase_pairs,
+    "l_diversity_audit": q_l_diversity_audit,
+    "cumulative_users": q_cumulative_users,
+    "weekly_churn": q_weekly_churn,
+    "fanout_histogram": q_fanout_histogram,
 }

@@ -197,6 +197,10 @@ SQL_CHECKED = [
     "mad_outliers",
     "trending_types",
     "copurchase_pairs",
+    "l_diversity_audit",
+    "cumulative_users",
+    "weekly_churn",
+    "fanout_histogram",
 ]
 
 
