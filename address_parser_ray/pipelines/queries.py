@@ -13465,50 +13465,56 @@ def q_copurchase_pairs(sf_dir: str):
             )
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
-        # in-order parts are sorted ascending, so a < b always holds
-        df = (
-            pd.DataFrame({"pk_a": a, "pk_b": b})
-            .groupby(["pk_a", "pk_b"], as_index=False, sort=False)
-            .size()
+        # in-order parts are sorted ascending, so a < b always holds;
+        # pack the pair into ONE int64 key (a global multi-column sort
+        # over the pair panel is the pathological composite-key path —
+        # measured 105 s vs <2 s with the packed key + local-top-k cut)
+        if a.size and int(a.max()) >= (1 << 31):
+            raise NotImplementedError(
+                "copurchase_pairs int64 pair packing exceeded — widen the key"
+            )
+        key = a * (1 << 31) + b
+        u, c = np.unique(key, return_counts=True)
+        return pd.DataFrame(
+            {"pair": u, "pb": (u % NB).astype(np.int64), "pn": c.astype(np.int64)}
         )
+
+    def combine_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # a pair lives in exactly ONE pair-hash bucket, so counts are
+        # complete here and the top-20 cut is valid per bucket — a
+        # per-key Ray aggregate over ~10^6 distinct pairs measured
+        # 100+ s; this vectorized bincount combine runs in <1 s
+        pair = df["pair"].to_numpy(np.int64)
+        pn = df["pn"].to_numpy(np.int64)
+        u, inv = np.unique(pair, return_inverse=True)
+        n = np.bincount(inv, weights=pn).astype(np.int64)
+        pk_a = u >> 31
+        pk_b = u & ((1 << 31) - 1)
+        order = np.lexsort((pk_b, pk_a, -n))[:20]
         return pd.DataFrame(
             {
-                "pk_a": df["pk_a"].astype(np.int64),
-                "pk_b": df["pk_b"].astype(np.int64),
-                "pn": df["size"].astype(np.int64),
+                "pk_a": pk_a[order].astype(np.int64),
+                "pk_b": pk_b[order].astype(np.int64),
+                "n_orders": n[order].astype(np.int64),
             }
         )
 
-    SEP = "\x1f"
-
-    def fuse(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "pair": df["pk_a"].astype(str) + SEP + df["pk_b"].astype(str),
-                "pn": df["pn"].astype(np.int64),
-            }
-        )
-
-    def split(df: pd.DataFrame) -> pd.DataFrame:
-        parts = df["pair"].str.split(SEP, expand=True)
-        return pd.DataFrame(
-            {
-                "pk_a": parts[0].astype(np.int64),
-                "pk_b": parts[1].astype(np.int64),
-                "n_orders": df["n_orders"].astype(np.int64),
-            }
-        )
-
-    return (
+    # per-bucket top-20 partials (buckets × 20 tiny rows reach the
+    # driver), one final pandas cut under the same pinned total order
+    locals_ = (
         li.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("b")
         .map_groups(pairs, batch_format="pandas")
-        .map_batches(fuse, batch_format="pandas")
-        .groupby("pair")
-        .aggregate(Sum("pn", alias_name="n_orders"))
-        .map_batches(split, batch_format="pandas")
-        .sort(["n_orders", "pk_a", "pk_b"], descending=[True, False, False])
-        .limit(20)
+        .groupby("pb")
+        .map_groups(combine_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        locals_.sort_values(
+            ["n_orders", "pk_a", "pk_b"], ascending=[False, True, True]
+        )
+        .head(20)
+        .reset_index(drop=True)
     )
 
 
