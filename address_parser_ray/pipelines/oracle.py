@@ -4337,3 +4337,76 @@ ORACLE_SQL["fanout_histogram"] = """
     SELECT n AS n_orders, CAST(count(*) AS BIGINT) AS n_customers
     FROM j GROUP BY 1 ORDER BY 1
 """
+
+# Tiered match waterfall: distinct-key counts per deterministic
+# normalization tier (raw / lower / lower+whitespace-collapsed).
+ORACLE_SQL["match_waterfall"] = """
+    WITH t1 AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd,
+               CAST(count(DISTINCT COALESCE(text, '')) AS BIGINT) AS ng
+        FROM documents
+    ), t2 AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd,
+               CAST(count(DISTINCT lower(COALESCE(text, ''))) AS BIGINT)
+                   AS ng
+        FROM documents
+    ), t3 AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd,
+               CAST(count(DISTINCT trim(regexp_replace(
+                   lower(COALESCE(text, '')), '\\s+', ' ', 'g')))
+                   AS BIGINT) AS ng
+        FROM documents
+    )
+    SELECT '1_raw' AS tier, ng AS n_groups, nd AS n_docs,
+           nd - ng AS n_dup_docs FROM t1
+    UNION ALL
+    SELECT '2_lower', ng, nd, nd - ng FROM t2
+    UNION ALL
+    SELECT '3_ws_norm', ng, nd, nd - ng FROM t3
+    ORDER BY 1
+"""
+
+# CSV round-trip proof: the oracle reads the ORIGINAL parquet — the
+# engine reads its own CSV copy; hash equality of the per-lang text
+# md5-fold (60-bit, summed mod 2^61) proves the quoting layer lossless.
+ORACLE_SQL["csv_read_counts"] = """
+    WITH f AS (
+        SELECT lang, n_chars,
+               list_reduce(
+                   list_transform(
+                       split(substr(md5(COALESCE(text, '')), 1, 15), ''),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1
+                                 AS HUGEINT)),
+                   (a, b) -> a * 16 + b) AS hv
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(hv) % 2305843009213693952 AS BIGINT) AS text_fold
+    FROM f GROUP BY 1 ORDER BY 1
+"""
+
+# Bag algebra between train/holdout token multisets: EXCEPT ALL =
+# sum(greatest(ctr - cho, 0)), INTERSECT ALL = sum(least(ctr, cho)).
+ORACLE_SQL["except_all_tokens"] = """
+    WITH tok AS (
+        SELECT lang,
+               unnest(regexp_extract_all(
+                   COALESCE(text, ''),
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS tok,
+               doc_id % 10 <> 0 AS tr
+        FROM documents
+    ), c AS (
+        SELECT lang, tok,
+               CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS ctr,
+               CAST(sum(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT) AS cho
+        FROM tok GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(ctr) AS BIGINT) AS n_train_tokens,
+           CAST(sum(cho) AS BIGINT) AS n_holdout_tokens,
+           CAST(sum(greatest(ctr - cho, 0)) AS BIGINT) AS except_all,
+           CAST(sum(least(ctr, cho)) AS BIGINT) AS intersect_all
+    FROM c GROUP BY 1 ORDER BY 1
+"""

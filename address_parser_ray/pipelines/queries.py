@@ -13821,6 +13821,246 @@ def q_fanout_histogram(sf_dir: str):
     )
 
 
+def q_match_waterfall(sf_dir: str):
+    """Tiered match waterfall — the MDM-style dedup cascade report
+    (exact → case-folded → whitespace-normalized), each tier a strictly
+    cheaper deterministic rule applied BEFORE fuzzy matching ever runs:
+    per tier, the number of distinct keys (groups), docs, and dup docs
+    the tier alone would remove.  The reference's shape is the
+    normalize-then-exact-match short-circuit in ``_match_reference``
+    (``fuzz/inexus_parser.py:1718-1756``) ahead of the fuzzy scorer.
+
+    Shape: ONE corpus pass emits per-batch partial counts per
+    (tier, md5-of-key) — 16-byte digests bound the shuffle regardless
+    of text width; a fused-key combine; then per-tier rollups fold from
+    the digest panel.  Full SQL oracle (count(DISTINCT) per tier)."""
+    import hashlib
+
+    SEP = "\x1f"
+    _ws = re.compile(r"\s+", re.ASCII)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        tiers = {
+            "1_raw": texts,
+            "2_lower": texts.str.lower(),
+            "3_ws_norm": texts.str.lower().map(
+                lambda s: _ws.sub(" ", s).strip()
+            ),
+        }
+        frames = []
+        for tier, keys in tiers.items():
+            dig = [
+                hashlib.md5(k.encode("utf-8", "surrogatepass")).hexdigest()
+                for k in keys
+            ]
+            g = (
+                pd.DataFrame({"tk": [tier + SEP + d for d in dig]})
+                .groupby("tk", sort=False, as_index=False)
+                .agg(pn=("tk", "size"))
+            )
+            frames.append(g)
+        out = pd.concat(frames, ignore_index=True)
+        out["pn"] = out["pn"].astype(np.int64)
+        return out
+
+    keys = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("tk")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        tier = df["tk"].str.split(SEP, n=1, expand=True)[0]
+        g = (
+            pd.DataFrame(
+                {"tier": tier, "pg": 1, "pd_": df["n"].to_numpy(np.int64)}
+            )
+            .groupby("tier", sort=False, as_index=False)
+            .sum()
+        )
+        g["pg"] = g["pg"].astype(np.int64)
+        g["pd_"] = g["pd_"].astype(np.int64)
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "tier": df["tier"],
+                "n_groups": df["n_groups"].astype(np.int64),
+                "n_docs": df["n_docs"].astype(np.int64),
+                "n_dup_docs": (
+                    df["n_docs"].to_numpy(np.int64)
+                    - df["n_groups"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return (
+        keys.map_batches(rollup, batch_format="pandas")
+        .groupby("tier")
+        .aggregate(
+            Sum("pg", alias_name="n_groups"),
+            Sum("pd_", alias_name="n_docs"),
+        )
+        .map_batches(final, batch_format="pandas")
+        .sort("tier")
+    )
+
+
+def q_csv_read_counts(sf_dir: str):
+    """CSV source round-trip proof — documents written to CSV (quoted
+    fields, one file per block) and read back through
+    ``sources.read_csv_corpus`` (``newlines_in_values`` parse), then
+    aggregated per lang: doc count, char sum, and a 60-bit md5 fold of
+    the text column summed mod 2^61 — the fold makes the oracle
+    comparison sensitive to ANY text corruption through the CSV
+    quoting layer, not just row counts.  The oracle reads the original
+    Parquet — hash equality IS the round-trip proof.  (CSV is the
+    interchange format beside JSONL; Parquet remains the scale
+    format — this op exists to prove the reader/writer pair.)"""
+    import hashlib
+    import tempfile
+
+    from address_parser_ray.sources import read_csv_corpus, write_csv
+
+    tmp = tempfile.mkdtemp(prefix="apr_csv_")
+    docs = _docs(sf_dir, ["doc_id", "lang", "text", "n_chars"])
+    write_csv(docs, tmp)
+    back = read_csv_corpus(tmp, ["doc_id", "lang", "text", "n_chars"])
+
+    MOD = 1 << 61
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        folds = np.array(
+            [
+                int(hashlib.md5((t or "").encode()).hexdigest()[:15], 16)
+                for t in df["text"]
+            ],
+            dtype=np.int64,
+        )
+        g = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "pn": np.ones(len(df), dtype=np.int64),
+                "pc": df["n_chars"].to_numpy(np.int64),
+                "pf": folds,
+            }
+        ).groupby("lang", sort=False, as_index=False)
+        out = g.agg(
+            pn=("pn", "sum"),
+            pc=("pc", "sum"),
+            pf=("pf", lambda s: int(sum(int(x) for x in s) % MOD)),
+        )
+        for c in ("pn", "pc", "pf"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n_docs": np.array([g["pn"].sum()], dtype=np.int64),
+                "n_chars": np.array([g["pc"].sum()], dtype=np.int64),
+                "text_fold": np.array(
+                    [int(sum(int(x) for x in g["pf"]) % MOD)], dtype=np.int64
+                ),
+            }
+        )
+
+    return (
+        back.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_except_all_tokens(sf_dir: str):
+    """Bag-semantics EXCEPT ALL / INTERSECT ALL between the train and
+    holdout slices — the multiset complement of ``oov_rate``'s
+    DISTINCT-set algebra (set ops say WHICH tokens differ; bag ops say
+    by HOW MANY occurrences, which is what mixture rebalancing needs):
+    per lang, total train/holdout token occurrences,
+    Σ max(c_train − c_holdout, 0) (EXCEPT ALL size) and
+    Σ min(c_train, c_holdout) (INTERSECT ALL size).  Same
+    vocabulary-bounded shuffle shape as ``oov_rate`` with Sum partials
+    instead of Max flags.  Full SQL oracle (greatest/least over the
+    per-token count panel)."""
+    SEP = "\x1f"
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def vocab_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "tok": _bpe_findall(df["text"]),
+                "tr": (df["doc_id"].to_numpy(np.int64) % 10) != 0,
+            }
+        ).explode("tok")
+        ex = ex[ex["tok"].notna()]
+        if len(ex) == 0:
+            return pd.DataFrame(
+                {
+                    "k": pd.Series([], dtype="str"),
+                    "ctr": pd.Series([], dtype="int64"),
+                    "cho": pd.Series([], dtype="int64"),
+                }
+            )
+        ex["ctr"] = ex["tr"].astype(np.int64)
+        ex["cho"] = (~ex["tr"]).astype(np.int64)
+        g = ex.groupby(["lang", "tok"], sort=False, as_index=False)[
+            ["ctr", "cho"]
+        ].sum()
+        return pd.DataFrame(
+            {
+                "k": g["lang"] + SEP + g["tok"],
+                "ctr": g["ctr"].astype("int64"),
+                "cho": g["cho"].astype("int64"),
+            }
+        )
+
+    counts = (
+        docs.map_batches(vocab_partial, batch_format="pandas")
+        .groupby("k")
+        .aggregate(
+            Sum("ctr", alias_name="c_train"),
+            Sum("cho", alias_name="c_holdout"),
+        )
+    )
+
+    def per_lang(df: pd.DataFrame) -> pd.DataFrame:
+        lang = df["k"].str.split(SEP, n=1, expand=True)[0]
+        ctr = df["c_train"].to_numpy(np.int64)
+        cho = df["c_holdout"].to_numpy(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "lang": lang,
+                    "ptr": ctr,
+                    "pho": cho,
+                    "pex": np.maximum(ctr - cho, 0),
+                    "pin": np.minimum(ctr, cho),
+                }
+            )
+            .groupby("lang", as_index=False, sort=False)
+            .sum()
+        )
+        return g
+
+    return (
+        counts.map_batches(per_lang, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("ptr", alias_name="n_train_tokens"),
+            Sum("pho", alias_name="n_holdout_tokens"),
+            Sum("pex", alias_name="except_all"),
+            Sum("pin", alias_name="intersect_all"),
+        )
+        .sort("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -14013,4 +14253,7 @@ QUERIES = {
     "cumulative_users": q_cumulative_users,
     "weekly_churn": q_weekly_churn,
     "fanout_histogram": q_fanout_histogram,
+    "match_waterfall": q_match_waterfall,
+    "csv_read_counts": q_csv_read_counts,
+    "except_all_tokens": q_except_all_tokens,
 }

@@ -39,6 +39,8 @@ def detect_format(path: str) -> str:
         return "parquet"
     if ext in (".json", ".jsonl", ".ndjson"):
         return "json"
+    if ext in (".csv", ".tsv"):
+        return "csv"
     with open(probe, "rb") as f:
         head = f.read(4)
     return "parquet" if head[:4] == b"PAR1" else "json"
@@ -63,6 +65,8 @@ def read_corpus(
     fmt = file_format or detect_format(path)
     if fmt == "parquet":
         return ray.data.read_parquet(path, columns=cols)
+    if fmt == "csv":
+        return read_csv_corpus(path, cols)
     if tolerant:
         return _read_jsonl_tolerant(path, cols)
     from address_parser_ray.rayutil import project
@@ -99,6 +103,31 @@ def _read_jsonl_tolerant(path: str, cols: list[str]) -> ray.data.Dataset:
         )
 
     return ray.data.read_text(path).map_batches(parse, batch_format="pyarrow")
+
+
+def read_csv_corpus(path: str, cols: list[str]) -> ray.data.Dataset:
+    """CSV reader (interchange format beside JSONL): quoted fields may
+    contain commas, quotes and NEWLINES (``newlines_in_values`` — the
+    default reader would split a quoted multi-line field); projection
+    happens after the parse (CSV, like JSONL, cannot prune at the
+    read — Parquet remains the 100-TB format)."""
+    from pyarrow import csv as pacsv
+
+    from address_parser_ray.rayutil import project
+
+    ds = ray.data.read_csv(
+        path, parse_options=pacsv.ParseOptions(newlines_in_values=True)
+    )
+    return project(ds, {c: c for c in cols})
+
+
+def write_csv(ds: ray.data.Dataset, path: str) -> None:
+    """CSV sink: one file per block (resumable, never one giant file);
+    arrow's writer quotes embedded delimiters/quotes/newlines so the
+    ``read_csv_corpus`` round-trip is lossless for non-null strings
+    (CSV has no null/empty-string distinction — use Parquet or JSONL
+    when nulls matter)."""
+    ds.write_csv(path)
 
 
 def write_jsonl(ds: ray.data.Dataset, path: str) -> None:

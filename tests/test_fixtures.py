@@ -183,3 +183,40 @@ def test_tolerant_jsonl_skips_malformed_lines(ray_session, tmp_path):
 
     with pytest.raises(Exception):
         read_corpus(str(jdir)).to_pandas()
+
+
+def test_csv_roundtrip_adversarial_quoting(ray_session, tmp_path):
+    """write_csv -> read_csv_corpus must be lossless for fields holding
+    the three CSV hazards: embedded commas, embedded double quotes, and
+    embedded NEWLINES inside quoted values (the default arrow parse
+    splits rows on those without newlines_in_values)."""
+    import pyarrow as pa
+    import ray.data
+
+    from address_parser_ray.sources import read_csv_corpus, write_csv
+
+    rows = {
+        "repo": ["r1", "r2", "r3", "r4"],
+        "path": ["a.py", "b,c.py", 'quo"te.py', "d.py"],
+        "commit": ["c1", "c2", "c3", "c4"],
+        "lang": ["python"] * 4,
+        "content": [
+            "plain text",
+            "comma, separated, values",
+            'she said "hello" twice',
+            "line one\nline two\nline three",
+        ],
+    }
+    ds = ray.data.from_arrow(pa.table(rows))
+    out = str(tmp_path / "csv_rt")
+    write_csv(ds, out)
+    back = (
+        read_csv_corpus(out, ["repo", "path", "commit", "lang", "content"])
+        .to_pandas()
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    expect = pd.DataFrame(rows).sort_values("repo").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, expect)

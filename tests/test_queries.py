@@ -201,6 +201,9 @@ SQL_CHECKED = [
     "cumulative_users",
     "weekly_churn",
     "fanout_histogram",
+    "match_waterfall",
+    "csv_read_counts",
+    "except_all_tokens",
 ]
 
 
