@@ -1482,12 +1482,48 @@ def q_events_sliding_3h(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _load_query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
-    import pyarrow.parquet as pq
+def _seed_embedding_rows(sf_dir: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """The k smallest-vec_id embedding rows as (vec_ids asc, (k, d)
+    float64 matrix) — the shared seed-row rule of the IVF / LSH /
+    k-means-update / kNN queries, computed DISTRIBUTED: each batch
+    emits only its own k smallest-id rows (vectorized argpartition
+    partials, the ``kmeans._seed_centroids`` idiom), so the driver
+    combines a (blocks × k) panel instead of reading the whole
+    embedding table through one process (the former driver-side
+    ``pq.read_table`` is one process's bandwidth at 100 TB)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    idx = pc.index(t["vec_id"], pa.scalar(vec_id, type=pa.int64())).as_py()
-    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
+    def partial(t: pa.Table) -> pa.Table:
+        vids = np.asarray(t["vec_id"], dtype=np.int64)
+        if len(vids) > k:
+            idx = np.argpartition(vids, k - 1)[:k]
+            t = t.take(pa.array(np.sort(idx)))
+        return t
+
+    panel = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("vec_id", kind="stable")
+        .head(k)
+    )
+    vids = panel["vec_id"].to_numpy(np.int64)
+    emb = np.stack(panel["embedding"].to_numpy()).astype(np.float64)
+    return vids, emb
+
+
+def _load_query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """One embedding row by id — a FILTERED distributed read (row-group
+    pruning at the scan), not a whole-table driver read."""
+    import pyarrow.dataset as pads
+
+    panel = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=(pads.field("vec_id") == vec_id),
+    ).to_pandas()
+    return np.asarray(panel["embedding"].iloc[0], dtype=np.float64)
 
 
 def q_embedding_topk(sf_dir: str):
@@ -1525,14 +1561,8 @@ def q_knn_bruteforce(sf_dir: str):
     matmul per batch). Returns (query_vec_id, neighbor_vec_id, rank),
     rank by (cos desc, vec_id) excluding self. Non-SQL (float ordering
     kept internal; output is int-only → robust hashing)."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vids = np.asarray(t["vec_id"], dtype=np.int64)
-    order = np.argsort(vids)[:5]
-    Q = np.stack([np.asarray(t["embedding"][i].as_py(), dtype=np.float64) for i in order])
+    qids, Q = _seed_embedding_rows(sf_dir, 5)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    qids = vids[order]
     qref = ray.put((qids, Qn))
 
     class KnnScorer:
@@ -2383,14 +2413,7 @@ def q_ann_lsh_buckets(sf_dir: str):
     keeps the operator fully SQL-checkable. At 100 TB the seed rows come
     from a driver-side sample; the two dot products per bit match the
     oracle's ``list_inner_product`` term-for-term."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vids = np.asarray(t["vec_id"], dtype=np.int64)
-    order = np.argsort(vids)[:24]
-    seeds = np.stack(
-        [np.asarray(t["embedding"][i].as_py(), dtype=np.float64) for i in order]
-    )
+    _, seeds = _seed_embedding_rows(sf_dir, 24)
     A, B = seeds[0::2], seeds[1::2]  # (12, dim) each
     planes_ref = ray.put((A, B))
 
@@ -2421,19 +2444,14 @@ def q_ann_ivf_topk(sf_dir: str):
     and probe-filtered scoring are FUSED in one streaming map_batches pass
     (centroid + query matrices broadcast once via ray.put) — only the tiny
     (query, candidate) stream reaches the per-query top-k groupby."""
-    import pyarrow.parquet as pq
-
     K, NPROBE, TOPK, NQUERY = 16, 4, 3, 5
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vids = np.asarray(t["vec_id"], dtype=np.int64)
-    order = np.argsort(vids)
-    cent_idx, q_idx = order[:K], order[:NQUERY]
-    C = np.stack([np.asarray(t["embedding"][i].as_py(), dtype=np.float64) for i in cent_idx])
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
-    Q = np.stack([np.asarray(t["embedding"][i].as_py(), dtype=np.float64) for i in q_idx])
-    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    cids, qids = vids[cent_idx], vids[q_idx]
+    seed_ids, seed_emb = _seed_embedding_rows(sf_dir, K)
+    C = seed_emb / np.linalg.norm(seed_emb, axis=1, keepdims=True)
+    Q = seed_emb[:NQUERY] / np.linalg.norm(
+        seed_emb[:NQUERY], axis=1, keepdims=True
+    )
+    cids, qids = seed_ids, seed_ids[:NQUERY]
 
     # probe table: for each query, its NPROBE nearest centroids
     # (cos desc, cid asc — matching the assignment tie-break).
@@ -2622,16 +2640,9 @@ def q_embedding_near_dup(sf_dir: str):
     buckets are capped at 2048 members in deterministic min-vec_id
     order (bounded-recall trade, same as the blocking pair caps; the
     cap never binds on the test data, so oracle parity holds)."""
-    import pyarrow.parquet as pq
-
     MAX_BUCKET = 2048
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vids = np.asarray(t["vec_id"], dtype=np.int64)
-    order = np.argsort(vids)[:16]
-    seeds = np.stack(
-        [np.asarray(t["embedding"][i].as_py(), dtype=np.float64) for i in order]
-    )
+    _, seeds = _seed_embedding_rows(sf_dir, 16)
     A, B = seeds[0::2], seeds[1::2]  # (8, dim) each
     planes_ref = ray.put((A, B))
 
@@ -4063,15 +4074,10 @@ def q_kmeans_update(sf_dir: str):
     per batch and combine in a single-key per-cluster map_groups. At
     100 TB the loop re-broadcasts K·dims floats per round — centroids
     never shuffle. Full SQL oracle."""
-    import pyarrow.parquet as pq
-
     K = 16
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vids = np.asarray(t["vec_id"], dtype=np.int64)
-    order = np.argsort(vids)[:K]
-    C = np.stack([np.asarray(t["embedding"][i].as_py(), dtype=np.float64) for i in order])
+    cids, C = _seed_embedding_rows(sf_dir, K)
     C = C / np.linalg.norm(C, axis=1, keepdims=True)
-    cids = vids[order]  # ascending → argmax first-max tie == smallest cid
+    # cids ascending → argmax first-max tie == smallest cid
     state = ray.put((C, cids))
 
     def assign_partial(t: pa.Table) -> pa.Table:
