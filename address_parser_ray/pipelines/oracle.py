@@ -4410,3 +4410,48 @@ ORACLE_SQL["except_all_tokens"] = """
            CAST(sum(least(ctr, cho)) AS BIGINT) AS intersect_all
     FROM c GROUP BY 1 ORDER BY 1
 """
+
+# PERCENT_RANK per lang over n_chars as integer ppm: rank()-1 counts
+# strictly-smaller values (ties take min rank), matching the engine's
+# cumulative-less searchsorted rule.
+ORACLE_SQL["percentile_rank_docs"] = """
+    SELECT doc_id, lang,
+           CAST((rank() OVER (PARTITION BY lang ORDER BY n_chars) - 1)
+                * 1000000
+                // greatest(count(*) OVER (PARTITION BY lang) - 1, 1)
+                AS BIGINT) AS pct_rank_ppm
+    FROM documents
+"""
+
+# Leave-one-out target encoding of source by mean n_chars (milli);
+# singleton categories drop on both sides.
+ORACLE_SQL["loo_target_encoding"] = """
+    WITH w AS (
+        SELECT doc_id, source, n_chars,
+               sum(n_chars) OVER (PARTITION BY source) AS s,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST((s - n_chars) * 1000 // (n - 1) AS BIGINT)
+               AS loo_mean_milli
+    FROM w WHERE n >= 2
+"""
+
+# Cosine histogram over all pairs of the 64 smallest-vec_id embeddings
+# (0.1-wide buckets, epsilon-before-floor boundary guard).
+ORACLE_SQL["cos_pair_histogram"] = """
+    WITH s AS (
+        SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY vec_id) AS rk
+        FROM embeddings
+    ), sample AS (
+        SELECT vec_id, embedding FROM s WHERE rk <= 64
+    ), p AS (
+        SELECT CAST(floor(list_cosine_similarity(a.embedding, b.embedding)
+                          * 10 + 0.0000001) AS BIGINT) AS bucket
+        FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY 1 ORDER BY 1
+"""

@@ -14067,6 +14067,160 @@ def q_except_all_tokens(sf_dir: str):
     )
 
 
+def q_percentile_rank_docs(sf_dir: str):
+    """Per-doc PERCENT_RANK within its lang over n_chars — the
+    doc-level window-function dual of the panel percentile ops: rank
+    position as integer ppm, ``(#{v' < v}) · 10⁶ // (n − 1)`` (exactly
+    SQL's ``(rank() − 1)/(n − 1)`` with ties taking the min rank).
+    Distributed as broadcast-histogram ranking: pass 1 compacts to the
+    per-lang (value, count) panel (langs × distinct lengths — small by
+    domain), the driver turns it into sorted values + cumulative-less
+    arrays broadcast once; pass 2 ranks every doc with one vectorized
+    searchsorted per batch — no global sort, no per-lang shuffle of doc
+    rows.  Full SQL oracle (rank/count windows)."""
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pylist(),
+                "v": np.asarray(t["n_chars"], dtype=np.int64),
+            }
+        )
+        g = df.groupby(["lang", "v"], as_index=False).size()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"].tolist(), type=pa.string()),
+                "v": pa.array(g["v"].to_numpy(np.int64)),
+                "pn": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    panel = (
+        docs.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(
+            lambda g: g.groupby(["lang", "v"], as_index=False)["pn"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    lut = {}
+    for lang, g in panel.groupby("lang"):
+        g = g.sort_values("v")
+        v = g["v"].to_numpy(np.int64)
+        n = g["pn"].to_numpy(np.int64)
+        cum_less = np.concatenate([[0], np.cumsum(n)[:-1]])
+        lut[lang] = (v, cum_less, int(n.sum()))
+    lut_ref = ray.put(lut)
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        lut_m = ray.get(lut_ref)
+        out = np.zeros(len(df), dtype=np.int64)
+        vals = df["n_chars"].to_numpy(np.int64)
+        langs = df["lang"].to_numpy()
+        for lang in pd.unique(langs):
+            v, cum_less, n = lut_m[lang]
+            m = langs == lang
+            idx = np.searchsorted(v, vals[m])
+            out[m] = cum_less[idx] * 1_000_000 // max(n - 1, 1)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "lang": df["lang"],
+                "pct_rank_ppm": out,
+            }
+        )
+
+    return docs.map_batches(rank, batch_format="pandas")
+
+
+def q_loo_target_encoding(sf_dir: str):
+    """Leave-one-out target encoding — the ML feature-engineering op
+    that replaces a categorical (source) with the mean of a target
+    (n_chars) over the OTHER rows of the category, preventing the
+    self-leakage plain mean encoding has: per doc,
+    ``(Σ_src − x) · 1000 // (n_src − 1)`` in integer milli (floor ==
+    truncation on the nonnegative operands).  Singleton categories are
+    dropped on both sides (no other row to encode from).  Shape: one
+    pass builds the sources-sized (n, Σ) moment panel, broadcast once;
+    the encode pass is vectorized lookups — the canonical
+    broadcast-dimension pattern.  Full SQL oracle (window sums)."""
+    docs = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def moment_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame(
+                {"source": df["source"], "pn": 1, "ps": df["n_chars"]}
+            )
+            .groupby("source", as_index=False, sort=False)
+            .sum()
+        )
+        g["pn"] = g["pn"].astype(np.int64)
+        g["ps"] = g["ps"].astype(np.int64)
+        return g
+
+    panel = (
+        docs.map_batches(moment_partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("pn", alias_name="n"), Sum("ps", alias_name="s"))
+        .to_pandas()
+    )
+    srcs = panel["source"].to_numpy()
+    order = np.argsort(srcs)
+    lut_ref = ray.put(
+        (
+            srcs[order],
+            panel["n"].to_numpy(np.int64)[order],
+            panel["s"].to_numpy(np.int64)[order],
+        )
+    )
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        s_keys, n_arr, s_arr = ray.get(lut_ref)
+        idx = np.searchsorted(s_keys, df["source"].to_numpy())
+        n = n_arr[idx]
+        s = s_arr[idx]
+        x = df["n_chars"].to_numpy(np.int64)
+        keep = n >= 2
+        loo = np.zeros(len(df), dtype=np.int64)
+        loo[keep] = (s[keep] - x[keep]) * 1000 // (n[keep] - 1)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+                "source": df["source"].to_numpy()[keep],
+                "loo_mean_milli": loo[keep],
+            }
+        )
+
+    return docs.map_batches(encode, batch_format="pandas")
+
+
+def q_cos_pair_histogram(sf_dir: str):
+    """Cosine pair-distance histogram over a deterministic embedding
+    sample — the calibration plot behind every near-dup / ANN
+    threshold choice (where does the corpus's similarity mass sit
+    relative to the 0.30 / τ gates?): the 64 smallest-vec_id rows (the
+    shared seed-row rule, gathered DISTRIBUTED via
+    ``_seed_embedding_rows``), all C(64,2) = 2016 pairwise cosines,
+    bucketed at 0.1 width (``floor(cos·10 + 1e-7)`` — the same
+    epsilon-before-floor boundary guard as ``embedding_near_dup``).
+    The pair panel is sample-sized by construction; the corpus is
+    never paired.  Full SQL oracle (row_number sample self-join +
+    list_cosine_similarity)."""
+    _, emb = _seed_embedding_rows(sf_dir, 64)
+    norms = np.linalg.norm(emb, axis=1)
+    norms[norms == 0] = 1.0
+    en = emb / norms[:, None]
+    cos = en @ en.T
+    iu, ju = np.triu_indices(len(en), k=1)
+    bucket = np.floor(cos[iu, ju] * 10 + 1e-7).astype(np.int64)
+    u, c = np.unique(bucket, return_counts=True)
+    return pd.DataFrame(
+        {"bucket": u.astype(np.int64), "n_pairs": c.astype(np.int64)}
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -14262,4 +14416,7 @@ QUERIES = {
     "match_waterfall": q_match_waterfall,
     "csv_read_counts": q_csv_read_counts,
     "except_all_tokens": q_except_all_tokens,
+    "percentile_rank_docs": q_percentile_rank_docs,
+    "loo_target_encoding": q_loo_target_encoding,
+    "cos_pair_histogram": q_cos_pair_histogram,
 }

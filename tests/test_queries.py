@@ -204,6 +204,9 @@ SQL_CHECKED = [
     "match_waterfall",
     "csv_read_counts",
     "except_all_tokens",
+    "percentile_rank_docs",
+    "loo_target_encoding",
+    "cos_pair_histogram",
 ]
 
 
