@@ -182,6 +182,69 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered query by name over an sf-style table dir —
+    the ad-hoc analytics surface: every SURVEY §2 operator is runnable
+    from the shell.  ``--output`` streams a Dataset result straight to
+    parquet (no driver materialization); without it the head is
+    printed for inspection."""
+    ray = _ray_up()
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    if args.name not in QUERIES:
+        print(
+            json.dumps(
+                {"error": f"unknown query {args.name!r}",
+                 "available": sorted(QUERIES)}
+            )
+        )
+        ray.shutdown()
+        return 2
+    res = QUERIES[args.name](args.sf_dir)
+    if args.output and hasattr(res, "write_parquet"):
+        res.write_parquet(args.output)
+        print(json.dumps({"query": args.name, "rows": res.count(),
+                          "output": args.output}))
+        ray.shutdown()
+        return 0
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    if args.output:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False), args.output
+        )
+    print(json.dumps({"query": args.name, "rows": len(df),
+                      "output": args.output}))
+    if not args.output:
+        print(df.head(args.limit).to_string())
+    ray.shutdown()
+    return 0
+
+
+def cmd_stats(args) -> int:
+    """Per-stage execution profile of the flagship pipeline —
+    ``ds.stats()`` as a first-class surface (the tuning feedback loop:
+    wall-time should sit in the scorer/fingerprint compute, not in
+    shuffles or task overhead)."""
+    ray = _ray_up()
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.sources import read_corpus
+
+    cfg = _build_cfg(args)
+    result = dedup_pipeline(read_corpus(args.input), cfg)
+    for stage_name in ("fingerprints", "scored_pairs", "assignments"):
+        ds = getattr(result, stage_name, None)
+        if ds is None or not hasattr(ds, "stats"):
+            continue
+        ds = ds.materialize()
+        print(f"===== {stage_name} =====")
+        print(ds.stats())
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="address_parser_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -247,6 +310,21 @@ def main(argv=None) -> int:
     cp.add_argument("--verify-column", default=None,
                     help="hex-string column to xor-audit (e.g. content_sha256)")
     cp.set_defaults(fn=cmd_compact)
+
+    q = sub.add_parser("query", help="run a registered query over an sf-style table dir")
+    q.add_argument("name", help="query name from __ray_entry__.queries()")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--output", default=None, help="parquet output path (streams Datasets)")
+    q.add_argument("--limit", type=int, default=20, help="rows printed without --output")
+    q.set_defaults(fn=cmd_query)
+
+    st = sub.add_parser("stats", help="per-stage ds.stats() profile of the dedup pipeline")
+    st.add_argument("--input", required=True, help="corpus parquet file/dir")
+    st.add_argument("--match-threshold", type=float, default=None)
+    st.add_argument("--lsh-bands", type=int, default=None)
+    st.add_argument("--lsh-rows", type=int, default=None)
+    st.set_defaults(fn=cmd_stats)
+
     args = p.parse_args(argv)
     return args.fn(args)
 

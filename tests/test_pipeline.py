@@ -306,3 +306,30 @@ def test_kmeans_fit_monotone_objective(ray_session):
     assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)
     C2, h2 = kmeans_fit(ds, k=8, iters=4)
     assert np.array_equal(C1, C2) and h1 == h2
+
+
+def test_cli_query_command(tmp_path):
+    """`cli query <name> --output` must run any registered query in its
+    own Ray session and stream the result to parquet (subprocess — the
+    CLI owns its session and shuts it down)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "lang_counts.parquet")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    res = subprocess.run(
+        [sys.executable, "-m", "address_parser_ray.cli", "query",
+         "lang_counts", "--sf-dir", "/root/testdata/sf0.001",
+         "--output", out],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    payload = json.loads(
+        [ln for ln in res.stdout.splitlines() if ln.startswith("{")][0]
+    )
+    assert payload["rows"] == 5
+    assert pq.read_table(out).num_rows == 5
