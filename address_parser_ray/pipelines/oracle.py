@@ -4455,3 +4455,89 @@ ORACLE_SQL["cos_pair_histogram"] = """
     SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
     FROM p GROUP BY 1 ORDER BY 1
 """
+
+# MinHash estimate-vs-exact audit over the band-collision pairs:
+# signatures (s0..s7) AND distinct shingle sets recomputed in SQL;
+# pairs with zero shared shingles kept via LEFT JOIN (band-fold
+# collisions must not drop rows the engine scores).
+_MJE_TAIL = """, prs AS (
+    SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+           greatest(a.doc_id, b.doc_id) AS id_b
+    FROM keys a JOIN keys b
+      ON a.band = b.band AND a.k = b.k AND a.doc_id <> b.doc_id
+), sh AS (
+    SELECT DISTINCT doc_id, hv FROM h
+), sz AS (
+    SELECT doc_id, CAST(count(*) AS HUGEINT) AS n FROM sh GROUP BY 1
+), inter AS (
+    SELECT p.id_a, p.id_b, CAST(count(*) AS HUGEINT) AS ni
+    FROM prs p
+    JOIN sh a ON a.doc_id = p.id_a
+    JOIN sh b ON b.doc_id = p.id_b AND b.hv = a.hv
+    GROUP BY 1, 2
+), scored AS (
+    SELECT
+      CAST((CASE WHEN sa.s0 = sb.s0 THEN 1 ELSE 0 END)
+         + (CASE WHEN sa.s1 = sb.s1 THEN 1 ELSE 0 END)
+         + (CASE WHEN sa.s2 = sb.s2 THEN 1 ELSE 0 END)
+         + (CASE WHEN sa.s3 = sb.s3 THEN 1 ELSE 0 END)
+         + (CASE WHEN sa.s4 = sb.s4 THEN 1 ELSE 0 END)
+         + (CASE WHEN sa.s5 = sb.s5 THEN 1 ELSE 0 END)
+         + (CASE WHEN sa.s6 = sb.s6 THEN 1 ELSE 0 END)
+         + (CASE WHEN sa.s7 = sb.s7 THEN 1 ELSE 0 END) AS BIGINT)
+          AS est_matches,
+      CAST(CASE WHEN za.n + zb.n - COALESCE(i.ni, 0) > 0
+                THEN COALESCE(i.ni, 0) * 1000000
+                     // (za.n + zb.n - COALESCE(i.ni, 0))
+                ELSE 0 END AS BIGINT) AS exact_ppm
+    FROM prs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    JOIN sz za ON za.doc_id = p.id_a
+    JOIN sz zb ON zb.doc_id = p.id_b
+    LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+)
+SELECT est_matches,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(exact_ppm) // count(*) AS BIGINT) AS mean_exact_ppm,
+       CAST(max(abs(est_matches * 1000000 // 8 - exact_ppm)) AS BIGINT)
+           AS max_err_ppm
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["minhash_jaccard_error"] = _minhash_keys_sql().rstrip() + _MJE_TAIL
+
+# Integer EWMA recursion over the dense hourly grid (alpha = 1/8,
+# s_0 = 1000*n_0, s_t = (1000*n_t + 7*s_{t-1}) // 8).
+ORACLE_SQL["ewma_hourly"] = """
+    WITH RECURSIVE e AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events
+    ),
+    c AS (SELECT event_type, h, count(*) AS n FROM e GROUP BY 1, 2),
+    sp AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+    t AS (SELECT DISTINCT event_type FROM events),
+    grid AS (
+        SELECT t.event_type, unnest(generate_series(sp.lo, sp.hi)) AS h
+        FROM t, sp
+    ),
+    f AS (
+        SELECT g.event_type,
+               CAST(g.h AS BIGINT) AS h,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+               row_number() OVER (
+                   PARTITION BY g.event_type ORDER BY g.h) AS rn
+        FROM grid g
+        LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h
+    ),
+    r AS (
+        SELECT event_type, h, rn, n, CAST(n * 1000 AS BIGINT) AS ewma
+        FROM f WHERE rn = 1
+        UNION ALL
+        SELECT f.event_type, f.h, f.rn, f.n,
+               CAST((f.n * 1000 + 7 * r.ewma) // 8 AS BIGINT)
+        FROM r JOIN f ON f.event_type = r.event_type AND f.rn = r.rn + 1
+    )
+    SELECT event_type, h AS hour_epoch, n AS n_events,
+           ewma AS ewma_milli
+    FROM r
+"""

@@ -8375,24 +8375,12 @@ def q_regional_revenue(sf_dir: str):
     )
 
 
-def q_containment_pairs(sf_dir: str):
-    """ASYMMETRIC containment join over the LSH candidate pairs — the
-    quote/inclusion detector symmetric Jaccard misses (a file pasted
-    inside a larger one scores low Jaccard but containment ≈ 1): for
-    every candidate pair (docs sharing a MinHash band key at the
-    ``_mh_band_rows`` parameters), containment(A→B) = |A∩B|·10⁶ //
-    |A| over DISTINCT 8-gram shingle hash sets, reported in both
-    directions (a = smaller doc_id). Candidate pairs come from the
-    band-bucket run-length expansion (the triangles/cluster shape);
-    texts re-attach by id via a broadcast under the feats byte gate
-    (docs panel here) — at 100 TB the same pairs would re-join through
-    ``pinned_join`` like the rescore band. Full SQL oracle (distinct
-    shingle-hash sets recomputed in DuckDB)."""
-    from address_parser_ray.functions.hashing import (
-        char_shingle_hashes,
-        splitmix64,
-    )
-    from address_parser_ray.functions.normalize import normalize_content_arrow
+def _mh_candidate_pairs(sf_dir: str):
+    """Deduped LSH candidate pairs (id_a < id_b) at the SQL-checkable
+    ``_mh_band_rows`` parameters: band-key emission → key-hash buckets →
+    run-length triu pair expansion → pair-hash-bucket dedup.  Shared by
+    the containment join and the sketch-error audit."""
+    from address_parser_ray.functions.hashing import splitmix64
     from address_parser_ray.rayutil import default_num_partitions
 
     nparts = default_num_partitions()
@@ -8446,7 +8434,7 @@ def q_containment_pairs(sf_dir: str):
         df.insert(0, "pb", pb)
         return df
 
-    pairs = (
+    return (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(emit_keys, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("kb")
@@ -8458,6 +8446,25 @@ def q_containment_pairs(sf_dir: str):
         )
         .materialize()
     )
+
+
+def q_containment_pairs(sf_dir: str):
+    """ASYMMETRIC containment join over the LSH candidate pairs — the
+    quote/inclusion detector symmetric Jaccard misses (a file pasted
+    inside a larger one scores low Jaccard but containment ≈ 1): for
+    every candidate pair (docs sharing a MinHash band key at the
+    ``_mh_band_rows`` parameters), containment(A→B) = |A∩B|·10⁶ //
+    |A| over DISTINCT 8-gram shingle hash sets, reported in both
+    directions (a = smaller doc_id). Candidate pairs come from the
+    band-bucket run-length expansion (the triangles/cluster shape);
+    texts re-attach by id via a broadcast under the feats byte gate
+    (docs panel here) — at 100 TB the same pairs would re-join through
+    ``pinned_join`` like the rescore band. Full SQL oracle (distinct
+    shingle-hash sets recomputed in DuckDB)."""
+    from address_parser_ray.functions.hashing import char_shingle_hashes
+    from address_parser_ray.functions.normalize import normalize_content_arrow
+
+    pairs = _mh_candidate_pairs(sf_dir)
 
     # texts by id: the docs panel broadcasts at this table's scale
     # (≤ MBs); the at-scale path is the rescore band's bucketed
@@ -14221,6 +14228,170 @@ def q_cos_pair_histogram(sf_dir: str):
     )
 
 
+def q_minhash_jaccard_error(sf_dir: str):
+    """Sketch-accuracy audit — MinHash's Jaccard ESTIMATE measured
+    against the exact value it stands in for, over the engine's own
+    LSH candidate pairs (the number that justifies trusting the
+    flagship's P1 gate): per candidate pair, est = matching signature
+    components (0..P at the SQL-checkable P = 8) vs exact Jaccard over
+    distinct 8-gram shingle-hash sets; reported as a per-est-bucket
+    panel (n_pairs, mean exact ppm, max |est − exact| ppm — integer
+    arithmetic throughout).  Pairs from ``_mh_candidate_pairs``; texts
+    re-attach via the docs-panel broadcast (the rescore band's
+    pinned_join is the at-scale path).  Full SQL oracle (signatures AND
+    shingle sets recomputed in DuckDB via the splitmix macros)."""
+    from address_parser_ray.functions.hashing import (
+        char_shingle_hashes,
+        minhash_params,
+        minhash_signature,
+    )
+    from address_parser_ray.functions.normalize import normalize_content_arrow
+
+    pairs = _mh_candidate_pairs(sf_dir)
+
+    def norm_texts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm": normalize_content_arrow(t["text"]),
+            }
+        )
+
+    texts = pa.concat_tables(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(norm_texts, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=1 << 18, batch_format="pyarrow")
+    )
+    tids = np.asarray(texts["doc_id"], dtype=np.int64)
+    torder = np.argsort(tids)
+    texts_ref = ray.put(
+        (tids[torder], [texts["norm"].to_pylist()[i] for i in torder])
+    )
+    mh_a, mh_b = minhash_params(_MH_P, _MH_SEED)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_sorted, norms = ray.get(texts_ref)
+        a = np.asarray(batch["id_a"], dtype=np.int64)
+        b = np.asarray(batch["id_b"], dtype=np.int64)
+        cache: dict[int, tuple] = {}
+
+        def feats(doc: int) -> tuple:
+            got = cache.get(doc)
+            if got is None:
+                pos = int(np.searchsorted(ids_sorted, doc))
+                sh = char_shingle_hashes(norms[pos], 8)
+                sig = minhash_signature(sh, mh_a, mh_b)
+                got = (set(sh.tolist()), sig)
+                cache[doc] = got
+            return got
+
+        est = np.empty(len(a), dtype=np.int64)
+        exact = np.empty(len(a), dtype=np.int64)
+        for i in range(len(a)):
+            (sa, ga), (sb, gb) = feats(int(a[i])), feats(int(b[i]))
+            est[i] = int((ga == gb).sum())
+            ni = len(sa & sb)
+            nu = len(sa) + len(sb) - ni
+            exact[i] = ni * 1_000_000 // nu if nu else 0
+        err = np.abs(est * 1_000_000 // _MH_P - exact)
+        g = (
+            pd.DataFrame({"est_matches": est, "pn": 1, "pse": exact, "pme": err})
+            .groupby("est_matches", as_index=False, sort=False)
+            .agg(pn=("pn", "sum"), pse=("pse", "sum"), pme=("pme", "max"))
+        )
+        for c in ("est_matches", "pn", "pse", "pme"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "est_matches": df["est_matches"].astype(np.int64),
+                "n_pairs": df["n_pairs"].astype(np.int64),
+                "mean_exact_ppm": (
+                    df["se"].to_numpy(np.int64)
+                    // df["n_pairs"].to_numpy(np.int64)
+                ),
+                "max_err_ppm": df["max_err"].astype(np.int64),
+            }
+        )
+
+    return (
+        pairs.map_batches(score, batch_format="pyarrow", batch_size=4096)
+        .groupby("est_matches")
+        .aggregate(
+            Sum("pn", alias_name="n_pairs"),
+            Sum("pse", alias_name="se"),
+            Max("pme", alias_name="max_err"),
+        )
+        .map_batches(final, batch_format="pandas")
+        .sort("est_matches")
+    )
+
+
+def q_ewma_hourly(sf_dir: str):
+    """EWMA over the dense hourly series — the RECURSIVE streaming-state
+    aggregate (each hour's smoothed value depends on the previous
+    hour's): s_t = (1000·n_t + 7·s_{t−1}) // 8 in integer milli
+    (α = 1/8), s_0 = 1000·n_0 — pure-integer recursion so the SQL twin
+    (a RECURSIVE CTE stepping the same rule) is hash-exact.  Shape:
+    the same panel-sized partials + dense grid as
+    ``events_hourly_dense``; the recursion runs inside the per-type
+    combine over the hours panel (sequential by nature — but over
+    types × hours rows, never events).  Full SQL oracle."""
+    HOUR_US = 3_600_000_000
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ts"].to_numpy().view("i8") // HOUR_US
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "h": h})
+            .groupby(["event_type", "h"], sort=False, as_index=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "h": g["h"].astype(np.int64),
+                "part_n": g["size"].astype(np.int64),
+            }
+        )
+
+    partials = ev.map_batches(partial, batch_format="pandas").materialize()
+    lo, hi = None, None
+    for b in partials.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        hs = np.asarray(b["h"], dtype=np.int64)
+        if len(hs):
+            lo = int(hs.min()) if lo is None else min(lo, int(hs.min()))
+            hi = int(hs.max()) if hi is None else max(hi, int(hs.max()))
+    span_ref = ray.put((lo, hi))
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        lo_, hi_ = ray.get(span_ref)
+        grid = np.arange(lo_, hi_ + 1, dtype=np.int64)
+        n = np.zeros(len(grid), dtype=np.int64)
+        agg = g.groupby("h", as_index=False)["part_n"].sum()
+        n[agg["h"].to_numpy(np.int64) - lo_] = agg["part_n"].to_numpy(np.int64)
+        ewma = np.zeros(len(grid), dtype=np.int64)
+        s = int(n[0]) * 1000
+        ewma[0] = s
+        for i in range(1, len(grid)):
+            s = (1000 * int(n[i]) + 7 * s) // 8
+            ewma[i] = s
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]] * len(grid),
+                "hour_epoch": grid,
+                "n_events": n,
+                "ewma_milli": ewma,
+            }
+        )
+
+    return partials.groupby("event_type").map_groups(smooth, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -14419,4 +14590,6 @@ QUERIES = {
     "percentile_rank_docs": q_percentile_rank_docs,
     "loo_target_encoding": q_loo_target_encoding,
     "cos_pair_histogram": q_cos_pair_histogram,
+    "minhash_jaccard_error": q_minhash_jaccard_error,
+    "ewma_hourly": q_ewma_hourly,
 }

@@ -207,6 +207,8 @@ SQL_CHECKED = [
     "percentile_rank_docs",
     "loo_target_encoding",
     "cos_pair_histogram",
+    "minhash_jaccard_error",
+    "ewma_hourly",
 ]
 
 
