@@ -4541,3 +4541,26 @@ ORACLE_SQL["ewma_hourly"] = """
            ewma AS ewma_milli
     FROM r
 """
+
+# Welch z^2 > 4 between every source pair, division-free in HUGEINT:
+# (sxa*nb - sxb*na)^2 (na-1)(nb-1)  >  4(qa nb^2 (nb-1) + qb na^2 (na-1)),
+# q_i = n_i*sxx_i - sx_i^2. Means in integer milli.
+ORACLE_SQL["source_ab_tests"] = """
+    WITH m AS (
+        SELECT source, CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(n_chars AS HUGEINT)) AS sx,
+               sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+                   AS sxx
+        FROM documents GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(a.sx * 1000 // a.n AS BIGINT) AS mean_a_milli,
+           CAST(b.sx * 1000 // b.n AS BIGINT) AS mean_b_milli,
+           (a.sx * b.n - b.sx * a.n) * (a.sx * b.n - b.sx * a.n)
+             * (a.n - 1) * (b.n - 1)
+           > 4 * ((a.n * a.sxx - a.sx * a.sx) * b.n * b.n * (b.n - 1)
+                + (b.n * b.sxx - b.sx * b.sx) * a.n * a.n * (a.n - 1))
+               AS significant
+    FROM m a JOIN m b ON a.source < b.source
+    ORDER BY 1, 2
+"""

@@ -14392,6 +14392,80 @@ def q_ewma_hourly(sf_dir: str):
     return partials.groupby("event_type").map_groups(smooth, batch_format="pandas")
 
 
+def q_source_ab_tests(sf_dir: str):
+    """Two-sample significance screen between every source pair — the
+    A/B-test shape (does source X produce longer docs than source Y,
+    beyond noise?) in EXACT integers: Welch z² > 4 (|z| > 2) decided by
+    the division-free inequality
+    ``(sx_a·n_b − sx_b·n_a)² · (n_a−1)(n_b−1)  >
+      4 · [ q_a·n_b²·(n_b−1) + q_b·n_a²·(n_a−1) ]`` where
+    ``q_i = n_i·sxx_i − sx_i²`` (so v_i/n_i = q_i/(n_i²(n_i−1)); both
+    sides are z² > 4 multiplied by (n_a n_b)²(n_a−1)(n_b−1)) — the
+    ``length_outliers`` discipline extended to two samples; no float
+    ever compares.  One pass emits the per-source integer moments
+    (n, Σx, Σx²); the C(sources, 2) pair panel folds on the driver in
+    Python bigints (HUGEINT twin).  Output per pair: means in milli,
+    significant flag.  Full SQL oracle."""
+    docs = _docs(sf_dir, ["source", "n_chars"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(np.int64)
+        g = (
+            pd.DataFrame(
+                {"source": df["source"], "pn": 1, "sx": x, "sxx": x * x}
+            )
+            .groupby("source", as_index=False, sort=False)
+            .sum()
+        )
+        for c in ("pn", "sx", "sxx"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    panel = (
+        docs.map_batches(moments, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    rows = []
+    recs = list(
+        zip(
+            panel["source"],
+            (int(v) for v in panel["n"]),
+            (int(v) for v in panel["sx"]),
+            (int(v) for v in panel["sxx"]),
+        )
+    )
+    recs = [(s, n, sx, sxx) for s, n, sx, sxx in recs if n >= 2]
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            sa, na, sxa, sxxa = recs[i]
+            sb, nb, sxb, sxxb = recs[j]
+            qa = na * sxxa - sxa * sxa
+            qb = nb * sxxb - sxb * sxb
+            lhs = (sxa * nb - sxb * na) ** 2 * (na - 1) * (nb - 1)
+            rhs = 4 * (qa * nb * nb * (nb - 1) + qb * na * na * (na - 1))
+            rows.append(
+                {
+                    "source_a": sa,
+                    "source_b": sb,
+                    "mean_a_milli": sxa * 1000 // na,
+                    "mean_b_milli": sxb * 1000 // nb,
+                    "significant": lhs > rhs,
+                }
+            )
+    out = pd.DataFrame(rows)
+    for c in ("mean_a_milli", "mean_b_milli"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -14592,4 +14666,5 @@ QUERIES = {
     "cos_pair_histogram": q_cos_pair_histogram,
     "minhash_jaccard_error": q_minhash_jaccard_error,
     "ewma_hourly": q_ewma_hourly,
+    "source_ab_tests": q_source_ab_tests,
 }

@@ -209,6 +209,7 @@ SQL_CHECKED = [
     "cos_pair_histogram",
     "minhash_jaccard_error",
     "ewma_hourly",
+    "source_ab_tests",
 ]
 
 
@@ -2049,3 +2050,29 @@ def test_kcore_paths_agree(ray_session):
     pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
     if len(fast):
         assert (fast["core_deg"] >= _KCORE_K).all()
+
+
+def test_source_ab_inequality_matches_float_welch(ray_session):
+    """The division-free integer inequality must decide exactly the
+    float Welch z^2 > 4 test on random samples (the property the SQL
+    twin and the engine both rely on)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for _ in range(500):
+        na, nb = rng.integers(2, 40, 2)
+        a = rng.integers(0, 500, na)
+        b = rng.integers(0, 500, nb)
+        sxa, sxxa = int(a.sum()), int((a * a).sum())
+        sxb, sxxb = int(b.sum()), int((b * b).sum())
+        qa = na * sxxa - sxa * sxa
+        qb = nb * sxxb - sxb * sxb
+        lhs = (sxa * nb - sxb * na) ** 2 * (na - 1) * (nb - 1)
+        rhs = 4 * (qa * nb * nb * (nb - 1) + qb * na * na * (na - 1))
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        denom = va / na + vb / nb
+        if denom == 0:
+            continue
+        z2 = (a.mean() - b.mean()) ** 2 / denom
+        if abs(z2 - 4) > 1e-9:
+            assert (lhs > rhs) == (z2 > 4)
