@@ -4564,3 +4564,82 @@ ORACLE_SQL["source_ab_tests"] = """
     FROM m a JOIN m b ON a.source < b.source
     ORDER BY 1, 2
 """
+
+# CV fold stratification audit: integer chi-square of each hash fold's
+# lang distribution against the global one (HUGEINT, per-cell floors
+# summed identically on both sides; zero cells included via the grid).
+ORACLE_SQL["cv_fold_balance"] = """
+    WITH c AS (
+        SELECT doc_id % 5 AS fold, lang, CAST(count(*) AS HUGEINT) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    nf AS (SELECT fold, sum(o) AS n FROM c GROUP BY 1),
+    nl AS (SELECT lang, sum(o) AS n FROM c GROUP BY 1),
+    tt AS (SELECT sum(o) AS t FROM c),
+    grid AS (
+        SELECT nf.fold, nl.lang, nf.n AS nf, nl.n AS nl FROM nf, nl
+    ),
+    j AS (
+        SELECT g.fold, g.lang, g.nf, g.nl, COALESCE(c.o, 0) AS o
+        FROM grid g
+        LEFT JOIN c ON c.fold = g.fold AND c.lang = g.lang
+    )
+    SELECT CAST(j.fold AS BIGINT) AS fold,
+           CAST(max(j.nf) AS BIGINT) AS n_docs,
+           CAST(sum((j.o * tt.t - j.nf * j.nl)
+                    * (j.o * tt.t - j.nf * j.nl)
+                    // (j.nf * j.nl * tt.t)) AS BIGINT) AS chi2_stat
+    FROM j, tt GROUP BY 1 ORDER BY 1
+"""
+
+# Hybrid RRF for query id 0: dense ranking on basis-point-quantized
+# cosine (ties cannot reorder between engines), lexical ranking on
+# shared distinct 8-gram shingle hashes (the macro's h CTE), top-20
+# each, rrf = sum(1e6 // (60 + rank)), 0 marks absence, top-10 cut.
+_RRF_TAIL = """, sh AS (
+    SELECT DISTINCT doc_id, hv FROM h
+), q AS (SELECT hv FROM sh WHERE doc_id = 0),
+lexc AS (
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS shared
+    FROM sh s JOIN q ON q.hv = s.hv
+    WHERE s.doc_id <> 0 GROUP BY 1
+),
+lexr AS (
+    SELECT doc_id, row_number() OVER (ORDER BY shared DESC, doc_id) AS r
+    FROM lexc
+),
+lex20 AS (SELECT doc_id, r FROM lexr WHERE r <= 20),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+dbp AS (
+    SELECT e.vec_id,
+           CAST(floor(list_cosine_similarity(e.embedding, q.embedding)
+                      * 10000 + 0.0000001) AS BIGINT) AS bp
+    FROM embeddings e, qv q WHERE e.vec_id <> 0
+),
+dr AS (
+    SELECT vec_id, row_number() OVER (ORDER BY bp DESC, vec_id) AS r
+    FROM dbp
+),
+den20 AS (SELECT vec_id, r FROM dr WHERE r <= 20),
+ids AS (
+    SELECT doc_id AS id FROM lex20
+    UNION
+    SELECT vec_id FROM den20
+),
+fuse AS (
+    SELECT i.id,
+           CAST(COALESCE(d.r, 0) AS BIGINT) AS rank_dense,
+           CAST(COALESCE(l.r, 0) AS BIGINT) AS rank_lexical,
+           CAST(CASE WHEN d.r IS NULL THEN 0
+                     ELSE 1000000 // (60 + d.r) END
+              + CASE WHEN l.r IS NULL THEN 0
+                     ELSE 1000000 // (60 + l.r) END AS BIGINT) AS rrf_micro
+    FROM ids i
+    LEFT JOIN den20 d ON d.vec_id = i.id
+    LEFT JOIN lex20 l ON l.doc_id = i.id
+)
+SELECT id, rank_dense, rank_lexical, rrf_micro FROM fuse
+ORDER BY rrf_micro DESC, id LIMIT 10
+"""
+
+ORACLE_SQL["rrf_fusion"] = _minhash_keys_sql().rstrip() + _RRF_TAIL

@@ -14466,6 +14466,188 @@ def q_source_ab_tests(sf_dir: str):
     return out
 
 
+def q_cv_fold_balance(sf_dir: str):
+    """Cross-validation fold audit — hash-assigned folds
+    (doc_id % 5, the T6 discipline: reproducible at any cluster size)
+    checked for stratification drift: per fold, an integer chi-square
+    statistic against the GLOBAL lang distribution,
+    ``Σ_lang (o_fl·T − n_f·n_l)² // (n_f·n_l·T)`` (scaled so the
+    expected-count division never leaves integers).  A skewed fold
+    shows up as a large stat long before a model does.  One partial
+    pass to the (fold, lang) panel; marginals and the statistic fold
+    from that panel.  Full SQL oracle (HUGEINT)."""
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame(
+                {
+                    "fold": df["doc_id"].to_numpy(np.int64) % 5,
+                    "lang": df["lang"],
+                }
+            )
+            .groupby(["fold", "lang"], as_index=False, sort=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "fl": g["fold"].astype(str) + "\x1f" + g["lang"].astype(str),
+                "pn": g["size"].astype(np.int64),
+            }
+        )
+
+    panel = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("fl")
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+    )
+    parts = panel["fl"].str.split("\x1f", expand=True)
+    panel["fold"] = parts[0].astype(np.int64)
+    panel["lang"] = parts[1]
+    T = int(panel["n"].sum())
+    n_f = panel.groupby("fold")["n"].sum().to_dict()
+    n_l = panel.groupby("lang")["n"].sum().to_dict()
+    rows = []
+    for fold in sorted(n_f):
+        stat = 0
+        sub = panel[panel["fold"] == fold]
+        seen = dict(zip(sub["lang"], (int(v) for v in sub["n"])))
+        for lang, nl in n_l.items():
+            o = seen.get(lang, 0)
+            nf = int(n_f[fold])
+            stat += (o * T - nf * int(nl)) ** 2 // (nf * int(nl) * T)
+        rows.append(
+            {"fold": fold, "n_docs": int(n_f[fold]), "chi2_stat": stat}
+        )
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Hybrid retrieval with Reciprocal Rank Fusion — the standard
+    dense + lexical combiner (RRF, Cormack et al., public): for query
+    id 0, a DENSE ranking (cosine against embedding 0, quantized to
+    basis points before ranking so float ties cannot reorder between
+    engines) and a LEXICAL ranking (shared distinct 8-gram
+    shingle-hash count against doc 0) each keep their top 20;
+    rrf_micro = Σ 10⁶ // (60 + rank) over the rankings that contain
+    the id (0 marks absence).  Top-10 by (rrf desc, id asc).
+
+    Shape: both rankings are broadcast-query streaming passes with
+    per-batch top-k partials (blocks × 20 rows to the driver);
+    embeddings and documents never pair.  Full SQL oracle (dense via
+    list_cosine_similarity, lexical via the shingle-macro sets)."""
+    from address_parser_ray.functions.hashing import char_shingle_hashes
+    from address_parser_ray.functions.normalize import normalize_content_arrow
+
+    K = 20
+
+    # ---- dense ranking: cosine vs vec 0, quantized bp, top-20 ----
+    qv = _load_query_vec(sf_dir, 0)
+    qn = qv / np.linalg.norm(qv)
+    qref = ray.put(qn)
+
+    def dense_partial(t: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        emb = np.asarray(
+            t["embedding"].combine_chunks().flatten(), dtype=np.float64
+        ).reshape(len(t), -1)
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        bp = np.floor((emb @ q) / norms * 1e4 + 1e-7).astype(np.int64)
+        vids = np.asarray(t["vec_id"], dtype=np.int64)
+        keep = vids != 0
+        bp, vids = bp[keep], vids[keep]
+        order = np.lexsort((vids, -bp))[:K]
+        return pa.table(
+            {"vec_id": pa.array(vids[order]), "bp": pa.array(bp[order])}
+        )
+
+    dense = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(dense_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    dense = dense.sort_values(
+        ["bp", "vec_id"], ascending=[False, True], kind="stable"
+    ).head(K)
+    dense["rank"] = np.arange(1, len(dense) + 1, dtype=np.int64)
+    r_dense = dict(zip((int(v) for v in dense["vec_id"]), (int(r) for r in dense["rank"])))
+
+    # ---- lexical ranking: shared distinct 8-gram shingles vs doc 0 ----
+    import pyarrow.dataset as pads
+
+    q0 = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=(pads.field("doc_id") == 0),
+    ).to_pandas()
+    qset = set(
+        char_shingle_hashes(
+            normalize_content_arrow(pa.array(q0["text"].tolist()))[0].as_py()
+            or "",
+            8,
+        ).tolist()
+    )
+    qset_ref = ray.put(np.fromiter(qset, dtype=np.uint64))
+
+    def lex_partial(t: pa.Table) -> pa.Table:
+        qarr = np.sort(ray.get(qset_ref))
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        norms = normalize_content_arrow(t["text"]).to_pylist()
+        shared = np.zeros(len(ids), dtype=np.int64)
+        for i, x in enumerate(norms):
+            if ids[i] == 0 or not x:
+                continue
+            sh = np.unique(char_shingle_hashes(x, 8))
+            pos = np.searchsorted(qarr, sh)
+            pos[pos >= len(qarr)] = len(qarr) - 1
+            shared[i] = int((qarr[pos] == sh).sum()) if len(qarr) else 0
+        keep = (ids != 0) & (shared > 0)
+        ids, shared = ids[keep], shared[keep]
+        order = np.lexsort((ids, -shared))[:K]
+        return pa.table(
+            {"doc_id": pa.array(ids[order]), "shared": pa.array(shared[order])}
+        )
+
+    lex = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(lex_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    lex = lex.sort_values(
+        ["shared", "doc_id"], ascending=[False, True], kind="stable"
+    ).head(K)
+    lex["rank"] = np.arange(1, len(lex) + 1, dtype=np.int64)
+    r_lex = dict(zip((int(v) for v in lex["doc_id"]), (int(r) for r in lex["rank"])))
+
+    # ---- fuse ----
+    rows = []
+    for did in sorted(set(r_dense) | set(r_lex)):
+        rd = r_dense.get(did, 0)
+        rl = r_lex.get(did, 0)
+        rrf = (1_000_000 // (60 + rd) if rd else 0) + (
+            1_000_000 // (60 + rl) if rl else 0
+        )
+        rows.append(
+            {"id": did, "rank_dense": rd, "rank_lexical": rl, "rrf_micro": rrf}
+        )
+    out = (
+        pd.DataFrame(rows)
+        .sort_values(["rrf_micro", "id"], ascending=[False, True], kind="stable")
+        .head(10)
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -14667,4 +14849,6 @@ QUERIES = {
     "minhash_jaccard_error": q_minhash_jaccard_error,
     "ewma_hourly": q_ewma_hourly,
     "source_ab_tests": q_source_ab_tests,
+    "cv_fold_balance": q_cv_fold_balance,
+    "rrf_fusion": q_rrf_fusion,
 }

@@ -210,6 +210,8 @@ SQL_CHECKED = [
     "minhash_jaccard_error",
     "ewma_hourly",
     "source_ab_tests",
+    "cv_fold_balance",
+    "rrf_fusion",
 ]
 
 
