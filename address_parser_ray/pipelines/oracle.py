@@ -4643,3 +4643,26 @@ ORDER BY rrf_micro DESC, id LIMIT 10
 """
 
 ORACLE_SQL["rrf_fusion"] = _minhash_keys_sql().rstrip() + _RRF_TAIL
+
+# Heaps-law vocabulary growth: min doc_id per token, decile histogram
+# of first occurrences, prefix sum.
+ORACLE_SQL["vocab_growth"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(
+                   COALESCE(text, ''),
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS tok
+        FROM documents
+    ),
+    fs AS (SELECT tok, min(doc_id) AS fd FROM tok GROUP BY 1),
+    tt AS (SELECT count(*) AS n FROM documents),
+    b AS (
+        SELECT fd * 10 // tt.n AS decile,
+               CAST(count(*) AS BIGINT) AS nn
+        FROM fs, tt GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           nn AS n_new_tokens,
+           CAST(sum(nn) OVER (ORDER BY decile) AS BIGINT) AS n_cum_tokens
+    FROM b ORDER BY 1
+"""

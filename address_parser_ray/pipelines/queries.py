@@ -14648,6 +14648,127 @@ def q_rrf_fusion(sf_dir: str):
     return out
 
 
+def q_vocab_growth(sf_dir: str):
+    """Vocabulary growth curve (Heaps' law) — cumulative distinct
+    tokens as the corpus is consumed in doc_id order, sampled at
+    doc-id deciles: the corpus-stats op behind "how much new
+    vocabulary does the next 10% of data buy" (tokenizer sizing,
+    dedup-value forecasting).  Distributed as FIRST-OCCURRENCE
+    accumulation: min doc_id per token (postings-min shuffle bounded
+    by vocabulary), a 10-row decile histogram of first-seens, one
+    prefix sum.  Same running-distinct shape as ``cumulative_users``,
+    applied to the token domain with bucketed checkpoints.  Full SQL
+    oracle."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = pd.DataFrame(
+            {"tok": _bpe_findall(df["text"]), "d": df["doc_id"].to_numpy(np.int64)}
+        ).explode("tok")
+        ex = ex[ex["tok"].notna()]
+        if len(ex) == 0:
+            return pd.DataFrame(
+                {
+                    "tok": pd.Series([], dtype="str"),
+                    "pd_": pd.Series([], dtype="int64"),
+                }
+            )
+        g = ex.groupby("tok", sort=False, as_index=False)["d"].min()
+        return pd.DataFrame({"tok": g["tok"], "pd_": g["d"].astype(np.int64)})
+
+    def decile_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dec = df["first_doc"].to_numpy(np.int64) * 10 // n_docs
+        g = (
+            pd.DataFrame({"decile": dec})
+            .groupby("decile", as_index=False, sort=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "decile": g["decile"].astype(np.int64),
+                "pn": g["size"].astype(np.int64),
+            }
+        )
+
+    panel = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("tok")
+        .aggregate(Min("pd_", alias_name="first_doc"))
+        .map_batches(decile_partial, batch_format="pandas")
+        .groupby("decile")
+        .aggregate(Sum("pn", alias_name="n_new_tokens"))
+        .to_pandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    panel["decile"] = panel["decile"].astype(np.int64)
+    panel["n_new_tokens"] = panel["n_new_tokens"].astype(np.int64)
+    panel["n_cum_tokens"] = np.cumsum(panel["n_new_tokens"].to_numpy(np.int64))
+    return panel
+
+
+def q_pr_curve(sf_dir: str):
+    """Precision/recall operating-point sweep for the flagship scorer —
+    the PR CURVE behind the ``match_threshold`` config choice (the
+    calibration step ``score_histogram`` shows the raw distribution
+    for): on the labeled fixture corpus (known true clusters), every
+    5%-wide score threshold reports tp / fp / fn and integer-ppm
+    P / R / F1 over the CANDIDATE pairs (same-block basis — pairs
+    blocking never surfaced are `blocking_quality`'s recall, not the
+    scorer's).  Non-SQL (flagship-derived scores); pinned by pytest
+    monotonicity + the shipped threshold's operating point."""
+    from address_parser_ray.fixtures import write_corpus_ray
+    from address_parser_ray.functions.hashing import stable_id64
+    from address_parser_ray.pipelines.dedup import dedup_pipeline
+    from address_parser_ray.sources import read_corpus
+
+    out_dir = "/tmp/apr_qgen_corpus_pr"
+    corpus_dir, labels_dir = write_corpus_ray(
+        out_dir, n_seeds=200, variants_per_seed=6
+    )
+    res = dedup_pipeline(read_corpus(corpus_dir))
+    sp = res.scored_pairs.to_pandas()
+    lab = ray.data.read_parquet(labels_dir).to_pandas()
+    lab["record_id"] = [
+        stable_id64(r, p, c)
+        for r, p, c in zip(lab["repo"], lab["path"], lab["commit"])
+    ]
+    truth = lab.set_index("record_id")["cluster_id"]
+    same = (
+        truth.reindex(sp["id_a"]).to_numpy()
+        == truth.reindex(sp["id_b"]).to_numpy()
+    )
+    score_bp = np.floor(sp["score"].to_numpy(np.float64) * 20 + 1e-7).astype(
+        np.int64
+    )
+    total_true = int(same.sum())
+    rows = []
+    for t in range(0, 21):
+        sel = score_bp >= t
+        tp = int((sel & same).sum())
+        fp = int((sel & ~same).sum())
+        fn = total_true - tp
+        prec = tp * 1_000_000 // max(tp + fp, 1)
+        rec = tp * 1_000_000 // max(tp + fn, 1)
+        f1 = 2 * prec * rec // max(prec + rec, 1)
+        rows.append(
+            {
+                "threshold_bp": t * 500,  # basis points of score (t/20)
+                "tp": tp,
+                "fp": fp,
+                "fn": fn,
+                "precision_ppm": prec,
+                "recall_ppm": rec,
+                "f1_ppm": f1,
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -14851,4 +14972,6 @@ QUERIES = {
     "source_ab_tests": q_source_ab_tests,
     "cv_fold_balance": q_cv_fold_balance,
     "rrf_fusion": q_rrf_fusion,
+    "vocab_growth": q_vocab_growth,
+    "pr_curve": q_pr_curve,
 }

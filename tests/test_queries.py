@@ -212,6 +212,7 @@ SQL_CHECKED = [
     "source_ab_tests",
     "cv_fold_balance",
     "rrf_fusion",
+    "vocab_growth",
 ]
 
 
@@ -563,6 +564,7 @@ ROWS_ONLY = [
     "media_frame_sample",
     "semantic_dedup",
     "score_histogram",
+    "pr_curve",
 ]
 
 
@@ -2078,3 +2080,27 @@ def test_source_ab_inequality_matches_float_welch(ray_session):
         z2 = (a.mean() - b.mean()) ** 2 / denom
         if abs(z2 - 4) > 1e-9:
             assert (lhs > rhs) == (z2 > 4)
+
+
+def test_pr_curve_properties(ray_session):
+    """The threshold sweep must be internally consistent: tp/fp
+    non-increasing and fn non-decreasing in the threshold, recall
+    monotone non-increasing, counts tie out per row, and the shipped
+    operating region (score >= 0.5) must separate the fixture's true
+    pairs cleanly (F1 >= 0.99 at threshold_bp = 5000)."""
+    import numpy as np
+
+    from address_parser_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["pr_curve"](SF).sort_values("threshold_bp").reset_index(drop=True)
+    assert len(df) == 21
+    tp = df["tp"].to_numpy()
+    fp = df["fp"].to_numpy()
+    fn = df["fn"].to_numpy()
+    assert (np.diff(tp) <= 0).all()
+    assert (np.diff(fp) <= 0).all()
+    assert (np.diff(fn) >= 0).all()
+    assert ((tp + fn) == (tp[0] + fn[0])).all()
+    assert (df["recall_ppm"].to_numpy()[1:] <= df["recall_ppm"].to_numpy()[:-1]).all()
+    at = df[df["threshold_bp"] == 5000].iloc[0]
+    assert at["f1_ppm"] >= 990_000, df.to_string()
