@@ -202,7 +202,14 @@ def cmd_query(args) -> int:
         return 2
     res = QUERIES[args.name](args.sf_dir)
     if args.output and hasattr(res, "write_parquet"):
-        res.write_parquet(args.output)
+        # partition_cols → one directory per key value: the resumable
+        # layout (a failed downstream consumer skips finished keys)
+        kwargs = (
+            {"partition_cols": args.partition_by.split(",")}
+            if args.partition_by
+            else {}
+        )
+        res.write_parquet(args.output, **kwargs)
         print(json.dumps({"query": args.name, "rows": res.count(),
                           "output": args.output}))
         ray.shutdown()
@@ -315,6 +322,8 @@ def main(argv=None) -> int:
     q.add_argument("name", help="query name from __ray_entry__.queries()")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--output", default=None, help="parquet output path (streams Datasets)")
+    q.add_argument("--partition-by", default=None,
+                   help="comma list of columns → hive-partitioned output dirs")
     q.add_argument("--limit", type=int, default=20, help="rows printed without --output")
     q.set_defaults(fn=cmd_query)
 
