@@ -209,6 +209,9 @@ def cmd_query(args) -> int:
             if args.partition_by
             else {}
         )
+        # materialize ONCE so write + count don't each re-execute the
+        # full lazy lineage (count() on a materialized set is metadata)
+        res = res.materialize()
         res.write_parquet(args.output, **kwargs)
         print(json.dumps({"query": args.name, "rows": res.count(),
                           "output": args.output}))
@@ -219,9 +222,18 @@ def cmd_query(args) -> int:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        pq.write_table(
-            pa.Table.from_pandas(df, preserve_index=False), args.output
-        )
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        if args.partition_by:
+            # pandas-path queries honor --partition-by too: hive layout
+            # via write_to_dataset (same resumable shape as the Dataset
+            # path) instead of silently ignoring the flag
+            pq.write_to_dataset(
+                tbl,
+                root_path=args.output,
+                partition_cols=args.partition_by.split(","),
+            )
+        else:
+            pq.write_table(tbl, args.output)
     print(json.dumps({"query": args.name, "rows": len(df),
                       "output": args.output}))
     if not args.output:

@@ -4353,8 +4353,8 @@ ORACLE_SQL["match_waterfall"] = """
     ), t3 AS (
         SELECT CAST(count(*) AS BIGINT) AS nd,
                CAST(count(DISTINCT trim(regexp_replace(
-                   lower(COALESCE(text, '')), '\\s+', ' ', 'g')))
-                   AS BIGINT) AS ng
+                   lower(COALESCE(text, '')), '[ \\t\\n\\f\\r]+', ' ',
+                   'g'))) AS BIGINT) AS ng
         FROM documents
     )
     SELECT '1_raw' AS tier, ng AS n_groups, nd AS n_docs,

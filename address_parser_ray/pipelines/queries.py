@@ -8484,9 +8484,8 @@ def q_containment_pairs(sf_dir: str):
     )
     tids = np.asarray(texts["doc_id"], dtype=np.int64)
     torder = np.argsort(tids)
-    texts_ref = ray.put(
-        (tids[torder], [texts["norm"].to_pylist()[i] for i in torder])
-    )
+    norms = texts["norm"].to_pylist()
+    texts_ref = ray.put((tids[torder], [norms[i] for i in torder]))
 
     def score(batch: pa.Table) -> pa.Table:
         ids_sorted, norms = ray.get(texts_ref)
@@ -13482,7 +13481,8 @@ def q_copurchase_pairs(sf_dir: str):
         # pack the pair into ONE int64 key (a global multi-column sort
         # over the pair panel is the pathological composite-key path —
         # measured 105 s vs <2 s with the packed key + local-top-k cut)
-        if a.size and int(a.max()) >= (1 << 31):
+        # a < b always, so bounding b bounds BOTH halves of the packed key
+        if b.size and int(b.max()) >= (1 << 31):
             raise NotImplementedError(
                 "copurchase_pairs int64 pair packing exceeded — widen the key"
             )
@@ -13850,15 +13850,21 @@ def q_match_waterfall(sf_dir: str):
     import hashlib
 
     SEP = "\x1f"
-    _ws = re.compile(r"\s+", re.ASCII)
+    # explicit class: Python ASCII \s includes \x0b (vertical tab) but
+    # RE2/DuckDB \s does not — pin BOTH engine and oracle to the same
+    # [ \t\n\f\r] set so \v-bearing texts can't diverge
+    _ws = re.compile(r"[ \t\n\f\r]+")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         texts = df["text"].fillna("")
         tiers = {
             "1_raw": texts,
             "2_lower": texts.str.lower(),
+            # strip(" ") not strip(): after the sub, edges are plain
+            # spaces; bare strip() would also eat \v, which DuckDB's
+            # trim() does not
             "3_ws_norm": texts.str.lower().map(
-                lambda s: _ws.sub(" ", s).strip()
+                lambda s: _ws.sub(" ", s).strip(" ")
             ),
         }
         frames = []
@@ -13932,8 +13938,15 @@ def q_csv_read_counts(sf_dir: str):
     quoting layer, not just row counts.  The oracle reads the original
     Parquet — hash equality IS the round-trip proof.  (CSV is the
     interchange format beside JSONL; Parquet remains the scale
-    format — this op exists to prove the reader/writer pair.)"""
+    format — this op exists to prove the reader/writer pair.)
+
+    Single-node assumption: the CSV staging dir lives under the
+    driver's /tmp, which workers share only in local mode; a cluster
+    deployment would point it at shared storage (s3://...).  The per-
+    lang panel (≤ |langs| rows) is materialized so the staging dir can
+    be removed before returning."""
     import hashlib
+    import shutil
     import tempfile
 
     from address_parser_ray.sources import read_csv_corpus, write_csv
@@ -13982,11 +13995,14 @@ def q_csv_read_counts(sf_dir: str):
             }
         )
 
-    return (
+    out = (
         back.map_batches(partial, batch_format="pandas")
         .groupby("lang")
         .map_groups(final, batch_format="pandas")
+        .materialize()  # ≤ |langs| rows — lets the staging dir go away
     )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def q_except_all_tokens(sf_dir: str):
@@ -14264,9 +14280,8 @@ def q_minhash_jaccard_error(sf_dir: str):
     )
     tids = np.asarray(texts["doc_id"], dtype=np.int64)
     torder = np.argsort(tids)
-    texts_ref = ray.put(
-        (tids[torder], [texts["norm"].to_pylist()[i] for i in torder])
-    )
+    norms = texts["norm"].to_pylist()
+    texts_ref = ray.put((tids[torder], [norms[i] for i in torder]))
     mh_a, mh_b = minhash_params(_MH_P, _MH_SEED)
 
     def score(batch: pa.Table) -> pa.Table:
