@@ -4666,3 +4666,369 @@ ORACLE_SQL["vocab_growth"] = """
            CAST(sum(nn) OVER (ORDER BY decile) AS BIGINT) AS n_cum_tokens
     FROM b ORDER BY 1
 """
+
+
+# ---- flagship MinHash-LSH dedup pipeline (VERDICT r3 item 2) ----
+def _build_flagship_lsh_sql(tail: str | None = None) -> str:
+    """Full-fidelity DuckDB twin of the FLAGSHIP dedup pipeline
+    (``pipelines/dedup.py``) over documents-as-corpus — fingerprint →
+    exact dedup → LSH blocking → sketch scoring → content rescore band →
+    transitive closure → cluster-size histogram.  Recomputes, per doc:
+
+    - the fingerprint normalizer (same regex chain as the green
+      ``minhash_band_keys`` oracle),
+    - OPH MinHash with rotation densification (Li NIPS'12 /
+      Shrivastava ICML'14; ``functions/hashing.py:oph_minhash``) for all
+      THREE sketches: 12-gram char (128 lanes, seed 42), 4-gram fine
+      (128 lanes, seed 55), token (64 lanes, seed 49) — bin mins via
+      ``shr(h, shift)`` groupby, empty lanes borrow the cyclically-next
+      filled lane remixed by the borrow distance (window-function
+      next-filled + self-join),
+    - the 32×4 band fold (``lsh_band_keys``) over densified lanes,
+    - the scorer (``stages/scoring.py:_score_arrays``) on 16-bit
+      truncated lanes (64 char / 32 token / 64 fine — ``_reduce_feats``):
+      gate, blend, JW-in-decision-window, content estimate, exact
+      override — float literals are repr() of the engine's float64
+      values (0.5 − 0.08 ≠ 0.42 in binary64),
+    - the content-rescore band (``stages/rescore.py``): exact distinct
+      12-/4-gram Jaccard via substring sets,
+    - min-label closure over match ∪ duplicate edges (recursive CTE).
+
+    Domain assumptions (all verified to hold at the oracle scales
+    sf0.001/sf0.01 by tools/probe + tests; each names its engine twin):
+    1. No hot-key salting and no per-block pair-cap truncation
+       (``probe_hot_keys`` = {} and band multiplicity ≤ 91 — caps are
+       record_id(blake2b)-ordered, not SQL-recomputable).
+    2. Representative choice: oracle picks min doc_id per sha; engine
+       picks min record_id.  Same-sha members share every sketch, so
+       rep choice can only matter through path/lang scoring inputs —
+       there are no duplicate-sha groups at oracle scale (and langs are
+       constant within groups in this testdata).
+    3. ``jaro_winkler_similarity`` (DuckDB, boost-threshold 0.7) equals
+       the engine's unconditional-boost JW (``functions/similarity.py``)
+       because candidate paths share the ≥4-char "docs" prefix, so
+       jaro > 0.7 always — verified bit-exact over the path domain.
+    4. Exact substring-set Jaccard stands in for the engine's
+       hash-set Jaccard (64-bit splitmix shingle hashes,
+       collision-free at corpus scale — same documented assumption as
+       ``ngram_jaccard_stats``).
+
+    ``tail``: optional replacement for the final histogram SELECT —
+    must consume the ``comp (doc_id, cluster_id)`` CTE.
+    """
+    from address_parser_ray.functions.hashing import _mod_inverse_u64
+
+    M = 1 << 64
+    GOLDEN = 0x9E3779B97F4A7C15
+    POLY = 1099511628211
+    PINV = _mod_inverse_u64(POLY)
+    OFF_MH = (42 * GOLDEN) % M
+    OFF_TMH = (49 * GOLDEN) % M
+    OFF_FMH = (55 * GOLDEN) % M
+    POW12 = [pow(POLY, 11 - t, M) for t in range(12)]
+    POW4 = [pow(POLY, 3 - t, M) for t in range(4)]
+    SENT = M - 1
+    # score constants — repr() of the EXACT Python float64 values the
+    # engine compares against (0.5 - 0.08 is NOT 0.42 in float64)
+    LO = repr(0.5 - 0.08)
+    HI = repr(0.5 + 0.08)
+
+    def terms(powers, k):
+        return " +\n        ".join(
+            f"ascii(substr(t, CAST(i AS INT) + {t}, 1)) * CAST({powers[t]} AS HUGEINT)"
+            for t in range(k)
+        )
+
+    def sketch_ctes(tag, hsrc, nlanes, shift):
+        """binmin → dense lanes (with rotation densification + empty-doc
+        sentinel) for one sketch family. ``hsrc`` must yield (doc_id, h)."""
+        return f"""
+, bm_{tag} AS MATERIALIZED (
+  SELECT doc_id, CAST(shr(h, {shift}) AS BIGINT) AS lane, min(h) AS v
+  FROM {hsrc} GROUP BY 1, 2
+), lx_{tag} AS (
+  SELECT n.doc_id, l.lane, b.v
+  FROM (SELECT DISTINCT doc_id FROM bm_{tag}) n
+  CROSS JOIN (SELECT unnest(range(0, {nlanes})) AS lane) l
+  LEFT JOIN bm_{tag} b ON b.doc_id = n.doc_id AND b.lane = l.lane
+), nf_{tag} AS (
+  SELECT doc_id, lane, v,
+         min(CASE WHEN v IS NOT NULL THEN lane END) OVER
+             (PARTITION BY doc_id ORDER BY lane
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt,
+         min(CASE WHEN v IS NOT NULL THEN lane END) OVER
+             (PARTITION BY doc_id) AS fst
+  FROM lx_{tag}
+), dn_{tag} AS MATERIALIZED (
+  SELECT a.doc_id, a.lane,
+         CASE WHEN a.v IS NOT NULL THEN a.v
+              ELSE sm64((s.v + (COALESCE(a.nxt, a.fst + {nlanes}) - a.lane))
+                        % {M})
+         END AS v
+  FROM nf_{tag} a
+  JOIN bm_{tag} s ON s.doc_id = a.doc_id
+              AND s.lane = (COALESCE(a.nxt, a.fst + {nlanes}) % {nlanes})
+  UNION ALL
+  -- empty-input sentinel: no shingles/tokens => every lane = 2^64-1
+  SELECT e.doc_id, l.lane, CAST({SENT} AS HUGEINT) AS v
+  FROM (SELECT doc_id FROM norm WHERE length(t0) = 0) e
+  CROSS JOIN (SELECT unnest(range(0, {nlanes})) AS lane) l
+)"""
+
+    sql = f"""
+CREATE OR REPLACE MACRO xr(a, b) AS CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT);
+CREATE OR REPLACE MACRO shr(a, n) AS CAST(a AS HUGEINT) // (CAST(1 AS HUGEINT) << n);
+CREATE OR REPLACE MACRO mulmod64(a, b) AS (
+  ((a % 4294967296) * (b % 4294967296)
+   + (((a % 4294967296) * (b // 4294967296) + (a // 4294967296) * (b % 4294967296)) % 4294967296) * 4294967296
+  ) % {M});
+CREATE OR REPLACE MACRO smz1(x) AS mulmod64(xr(x, shr(x, 30)), CAST(13787848793156543929 AS HUGEINT));
+CREATE OR REPLACE MACRO smz2(x) AS mulmod64(xr(x, shr(x, 27)), CAST(10723151780598845931 AS HUGEINT));
+CREATE OR REPLACE MACRO smz3(x) AS xr(x, shr(x, 31));
+CREATE OR REPLACE MACRO sm64(x) AS smz3(smz2(smz1((CAST(x AS HUGEINT) + 11400714819323198485) % {M})));
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang,
+         'docs/doc_' || doc_id || '.txt' AS path,
+         length(COALESCE(text, '')) AS n_chars,
+         sha256(COALESCE(text, '')) AS sha
+  FROM documents
+), norm AS (
+  SELECT doc_id,
+    lower(trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(COALESCE(text, ''), '(?s)/\\*.*?\\*/', '', 'g'),
+            $dq$(?s)@DQ@.*?@DQ@$dq$, '', 'g'),
+          $sq$(?s)@SQ@.*?@SQ@$sq$, '', 'g'),
+        '(#|//|--)[^\\n]*', '', 'g'),
+      '\\s+', ' ', 'g'))) AS t0
+  FROM documents
+), reps AS (
+  -- exact-dedup representatives: min doc id per full content sha.
+  -- (engine reps are min record_id = blake2b order; rep CHOICE only
+  -- affects path/lang scoring inputs, identical-content members are
+  -- interchangeable for sketches — see docstring assumptions)
+  SELECT b.doc_id, b.lang, b.path, b.n_chars, b.sha,
+         min(b.doc_id) OVER (PARTITION BY b.sha) AS rep_doc
+  FROM base b
+), pad12 AS (
+  SELECT doc_id,
+         CASE WHEN length(t0) < 12 THEN t0 || repeat(' ', 12 - length(t0))
+              ELSE t0 END AS t
+  FROM norm WHERE length(t0) > 0
+), pad4 AS (
+  SELECT doc_id,
+         CASE WHEN length(t0) < 4 THEN t0 || repeat(' ', 4 - length(t0))
+              ELSE t0 END AS t
+  FROM norm WHERE length(t0) > 0
+), h12 AS (
+  SELECT doc_id,
+    sm64(sm64((
+        {terms(POW12, 12)}
+    ) % {M}) + {OFF_MH}) AS h
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 10)) AS i FROM pad12)
+), h4 AS (
+  SELECT doc_id,
+    sm64(sm64((
+        {terms(POW4, 4)}
+    ) % {M}) + {OFF_FMH}) AS h
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 2)) AS i FROM pad4)
+), tk AS (
+  -- DISTINCT: OPH is duplicate-insensitive; aggregating per-occurrence
+  -- rows would sum repeated tokens' char terms together
+  SELECT DISTINCT doc_id, w, length(w) AS L
+  FROM (SELECT doc_id, unnest(string_split(t0, ' ')) AS w
+        FROM norm WHERE length(t0) > 0)
+  WHERE w <> ''
+), pinv AS (
+  SELECT 0 AS p, CAST(1 AS HUGEINT) AS v
+  UNION ALL
+  SELECT p + 1, mulmod64(v, CAST({PINV} AS HUGEINT))
+  FROM pinv WHERE p < (SELECT max(L) FROM tk)
+), htok AS (
+  SELECT doc_id,
+         sm64(sm64((CAST(sum(mulmod64(
+             CAST(ascii(substr(w, CAST(i AS INT), 1)) AS HUGEINT), p.v))
+             % {M} AS HUGEINT) + L) % {M}) + {OFF_TMH}) AS h
+  FROM (SELECT doc_id, w, L, unnest(range(1, L + 1)) AS i FROM tk) c
+  JOIN pinv p ON p.p = c.i - 1
+  GROUP BY doc_id, w, L
+)
+{sketch_ctes("mh", "h12", 128, 57)}
+{sketch_ctes("fmh", "h4", 128, 57)}
+{sketch_ctes("tmh", "htok", 64, 58)}
+, bk1 AS (
+  SELECT doc_id, lane // 4 AS band, list(v ORDER BY lane) AS s
+  FROM dn_mh GROUP BY 1, 2
+), bk2 AS (
+  SELECT doc_id, band, s, sm64(s[1]) AS f1 FROM bk1
+), bk3 AS (
+  SELECT doc_id, band, s, sm64((mulmod64(f1, {POLY}) + s[2]) % {M}) AS f2 FROM bk2
+), bk4 AS (
+  SELECT doc_id, band, s, sm64((mulmod64(f2, {POLY}) + s[3]) % {M}) AS f3 FROM bk3
+), bk5 AS (
+  SELECT doc_id, band, sm64((mulmod64(f3, {POLY}) + s[4]) % {M}) AS f4 FROM bk4
+), bkeys AS MATERIALIZED (
+  SELECT doc_id, band,
+         sm64((f4 + band * {1 << 56}) % {M}) AS k
+  FROM bk5
+  JOIN (SELECT doc_id AS rd FROM reps WHERE doc_id = rep_doc) r
+    ON r.rd = doc_id
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bkeys a JOIN bkeys b ON a.k = b.k AND a.doc_id < b.doc_id
+), jacc_p AS (
+  SELECT c.da, c.db,
+         CAST(sum(CASE WHEN (x.v % 65536) = (y.v % 65536) THEN 1 ELSE 0 END)
+              AS DOUBLE) / 64.0 AS jacc
+  FROM cand c
+  JOIN dn_mh x ON x.doc_id = c.da AND x.lane < 64
+  JOIN dn_mh y ON y.doc_id = c.db AND y.lane = x.lane
+  GROUP BY 1, 2
+), tjacc_p AS (
+  SELECT c.da, c.db,
+         CAST(sum(CASE WHEN (x.v % 65536) = (y.v % 65536) THEN 1 ELSE 0 END)
+              AS DOUBLE) / 32.0 AS tjacc
+  FROM cand c
+  JOIN dn_tmh x ON x.doc_id = c.da AND x.lane < 32
+  JOIN dn_tmh y ON y.doc_id = c.db AND y.lane = x.lane
+  GROUP BY 1, 2
+), fj_p AS (
+  SELECT c.da, c.db,
+         CAST(sum(CASE WHEN (x.v % 65536) = (y.v % 65536) THEN 1 ELSE 0 END)
+              AS DOUBLE) / 64.0 AS fj
+  FROM cand c
+  JOIN dn_fmh x ON x.doc_id = c.da AND x.lane < 64
+  JOIN dn_fmh y ON y.doc_id = c.db AND y.lane = x.lane
+  GROUP BY 1, 2
+), scored0 AS MATERIALIZED (
+  SELECT j.da, j.db, j.jacc, t.tjacc, f.fj,
+         ra.lang AS lang_a, rb.lang AS lang_b,
+         ra.path AS path_a, rb.path AS path_b,
+         CASE WHEN greatest(ra.n_chars, rb.n_chars) > 0
+              THEN CAST(least(ra.n_chars, rb.n_chars) AS DOUBLE)
+                   / CAST(greatest(ra.n_chars, rb.n_chars) AS DOUBLE)
+              ELSE CAST(1.0 AS DOUBLE) END AS size_sim,
+         substr(ra.sha, 1, 16) = substr(rb.sha, 1, 16) AS exact
+  FROM jacc_p j
+  JOIN tjacc_p t ON t.da = j.da AND t.db = j.db
+  JOIN fj_p f ON f.da = j.da AND f.db = j.db
+  JOIN reps ra ON ra.doc_id = j.da
+  JOIN reps rb ON rb.doc_id = j.db
+), scored1 AS (
+  SELECT *,
+         (jacc >= CAST(0.25 AS DOUBLE) OR exact
+          OR fj >= CAST(0.25 AS DOUBLE)) AS gate,
+         CAST(0.55 AS DOUBLE) * jacc + CAST(0.3 AS DOUBLE) * tjacc
+             + CAST(0.1 AS DOUBLE) * size_sim AS base
+  FROM scored0
+), scored2 AS (
+  SELECT *,
+         CASE WHEN gate AND NOT exact
+                   AND base + CAST(0.05 AS DOUBLE) >= CAST({LO} AS DOUBLE)
+                   AND base < CAST({HI} AS DOUBLE)
+              THEN jaro_winkler_similarity(path_a, path_b)
+              ELSE CAST(0.0 AS DOUBLE) END AS jw
+  FROM scored1
+), scored AS MATERIALIZED (
+  SELECT da, db, lang_a, lang_b, tjacc, jw, size_sim,
+         CASE WHEN exact THEN CAST(1.0 AS DOUBLE)
+              WHEN NOT gate THEN CAST(0.0 AS DOUBLE)
+              ELSE greatest(base + CAST(0.05 AS DOUBLE) * jw,
+                            CAST(0.35 AS DOUBLE) * jacc
+                            + CAST(0.65 AS DOUBLE) * fj) END AS score,
+         exact
+  FROM scored2
+), band_pairs AS (
+  SELECT * FROM scored
+  WHERE score >= CAST({LO} AS DOUBLE) AND score < CAST({HI} AS DOUBLE)
+), g12 AS MATERIALIZED (
+  SELECT DISTINCT p.doc_id, substr(t, CAST(i AS INT), 12) AS g
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 10)) AS i FROM pad12) p
+  WHERE p.doc_id IN (SELECT da FROM band_pairs UNION SELECT db FROM band_pairs)
+), g4 AS MATERIALIZED (
+  SELECT DISTINCT p.doc_id, substr(t, CAST(i AS INT), 4) AS g
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 2)) AS i FROM pad4) p
+  WHERE p.doc_id IN (SELECT da FROM band_pairs UNION SELECT db FROM band_pairs)
+), jx12 AS (
+  SELECT b.da, b.db,
+         (SELECT count(*) FROM g12 x JOIN g12 y
+          ON x.g = y.g AND x.doc_id = b.da AND y.doc_id = b.db) AS inter,
+         (SELECT count(*) FROM g12 WHERE doc_id = b.da) AS na,
+         (SELECT count(*) FROM g12 WHERE doc_id = b.db) AS nb
+  FROM band_pairs b
+), jx4 AS (
+  SELECT b.da, b.db,
+         (SELECT count(*) FROM g4 x JOIN g4 y
+          ON x.g = y.g AND x.doc_id = b.da AND y.doc_id = b.db) AS inter,
+         (SELECT count(*) FROM g4 WHERE doc_id = b.da) AS na,
+         (SELECT count(*) FROM g4 WHERE doc_id = b.db) AS nb
+  FROM band_pairs b
+), rescored AS (
+  SELECT b.da, b.db,
+         greatest(
+           CAST(0.55 AS DOUBLE) * j12.j + CAST(0.3 AS DOUBLE) * b.tjacc
+               + CAST(0.05 AS DOUBLE) * b.jw
+               + CAST(0.1 AS DOUBLE) * b.size_sim,
+           CAST(0.35 AS DOUBLE) * j12.j + CAST(0.65 AS DOUBLE) * j4.j
+         ) >= CAST(0.5 AS DOUBLE) AND b.lang_a = b.lang_b AS is_match
+  FROM band_pairs b
+  JOIN (SELECT da, db,
+               CASE WHEN na + nb = 0 THEN CAST(1.0 AS DOUBLE)
+                    WHEN na + nb - inter = 0 THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
+               END AS j
+        FROM jx12) j12 ON j12.da = b.da AND j12.db = b.db
+  JOIN (SELECT da, db,
+               CASE WHEN na + nb = 0 THEN CAST(1.0 AS DOUBLE)
+                    WHEN na + nb - inter = 0 THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
+               END AS j
+        FROM jx4) j4 ON j4.da = b.da AND j4.db = b.db
+), match_edges AS (
+  SELECT da AS src, db AS dst FROM scored
+  WHERE (score < CAST({LO} AS DOUBLE) OR score >= CAST({HI} AS DOUBLE))
+    AND score >= CAST(0.5 AS DOUBLE) AND (lang_a = lang_b OR exact)
+  UNION ALL
+  SELECT da, db FROM rescored WHERE is_match
+  UNION ALL
+  SELECT doc_id, rep_doc FROM reps WHERE doc_id <> rep_doc
+), edges AS (
+  SELECT src, dst FROM match_edges
+  UNION
+  SELECT dst, src FROM match_edges
+), reach AS (
+  SELECT doc_id AS id, doc_id AS lab FROM documents
+  UNION
+  SELECT e.dst AS id, r.lab
+  FROM reach r JOIN edges e ON e.src = r.id
+), comp AS (
+  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1
+), sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY 1
+)
+@TAIL@
+"""
+    default_tail = (
+        "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters\n"
+        "FROM sizes GROUP BY 1 ORDER BY 1"
+    )
+    return (
+        sql.replace("@DQ@", '"' * 3)
+        .replace("@SQ@", "'" * 3)
+        .replace("@TAIL@", tail or default_tail)
+    )
+
+
+ORACLE_SQL["minhash_lsh_clusters"] = _build_flagship_lsh_sql()
+
+ORACLE_SQL["lsh_cluster_assignments"] = _build_flagship_lsh_sql(
+    tail=(
+        "SELECT c.doc_id, CAST(c.cluster_id AS BIGINT) AS cluster_label,\n"
+        "       s.cluster_size\n"
+        "FROM comp c JOIN sizes s ON s.cluster_id = c.cluster_id\n"
+        "ORDER BY c.doc_id"
+    )
+)

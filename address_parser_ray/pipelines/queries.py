@@ -87,13 +87,108 @@ def _dedup_documents(sf_dir: str):
 
 def q_minhash_lsh_clusters(sf_dir: str):
     """Full near-dup pipeline over documents-as-corpus → cluster size
-    histogram (cluster_size, n_clusters). Non-SQL-expressible."""
+    histogram (cluster_size, n_clusters).  Full SQL oracle since r4:
+    ``oracle._build_flagship_lsh_sql`` recomputes the ENTIRE pipeline —
+    OPH sketches, band blocking, the sketch scorer, the content-rescore
+    band, and the transitive closure — in DuckDB (domain assumptions
+    documented on the builder)."""
     res = _dedup_documents(sf_dir)
     sizes = res.assignments.groupby("cluster_id").aggregate(
         Count(alias_name="cluster_size")
     )
     hist = sizes.groupby("cluster_size").aggregate(Count(alias_name="n_clusters"))
     return hist.sort("cluster_size")
+
+
+def q_lsh_cluster_assignments(sf_dir: str):
+    """Per-document flagship cluster assignments in doc-id space —
+    the STRONG-discrimination twin of ``minhash_lsh_clusters`` (a 2-row
+    histogram can hash-match by luck; one row per document cannot):
+    (doc_id, cluster_label = min doc_id in the cluster, cluster_size).
+
+    record_id (blake2b of repo/path/commit, not SQL-recomputable) maps
+    back to doc_id via the same synthesis ``_docs_to_corpus`` applied —
+    the map broadcasts once (``ray.put`` of two sorted int64 arrays) and
+    each assignment batch relabels via one searchsorted; cluster labels
+    re-derive as min(doc_id) per cluster so both sides speak doc ids.
+    Oracle: the flagship closure SQL with a per-doc tail."""
+    import hashlib
+
+    from address_parser_ray.functions.hashing import stable_id64
+
+    res = _dedup_documents(sf_dir)
+
+    # (record_id -> doc_id) map, built exactly like sources._docs_to_corpus
+    def emit_map(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        srcs = t["source"].to_pylist()
+        rids = [
+            stable_id64(
+                s or "",
+                f"docs/doc_{d}.txt",
+                hashlib.sha1(f"doc:{d}".encode()).hexdigest(),
+            )
+            for d, s in zip(ids, srcs)
+        ]
+        return pa.table(
+            {
+                "record_id": pa.array(rids, type=pa.int64()),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    m = pa.concat_tables(
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(emit_map, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    rid = np.asarray(m["record_id"], dtype=np.int64)
+    did = np.asarray(m["doc_id"], dtype=np.int64)
+    order = np.argsort(rid)
+    map_ref = ray.put((rid[order], did[order]))
+
+    def relabel(t: pa.Table) -> pa.Table:
+        rids, dids = ray.get(map_ref)
+        r = np.asarray(t["record_id"]).astype(np.int64)
+        c = np.asarray(t["cluster_id"]).astype(np.int64)
+        pr = np.searchsorted(rids, r)
+        pc = np.searchsorted(rids, c)
+        if not ((rids[pr] == r).all() and (rids[pc] == c).all()):
+            raise KeyError("assignment references record id not in corpus map")
+        return pa.table(
+            {
+                "doc_id": pa.array(dids[pr]),
+                "cluster_doc": pa.array(dids[pc]),
+            }
+        )
+
+    labeled = res.assignments.map_batches(
+        relabel, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # cluster label = min DOC id per cluster (cluster_doc is the min
+    # RECORD id's doc — blake2b order, not comparable); size via Count
+    stats = labeled.groupby("cluster_doc").aggregate(
+        Min("doc_id", alias_name="cluster_label"),
+        Count(alias_name="cluster_size"),
+    )
+    from address_parser_ray.rayutil import pinned_join
+
+    out = pinned_join(
+        labeled, stats, on="cluster_doc", right_on="cluster_doc"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_label": t["cluster_label"],
+                "cluster_size": pc.cast(t["cluster_size"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
 
 
 def q_score_histogram(sf_dir: str):
@@ -14791,6 +14886,7 @@ def q_pr_curve(sf_dir: str):
 QUERIES = {
     "exact_dedup_groups": q_exact_dedup_groups,
     "minhash_lsh_clusters": q_minhash_lsh_clusters,
+    "lsh_cluster_assignments": q_lsh_cluster_assignments,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "ngram_jaccard_stats": q_ngram_jaccard_stats,
     "lang_counts": q_lang_counts,

@@ -36,6 +36,8 @@ def _to_df(res):
 
 
 SQL_CHECKED = [
+    "minhash_lsh_clusters",
+    "lsh_cluster_assignments",
     "exact_dedup_groups",
     "lang_counts",
     "doc_stats_by_lang",
