@@ -64,12 +64,84 @@ def sha256_hex(texts: Iterable[str | None]) -> list[str]:
 
 
 def stable_id64(*parts: str) -> int:
-    """Deterministic signed-int64 record id from key strings (blake2b-8).
+    """Deterministic signed-int64 id from key strings (blake2b-8).
 
-    64 bits is plenty below ~10^9 records; at the full 10^12-file scale
-    switch to the 128-bit variant (collision odds ~n^2/2^k)."""
+    LEGACY for record identity: 64-bit ids birthday-collide around
+    10^9.7 records — the PIPELINE's record ids are :func:`stable_id128`
+    since round 4.  Still fine for non-identity uses (hash priorities,
+    test fixtures with known-small domains)."""
     h = hashlib.blake2b("\x1f".join(parts).encode("utf-8"), digest_size=8)
     return int.from_bytes(h.digest(), "big", signed=True)
+
+
+#: canonical numpy dtype for 128-bit record ids: 16 raw big-endian bytes.
+#: 'S16' sort/unique/searchsorted are lexicographic == unsigned numeric
+#: order; trailing-NUL stripping in numpy comparisons is injective on
+#: fixed-length inputs, so equality semantics are exact.
+ID_DTYPE = "S16"
+
+
+def stable_id128(*parts: str) -> bytes:
+    """Deterministic 16-byte record id (blake2b-16) — the pipeline's
+    record identity since round 4.  At the 10^12-row target the 64-bit
+    variant silently merges unrelated records (birthday bound ~10^9.7);
+    128 bits pushes the collision horizon past 10^18."""
+    return hashlib.blake2b(
+        "\x1f".join(parts).encode("utf-8"), digest_size=16
+    ).digest()
+
+
+def ids_np(col) -> np.ndarray:
+    """Arrow binary id column → (n,) numpy 'S16' array.  Zero-copy off
+    the Arrow data buffer when the column is null-free with a fixed
+    16-byte stride (the stable_id128 invariant); copying fallback
+    otherwise."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=ID_DTYPE)
+    if arr.null_count == 0 and not isinstance(arr.type, pa.lib.FixedSizeBinaryType):
+        offsets = np.frombuffer(
+            arr.buffers()[1], dtype=np.int32, count=n + 1, offset=arr.offset * 4
+        )
+        if offsets[-1] - offsets[0] == n * 16 and np.all(np.diff(offsets) == 16):
+            return np.frombuffer(
+                arr.buffers()[2], dtype=ID_DTYPE, count=n, offset=int(offsets[0])
+            )
+    return np.array(
+        [v if v is not None else b"\x00" * 16 for v in arr.to_pylist()],
+        dtype=ID_DTYPE,
+    )
+
+
+def pack_ids(ids: np.ndarray):
+    """(n,) 'S16' numpy array → Arrow binary array, full 16 bytes per
+    value (NEVER via .tolist(), which strips trailing NULs)."""
+    import pyarrow as pa
+
+    n = len(ids)
+    if n == 0:
+        return pa.array([], type=pa.binary())
+    data = np.ascontiguousarray(ids).tobytes()
+    offsets = (np.arange(n + 1, dtype=np.int32) * 16).tobytes()
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(data)]
+    )
+
+
+def id_hash64(ids: np.ndarray) -> np.ndarray:
+    """Deterministic u64 hash of 'S16' ids — the routing/salting basis
+    (buckets, hot-key sampling, pair-bucket hashes).  Folds BOTH 64-bit
+    halves so an id-prefix collision cannot co-route distinct records."""
+    if len(ids) == 0:
+        return np.empty(0, dtype=_U64)
+    mat = np.frombuffer(np.ascontiguousarray(ids).tobytes(), dtype="<u8").reshape(
+        -1, 2
+    )
+    with np.errstate(over="ignore"):
+        return splitmix64(splitmix64(mat[:, 0].copy()) ^ mat[:, 1])
 
 
 # modular inverse of _POLY_BASE mod 2^64 (odd → invertible); used by the

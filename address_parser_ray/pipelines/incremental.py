@@ -52,6 +52,7 @@ import ray
 import ray.data
 
 from address_parser_ray.config import DEFAULT_CONFIG, PipelineConfig
+from address_parser_ray.functions.hashing import ID_DTYPE, ids_np, pack_ids
 from address_parser_ray.pipelines.dedup import DedupResult
 from address_parser_ray.rayutil import (
     default_num_partitions,
@@ -125,12 +126,12 @@ def _collect_ids(ds: ray.data.Dataset) -> np.ndarray:
     that the NEW batch is small relative to the corpus, so its id set
     broadcasts (the corpus-sized side never leaves the cluster)."""
     parts = [
-        np.asarray(b["record_id"]).astype(np.int64)
+        ids_np(b["record_id"])
         for b in ds.select_columns(["record_id"]).iter_batches(
             batch_size=1 << 20, batch_format="pyarrow"
         )
     ]
-    return np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=ID_DTYPE)
 
 
 def _touching_filter(new_ids_ref):
@@ -140,7 +141,7 @@ def _touching_filter(new_ids_ref):
             return t.slice(0, 0)
 
         def isin(col) -> np.ndarray:
-            x = np.asarray(col).astype(np.int64)
+            x = ids_np(col)
             pos = np.clip(np.searchsorted(ids, x), 0, ids.size - 1)
             return ids[pos] == x
 
@@ -205,7 +206,7 @@ def incremental_dedup(
             ids = ray.get(new_ids_ref)
             if not ids.size:
                 return t.slice(0, 0)
-            x = np.asarray(t["record_id"]).astype(np.int64)
+            x = ids_np(t["record_id"])
             pos = np.clip(np.searchsorted(ids, x), 0, ids.size - 1)
             return t.filter(pa.array(ids[pos] == x))
 
@@ -242,14 +243,14 @@ def incremental_dedup(
             out = t.select(["record_id", "rep_id"])
             if not ids.size:
                 return out.slice(0, 0).select(["record_id"])
-            rid = np.asarray(out["record_id"]).astype(np.int64)
-            rep = np.asarray(out["rep_id"]).astype(np.int64)
+            rid = ids_np(out["record_id"])
+            rep = ids_np(out["rep_id"])
 
             def isin(x: np.ndarray) -> np.ndarray:
                 pos = np.clip(np.searchsorted(ids, x), 0, ids.size - 1)
                 return ids[pos] == x
 
-            return pa.table({"record_id": pa.array(rid[isin(rep) & ~isin(rid)])})
+            return pa.table({"record_id": pack_ids(rid[isin(rep) & ~isin(rid)])})
 
         demoted = _collect_ids(
             deduped.map_batches(dem, batch_format="pyarrow", zero_copy_batch=True)
@@ -267,7 +268,7 @@ def incremental_dedup(
             mask = keys[pos] == x
             dem_ids = ray.get(demoted_ref)
             if dem_ids.size:
-                r = np.asarray(t["record_id"]).astype(np.int64)
+                r = ids_np(t["record_id"])
                 dpos = np.clip(np.searchsorted(dem_ids, r), 0, dem_ids.size - 1)
                 mask &= dem_ids[dpos] != r
             return t.filter(pa.array(mask))

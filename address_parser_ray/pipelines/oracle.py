@@ -1744,7 +1744,7 @@ GROUP BY 1, 2 HAVING count(*) >= 5
 ORACLE_SQL["winnow_dup_pairs"] = _build_winnow_sql()
 
 
-def _build_simhash_sql() -> str:
+def _build_simhash_sql(tail: str | None = None) -> str:
     """Full-fidelity SQL twin of ``q_simhash_hamming_pairs``: the SAME
     normalizer as the fingerprint stage, the FNV-prime polynomial
     12-gram rolling hash + splitmix64 (macros shared with the winnow
@@ -1829,15 +1829,19 @@ WITH norm AS (
   SELECT d.doc_id, CAST(COALESCE(sim.sh, 0) AS UBIGINT) AS sh
   FROM documents d LEFT JOIN sim ON d.doc_id = sim.doc_id
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-FROM allsim a JOIN allsim b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sh, b.sh)) <= 3
+@TAIL@
 """
+    default_tail = (
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b,\n"
+        "       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming\n"
+        "FROM allsim a JOIN allsim b ON a.doc_id < b.doc_id\n"
+        "WHERE bit_count(xor(a.sh, b.sh)) <= 3"
+    )
     return (
         sql.replace("@DQ@", '"' * 3)
         .replace("@SQ@", "'" * 3)
         .replace("@POLY@", poly)
+        .replace("@TAIL@", tail or default_tail)
     )
 
 
@@ -4972,7 +4976,8 @@ WITH RECURSIVE base AS (
                + CAST(0.05 AS DOUBLE) * b.jw
                + CAST(0.1 AS DOUBLE) * b.size_sim,
            CAST(0.35 AS DOUBLE) * j12.j + CAST(0.65 AS DOUBLE) * j4.j
-         ) >= CAST(0.5 AS DOUBLE) AND b.lang_a = b.lang_b AS is_match
+         ) AS score,
+         b.lang_a = b.lang_b AS lang_ok
   FROM band_pairs b
   JOIN (SELECT da, db,
                CASE WHEN na + nb = 0 THEN CAST(1.0 AS DOUBLE)
@@ -4986,12 +4991,20 @@ WITH RECURSIVE base AS (
                     ELSE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
                END AS j
         FROM jx4) j4 ON j4.da = b.da AND j4.db = b.db
-), match_edges AS (
-  SELECT da AS src, db AS dst FROM scored
-  WHERE (score < CAST({LO} AS DOUBLE) OR score >= CAST({HI} AS DOUBLE))
-    AND score >= CAST(0.5 AS DOUBLE) AND (lang_a = lang_b OR exact)
+), scored_final AS MATERIALIZED (
+  -- the engine's post-rescore scored_pairs: rows outside the band pass
+  -- through stage-2 untouched; band rows carry the exact-content blend
+  SELECT da, db, score,
+         score >= CAST(0.5 AS DOUBLE) AND (lang_a = lang_b OR exact)
+             AS is_match
+  FROM scored
+  WHERE score < CAST({LO} AS DOUBLE) OR score >= CAST({HI} AS DOUBLE)
   UNION ALL
-  SELECT da, db FROM rescored WHERE is_match
+  SELECT da, db, score,
+         score >= CAST(0.5 AS DOUBLE) AND lang_ok AS is_match
+  FROM rescored
+), match_edges AS (
+  SELECT da AS src, db AS dst FROM scored_final WHERE is_match
   UNION ALL
   SELECT doc_id, rep_doc FROM reps WHERE doc_id <> rep_doc
 ), edges AS (
@@ -5032,3 +5045,156 @@ ORACLE_SQL["lsh_cluster_assignments"] = _build_flagship_lsh_sql(
         "ORDER BY c.doc_id"
     )
 )
+
+# Post-rescore score distribution: same floor(score*20) bin arithmetic
+# the engine applies to res.scored_pairs (clip is a no-op for scores in
+# [0,1] except the exact-1.0 bin, mirrored by least(...)).
+ORACLE_SQL["score_histogram"] = _build_flagship_lsh_sql(
+    tail=(
+        "SELECT CAST(least(greatest(CAST(floor(score * 20) AS BIGINT), 0), 20)\n"
+        "            AS BIGINT) AS score_bin,\n"
+        "       CAST(count(*) AS BIGINT) AS n_pairs\n"
+        "FROM scored_final GROUP BY 1 ORDER BY 1"
+    )
+)
+
+# Canonical (golden) record per flagship cluster: member count, min doc
+# id, char extremes — cluster ids (128-bit binary) drop out, the
+# comparison is the per-cluster multiset.
+ORACLE_SQL["cluster_canonical"] = _build_flagship_lsh_sql(
+    tail=(
+        "SELECT CAST(count(*) AS BIGINT) AS n_members,\n"
+        "       CAST(min(d.doc_id) AS BIGINT) AS rep_doc_id,\n"
+        "       CAST(max(length(COALESCE(d.text, ''))) AS BIGINT) AS max_chars,\n"
+        "       CAST(sum(length(COALESCE(d.text, ''))) AS BIGINT) AS total_chars\n"
+        "FROM comp c JOIN documents d ON d.doc_id = c.doc_id\n"
+        "GROUP BY c.cluster_id\n"
+        "ORDER BY rep_doc_id"
+    )
+)
+
+# Per-cluster edge density: decided edges (score >= 0.5, both endpoints
+# same cluster) over C(n,2) in integer ppm; inner-join semantics (a
+# cluster without a decided scored edge drops out, as in the engine).
+ORACLE_SQL["cluster_density"] = _build_flagship_lsh_sql(
+    tail=(
+        "SELECT m.n_members, e.n_edges,\n"
+        "       CAST(e.n_edges * 1000000 //\n"
+        "            greatest(m.n_members * (m.n_members - 1) // 2, 1)\n"
+        "            AS BIGINT) AS density_ppm\n"
+        "FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members\n"
+        "      FROM comp GROUP BY 1) m\n"
+        "JOIN (SELECT c1.cluster_id, CAST(count(*) AS BIGINT) AS n_edges\n"
+        "      FROM scored_final s\n"
+        "      JOIN comp c1 ON c1.doc_id = s.da\n"
+        "      JOIN comp c2 ON c2.doc_id = s.db\n"
+        "               AND c2.cluster_id = c1.cluster_id\n"
+        "      WHERE s.score >= CAST(0.5 AS DOUBLE) GROUP BY 1) e\n"
+        "  ON e.cluster_id = m.cluster_id\n"
+        "WHERE m.n_members >= 2\n"
+        "ORDER BY m.n_members, e.n_edges"
+    )
+)
+
+# LSH candidates verified by exact distinct 4-gram Jaccard over the RAW
+# text (engine: hash-set Jaccard — collision-free assumption), emitted
+# as (least, greatest) doc pairs.
+ORACLE_SQL["ngram_jaccard_pairs"] = _build_flagship_lsh_sql(
+    tail=""", rawpad4 AS (
+  SELECT doc_id,
+         CASE WHEN length(t) < 4 THEN t || repeat(' ', 4 - length(t))
+              ELSE t END AS t
+  FROM (SELECT doc_id, COALESCE(text, '') AS t FROM documents)
+  WHERE length(t) > 0
+), rg4 AS MATERIALIZED (
+  SELECT DISTINCT p.doc_id, substr(t, CAST(i AS INT), 4) AS g
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 2)) AS i
+        FROM rawpad4) p
+  WHERE p.doc_id IN (SELECT da FROM cand UNION SELECT db FROM cand)
+), jraw AS (
+  SELECT c.da, c.db,
+         (SELECT count(*) FROM rg4 x JOIN rg4 y
+          ON x.g = y.g AND x.doc_id = c.da AND y.doc_id = c.db) AS inter,
+         (SELECT count(*) FROM rg4 WHERE doc_id = c.da) AS na,
+         (SELECT count(*) FROM rg4 WHERE doc_id = c.db) AS nb
+  FROM cand c
+), jv AS (
+  SELECT da, db,
+         CASE WHEN na + nb = 0 THEN CAST(1.0 AS DOUBLE)
+              WHEN na + nb - inter = 0 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
+         END AS j
+  FROM jraw
+)
+SELECT CAST(least(da, db) AS BIGINT) AS doc_a,
+       CAST(greatest(da, db) AS BIGINT) AS doc_b,
+       floor(j * 10000) / 10000 AS jaccard
+FROM jv WHERE j >= CAST(0.5 AS DOUBLE)
+ORDER BY doc_a, doc_b"""
+)
+
+# Blocking observability: histogram of block sizes over the reps' LSH
+# band keys (recomputed, bkeys CTE) plus the exact (lang, basename)
+# blocks — sizes only, so the exact key's blake2b VALUE is not needed;
+# assumes no value collision between the exact-key and band-key spaces
+# (disjoint hash families, 2^-64).
+ORACLE_SQL["block_size_histogram"] = _build_flagship_lsh_sql(
+    tail=""", bsz AS (
+  SELECT CAST(count(*) AS BIGINT) AS block_size FROM bkeys GROUP BY k
+  UNION ALL
+  SELECT CAST(count(*) AS BIGINT)
+  FROM reps WHERE doc_id = rep_doc
+  GROUP BY lang, 'doc_' || doc_id || '.txt'
+)
+SELECT block_size, CAST(count(*) AS BIGINT) AS n_blocks
+FROM bsz GROUP BY 1 ORDER BY 1"""
+)
+
+# Canopy clustering (McCallum/Nigam/Ungar 2000) — the VERDICT-r3 claim
+# that the sequential greedy is SQL-expressible holds via a recursive
+# CTE: each iteration elects the min-remaining doc per lang as center
+# (window functions — single reference to the recursive relation),
+# updates every row of that lang (T1 = 22 membership counts, T2 = 14
+# removal), and stops when a lang has no remaining docs; the terminal
+# state per doc is its max-iteration row.  Rides the PROVEN simhash
+# recomputation (same sketch the engine's Fingerprinter emits).
+_CANOPY_TAIL = """, docs0 AS MATERIALIZED (
+  SELECT a.doc_id, d.lang, a.sh
+  FROM allsim a JOIN documents d USING (doc_id)
+), rec AS (
+  SELECT doc_id, lang, sh, true AS remaining,
+         CAST(NULL AS BIGINT) AS primary_id,
+         CAST(0 AS BIGINT) AS n_can, 0 AS it
+  FROM docs0
+  UNION ALL
+  SELECT doc_id, lang, sh,
+         remaining AND bit_count(xor(sh, csh)) > 14,
+         COALESCE(primary_id,
+                  CASE WHEN bit_count(xor(sh, csh)) <= 22 THEN cid END),
+         n_can + CASE WHEN bit_count(xor(sh, csh)) <= 22 THEN 1 ELSE 0 END,
+         it + 1
+  FROM (
+    SELECT r.*,
+           min(CASE WHEN remaining THEN doc_id END)
+               OVER (PARTITION BY lang) AS cid,
+           first_value(sh) OVER (
+               PARTITION BY lang
+               ORDER BY (CASE WHEN remaining THEN 0 ELSE 1 END), doc_id
+           ) AS csh
+    FROM rec r
+  )
+  WHERE cid IS NOT NULL AND it < 4096
+), fin AS (
+  SELECT doc_id, lang, primary_id, n_can,
+         row_number() OVER (PARTITION BY doc_id ORDER BY it DESC) AS rn
+  FROM rec
+)
+SELECT doc_id, lang,
+       CAST(COALESCE(primary_id, doc_id) AS BIGINT) AS canopy_id,
+       CAST(n_can + CASE WHEN primary_id IS NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS n_canopies
+FROM fin WHERE rn = 1 ORDER BY doc_id"""
+
+ORACLE_SQL["canopy_clusters"] = _build_simhash_sql(
+    tail=_CANOPY_TAIL
+).replace("WITH norm AS (", "WITH RECURSIVE norm AS (", 1)

@@ -100,6 +100,46 @@ def q_minhash_lsh_clusters(sf_dir: str):
     return hist.sort("cluster_size")
 
 
+def _doc_id_map_ref(sf_dir: str):
+    """Broadcast (sorted 'S16' record ids, int64 doc ids) — the
+    record→doc relabeling map for oracle-comparable doc-space outputs,
+    built exactly like ``sources._docs_to_corpus`` synthesizes its keys
+    (one ``ray.put``; consumers gather via searchsorted)."""
+    import hashlib
+
+    from address_parser_ray.functions.hashing import ids_np, stable_id128
+
+    def emit_map(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        srcs = t["source"].to_pylist()
+        rids = [
+            stable_id128(
+                s or "",
+                f"docs/doc_{d}.txt",
+                hashlib.sha1(f"doc:{d}".encode()).hexdigest(),
+            )
+            for d, s in zip(ids, srcs)
+        ]
+        return pa.table(
+            {
+                "record_id": pa.array(rids, type=pa.binary()),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    m = pa.concat_tables(
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(emit_map, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    from address_parser_ray.functions.hashing import ids_np as _inp
+
+    rid = _inp(m["record_id"])
+    did = np.asarray(m["doc_id"], dtype=np.int64)
+    order = np.argsort(rid)
+    return ray.put((rid[order], did[order]))
+
+
 def q_lsh_cluster_assignments(sf_dir: str):
     """Per-document flagship cluster assignments in doc-id space —
     the STRONG-discrimination twin of ``minhash_lsh_clusters`` (a 2-row
@@ -112,45 +152,15 @@ def q_lsh_cluster_assignments(sf_dir: str):
     each assignment batch relabels via one searchsorted; cluster labels
     re-derive as min(doc_id) per cluster so both sides speak doc ids.
     Oracle: the flagship closure SQL with a per-doc tail."""
-    import hashlib
-
-    from address_parser_ray.functions.hashing import stable_id64
+    from address_parser_ray.functions.hashing import ids_np
 
     res = _dedup_documents(sf_dir)
-
-    # (record_id -> doc_id) map, built exactly like sources._docs_to_corpus
-    def emit_map(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        srcs = t["source"].to_pylist()
-        rids = [
-            stable_id64(
-                s or "",
-                f"docs/doc_{d}.txt",
-                hashlib.sha1(f"doc:{d}".encode()).hexdigest(),
-            )
-            for d, s in zip(ids, srcs)
-        ]
-        return pa.table(
-            {
-                "record_id": pa.array(rids, type=pa.int64()),
-                "doc_id": t["doc_id"],
-            }
-        )
-
-    m = pa.concat_tables(
-        _docs(sf_dir, ["doc_id", "source"])
-        .map_batches(emit_map, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-    )
-    rid = np.asarray(m["record_id"], dtype=np.int64)
-    did = np.asarray(m["doc_id"], dtype=np.int64)
-    order = np.argsort(rid)
-    map_ref = ray.put((rid[order], did[order]))
+    map_ref = _doc_id_map_ref(sf_dir)
 
     def relabel(t: pa.Table) -> pa.Table:
         rids, dids = ray.get(map_ref)
-        r = np.asarray(t["record_id"]).astype(np.int64)
-        c = np.asarray(t["cluster_id"]).astype(np.int64)
+        r = ids_np(t["record_id"])
+        c = ids_np(t["cluster_id"])
         pr = np.searchsorted(rids, r)
         pc = np.searchsorted(rids, c)
         if not ((rids[pr] == r).all() and (rids[pc] == c).all()):
@@ -1143,14 +1153,18 @@ def q_quality_scores(sf_dir: str):
 
 def q_langid_pred(sf_dir: str):
     """Heuristic language-ID (stopword/CJK n-gram heuristic). Warm state
-    (compiled regexes/stopword sets) lives at module import → actor reuse.
-    Non-SQL-expressible."""
+    (compiled regexes/stopword sets) lives at module import → actor
+    reuse.  Fully vectorized since r4: ``detect_lang_batch`` runs the
+    CJK-class count + per-lang full-token alternation counts as C-level
+    regex passes over the whole batch (the former per-row
+    ``map(detect_lang)`` was a Python call per document)."""
+    from address_parser_ray.functions.text import detect_lang_batch
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "pred_lang": df["text"].fillna("").map(detect_lang),
+                "pred_lang": detect_lang_batch(df["text"]),
                 "lang": df["lang"],
             }
         )
@@ -2462,7 +2476,7 @@ def q_er_quality(sf_dir: str):
     """End-to-end ER quality on the fixture corpus with known clusters
     (G6 seqeval-F1 analogue): exhaustive + same-block pairwise metrics."""
     from address_parser_ray.fixtures import write_corpus_ray
-    from address_parser_ray.functions.hashing import stable_id64
+    from address_parser_ray.functions.hashing import stable_id128
     from address_parser_ray.pipelines.dedup import dedup_pipeline
     from address_parser_ray.pipelines.evaluation import (
         pairwise_f1,
@@ -2476,7 +2490,7 @@ def q_er_quality(sf_dir: str):
     assign = res.assignments.to_pandas()
     lab = ray.data.read_parquet(labels_dir).to_pandas()
     lab["record_id"] = [
-        stable_id64(r, p, c) for r, p, c in zip(lab["repo"], lab["path"], lab["commit"])
+        stable_id128(r, p, c) for r, p, c in zip(lab["repo"], lab["path"], lab["commit"])
     ]
     exhaustive = pairwise_f1(
         lab[["record_id", "cluster_id"]], assign, truth_col="cluster_id"
@@ -2600,16 +2614,16 @@ def _corpus_texts(sf_dir: str):
     the driver."""
     import hashlib as _h
 
-    from address_parser_ray.functions.hashing import stable_id64
+    from address_parser_ray.functions.hashing import stable_id128
 
     def fn(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
         srcs = t["source"].to_pylist()
         rid = [
-            stable_id64(s, f"docs/doc_{d}.txt", _h.sha1(f"doc:{d}".encode()).hexdigest())
+            stable_id128(s, f"docs/doc_{d}.txt", _h.sha1(f"doc:{d}".encode()).hexdigest())
             for d, s in zip(ids, srcs)
         ]
-        return pa.table({"record_id": pa.array(rid, type=pa.int64()), "text": t["text"]})
+        return pa.table({"record_id": pa.array(rid, type=pa.binary()), "text": t["text"]})
 
     return _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
@@ -2647,16 +2661,19 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     gram Jaccard (the reference's Dice-gate-then-verify shape, P1).
     Content for verification is re-joined by record id (bucketed
     reduce-side join) — the verify stage never holds more than its own
-    batches. Non-SQL (set semantics)."""
-    from address_parser_ray.functions.hashing import char_shingle_hashes
+    batches.  Full SQL oracle since r4: pairs emit in DOC-ID space
+    ((least, greatest) — 128-bit record ids are not SQL-recomputable)
+    and the twin recomputes the flagship candidate set + exact distinct
+    4-gram substring Jaccard over the raw text (hash-collision-free
+    assumption, as ``ngram_jaccard_stats``)."""
+    from address_parser_ray.functions.hashing import char_shingle_hashes, ids_np
     from address_parser_ray.functions.similarity import exact_jaccard
 
     res = _dedup_documents(sf_dir)
     pairs = project(res.scored_pairs, {"id_a": "id_a", "id_b": "id_b"})
+    map_ref = _doc_id_map_ref(sf_dir)
 
     def verify(t: pa.Table) -> pa.Table:
-        a = np.asarray(t["id_a"]).astype(np.int64)
-        b = np.asarray(t["id_b"]).astype(np.int64)
         ta = t["text_a"].to_pylist()
         tb = t["text_b"].to_pylist()
         j = np.array(
@@ -2668,10 +2685,22 @@ def q_ngram_jaccard_pairs(sf_dir: str):
             ]
         )
         keep = j >= 0.5
+        f = t.filter(pa.array(keep))
+        rids, dids = ray.get(map_ref)
+
+        def docs_of(col) -> np.ndarray:
+            r = ids_np(col)
+            pos = np.clip(np.searchsorted(rids, r), 0, max(0, len(rids) - 1))
+            if len(rids) == 0 or not (rids[pos] == r).all():
+                raise KeyError("pair references record id not in corpus map")
+            return dids[pos]
+
+        da = docs_of(f["id_a"])
+        db = docs_of(f["id_b"])
         return pa.table(
             {
-                "id_a": pa.array(a[keep]),
-                "id_b": pa.array(b[keep]),
+                "doc_a": pa.array(np.minimum(da, db)),
+                "doc_b": pa.array(np.maximum(da, db)),
                 "jaccard": pa.array(np.floor(j[keep] * 1e4) / 1e4),
             }
         )
@@ -2698,10 +2727,9 @@ def q_residual_tokens(sf_dir: str):
     pairs = res.scored_pairs.map_batches(matched, batch_format="pyarrow")
 
     def residual(t: pa.Table) -> pa.Table:
-        a = np.asarray(t["id_a"]).astype(np.int64)
-        b = np.asarray(t["id_b"]).astype(np.int64)
-        ra = np.empty(len(a), dtype=np.int64)
-        rb = np.empty(len(b), dtype=np.int64)
+        n = t.num_rows
+        ra = np.empty(n, dtype=np.int64)
+        rb = np.empty(n, dtype=np.int64)
         for i, (x, y) in enumerate(zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())):
             ta = set((x or "").split())
             tb = set((y or "").split())
@@ -2709,8 +2737,8 @@ def q_residual_tokens(sf_dir: str):
             rb[i] = len(tb - ta)
         return pa.table(
             {
-                "id_a": pa.array(a),
-                "id_b": pa.array(b),
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
                 "residual_a": pa.array(ra),
                 "residual_b": pa.array(rb),
             }
@@ -10761,9 +10789,12 @@ def q_canopy_clusters(sf_dir: str):
     caps). Output per doc: primary canopy (first canopy containing
     it — provably center_id ≤ doc_id) and its membership count across
     overlapping canopies. Greedy-vs-brute-force parity and the
-    center_id ≤ doc_id invariant are pytest-pinned; no SQL oracle (a
-    data-ordered sequential fold is not expressible as a recursive
-    CTE over unordered sets)."""
+    center_id ≤ doc_id invariant are pytest-pinned, and since r4 the
+    greedy ALSO has a full SQL oracle: a recursive CTE that elects the
+    min-remaining doc per lang as center each iteration (window
+    functions over the recursive relation) on top of the proven simhash
+    recomputation — the sequential fold IS expressible because the
+    iteration order is a pure function of the data (ascending doc id)."""
     from address_parser_ray.functions.hashing import hamming64
     from address_parser_ray.sources import documents_as_corpus
     from address_parser_ray.stages.fingerprint import Fingerprinter
@@ -12977,9 +13008,12 @@ def q_cluster_density(sf_dir: str):
     match_threshold with both endpoints inside the cluster) over
     possible pairs n·(n-1)/2, in integer ppm. Low-density big clusters
     are the classic transitive-closure failure (one spurious bridge
-    glues two real entities); density 10⁶ means a clique. Rows-only
-    (cluster membership comes from LSH + scoring, non-SQL). Output
-    (cluster_id, n_members, n_edges, density_ppm), n ≥ 2 clusters only.
+    glues two real entities); density 10⁶ means a clique. Full SQL
+    oracle since r4 (the flagship pipeline recomputed in DuckDB —
+    ``oracle._build_flagship_lsh_sql`` ``scored_final``/``comp`` CTEs);
+    cluster ids are 128-bit binary since r4 and drop out of the output,
+    which compares as the per-cluster multiset. Output (n_members,
+    n_edges, density_ppm), n ≥ 2 clusters with ≥ 1 decided edge only.
 
     Shape: assignments join onto the already-materialized scored-pairs
     panel via two id-bucketed ``pinned_join``s (ids only — content
@@ -12990,7 +13024,6 @@ def q_cluster_density(sf_dir: str):
     if res.scored_pairs is None:
         return pd.DataFrame(
             {
-                "cluster_id": pd.Series([], dtype="int64"),
                 "n_members": pd.Series([], dtype="int64"),
                 "n_edges": pd.Series([], dtype="int64"),
                 "density_ppm": pd.Series([], dtype="int64"),
@@ -13008,10 +13041,12 @@ def q_cluster_density(sf_dir: str):
     ej = pinned_join(ej, res.assignments, on="id_b", right_on="record_id")
 
     def same_cluster(t: pa.Table) -> pa.Table:
-        ca = np.asarray(t["cluster_id"], dtype=np.int64)
-        cb = np.asarray(t["cluster_id_r"], dtype=np.int64)
+        from address_parser_ray.functions.hashing import ids_np, pack_ids
+
+        ca = ids_np(t["cluster_id"])
+        cb = ids_np(t["cluster_id_r"])
         keep = ca == cb
-        return pa.table({"cluster_id": pa.array(ca[keep])})
+        return pa.table({"cluster_id": pack_ids(ca[keep])})
 
     edge_counts = (
         ej.map_batches(same_cluster, batch_format="pyarrow")
@@ -13031,9 +13066,6 @@ def q_cluster_density(sf_dir: str):
         possible = n * (n - 1) // 2
         return pa.table(
             {
-                "cluster_id": pa.array(
-                    np.asarray(t["cluster_id"], dtype=np.int64)[keep]
-                ),
                 "n_members": pa.array(n),
                 "n_edges": pa.array(e),
                 "density_ppm": pa.array(
@@ -13042,7 +13074,9 @@ def q_cluster_density(sf_dir: str):
             }
         )
 
-    return j.map_batches(density, batch_format="pyarrow").sort("cluster_id")
+    return j.map_batches(density, batch_format="pyarrow").sort(
+        ["n_members", "n_edges"]
+    )
 
 
 def q_source_lang_gini(sf_dir: str):
@@ -14829,7 +14863,7 @@ def q_pr_curve(sf_dir: str):
     scorer's).  Non-SQL (flagship-derived scores); pinned by pytest
     monotonicity + the shipped threshold's operating point."""
     from address_parser_ray.fixtures import write_corpus_ray
-    from address_parser_ray.functions.hashing import stable_id64
+    from address_parser_ray.functions.hashing import stable_id128
     from address_parser_ray.pipelines.dedup import dedup_pipeline
     from address_parser_ray.sources import read_corpus
 
@@ -14841,7 +14875,7 @@ def q_pr_curve(sf_dir: str):
     sp = res.scored_pairs.to_pandas()
     lab = ray.data.read_parquet(labels_dir).to_pandas()
     lab["record_id"] = [
-        stable_id64(r, p, c)
+        stable_id128(r, p, c)
         for r, p, c in zip(lab["repo"], lab["path"], lab["commit"])
     ]
     truth = lab.set_index("record_id")["cluster_id"]

@@ -229,9 +229,26 @@ def _arrow_schema(ds) -> pa.Schema:
 
 
 def _bucket_of(key_arr: pa.Array, num_partitions: int) -> pa.Array:
-    k = np.asarray(key_arr.cast(pa.int64())).astype(np.uint64)
+    if pa.types.is_binary(key_arr.type) or pa.types.is_large_binary(key_arr.type):
+        # 128-bit record-id keys (16-byte blake2b): route on a u64 fold
+        # of BOTH halves so an id-prefix collision cannot co-bucket
+        # distinct records by construction
+        from address_parser_ray.functions.hashing import id_hash64, ids_np
+
+        k = id_hash64(ids_np(key_arr))
+    else:
+        k = np.asarray(key_arr.cast(pa.int64())).astype(np.uint64)
     b = (splitmix64(k) % np.uint64(num_partitions)).astype(np.int64)
     return pa.array(b)
+
+
+def _join_key(col):
+    """Normalized join-key column: ints widen to int64; binary (128-bit
+    ids) pass through native — acero hash joins support binary keys."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+        return arr
+    return arr.cast(pa.int64())
 
 
 def pinned_join(
@@ -250,7 +267,8 @@ def pinned_join(
     Column semantics match the native operator as verified earlier: the
     output keeps the LEFT key column name; the right key is dropped;
     non-key name collisions get ``right_suffix`` on the right column.
-    Keys must be integer columns. Output is lazy (composes freely).
+    Keys are integer OR binary (128-bit record id) columns. Output is
+    lazy (composes freely).
 
     ``join_type="left anti"`` keeps left rows whose key has NO match on
     the right; only the right KEYS travel through the shuffle (payload
@@ -289,7 +307,7 @@ def pinned_join(
                 t[on].combine_chunks() if isinstance(t[on], pa.ChunkedArray) else t[on],
                 num_partitions,
             ),
-            "__key": t[on].cast(pa.int64()),
+            "__key": _join_key(t[on]),
             "__side": pa.array(np.zeros(n, dtype=np.int8)),
         }
         for c in lpay:
@@ -307,7 +325,7 @@ def pinned_join(
                 else t[right_on],
                 num_partitions,
             ),
-            "__key": t[right_on].cast(pa.int64()),
+            "__key": _join_key(t[right_on]),
             "__side": pa.array(np.ones(n, dtype=np.int8)),
         }
         for c in lpay:

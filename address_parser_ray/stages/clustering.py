@@ -28,8 +28,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Max, Min
 
+from address_parser_ray.functions.hashing import ID_DTYPE, id_hash64, ids_np, pack_ids, splitmix64
 from address_parser_ray.rayutil import (
     default_num_partitions,
     ensure_schema,
@@ -37,10 +38,52 @@ from address_parser_ray.rayutil import (
     project,
 )
 
-_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
-_AGG_SCHEMA = pa.schema(
-    [("node", pa.int64()), ("label", pa.int64()), ("old_label", pa.int64())]
-)
+# id columns are either int64 (doc-id graphs in SQL-checkable queries)
+# or binary 16-byte record ids (the flagship since r4) — every kernel
+# below is dtype-generic over the two.
+
+
+def _arrow_field_type(ds, name: str) -> pa.DataType:
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base.field(name).type
+    return dict(zip(sch.names, sch.types))[name]
+
+
+def _is_id_binary(typ: pa.DataType) -> bool:
+    return pa.types.is_binary(typ) or pa.types.is_large_binary(typ)
+
+
+def _ids_of(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if _is_id_binary(arr.type):
+        return ids_np(arr)
+    return np.asarray(arr).astype(np.int64)
+
+
+def _pack(ids: np.ndarray):
+    if ids.dtype == np.dtype(ID_DTYPE):
+        return pack_ids(ids)
+    return pa.array(ids)
+
+
+def _id64_of(col) -> np.ndarray:
+    """int64 routing view of an id column (hash fold for binary)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if _is_id_binary(arr.type):
+        return id_hash64(ids_np(arr)).astype(np.int64)
+    return np.asarray(arr).astype(np.int64)
+
+
+def _label_schema(id_type: pa.DataType) -> pa.Schema:
+    return pa.schema([("node", id_type), ("label", id_type)])
+
+
+def _agg_schema(id_type: pa.DataType) -> pa.Schema:
+    return pa.schema(
+        [("node", id_type), ("label", id_type), ("old_label", id_type)]
+    )
 
 
 def _symmetrize(edges):
@@ -53,6 +96,8 @@ def _numpy_components(src: np.ndarray, dst: np.ndarray):
     with pointer jumping on DENSE indices (np.unique is ascending, so
     min index == min node id — the deterministic "min wins" rule).
     O(E) numpy per round, O(log n) rounds, no per-edge Python loop.
+    Ids are 'S16' byte strings (128-bit); the propagation itself runs on
+    dense int indices, so only unique/searchsorted touch the wide ids.
     Returns (uniq_nodes, component_min_id_per_node)."""
     uniq, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
     si, di = inv[: src.size], inv[src.size :]
@@ -94,23 +139,24 @@ def _contract_edges(edges, *, n_edges: int, salt: int):
     nbuckets = int(min(max(4, n_edges // (1 << 19)), 4096))
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        src = np.asarray(t["src"]).astype(np.int64)
+        src = _id64_of(t["src"])
         b = (_mix64(src, salt) % np.uint64(nbuckets)).astype(np.int64)
         return t.append_column("bucket", pa.array(b))
 
     def contract(t: pa.Table) -> pa.Table:
-        src = np.asarray(t["src"]).astype(np.int64)
-        dst = np.asarray(t["dst"]).astype(np.int64)
+        src = _ids_of(t["src"])
+        dst = _ids_of(t["dst"])
         uniq, roots = _numpy_components(src, dst)
         member = uniq[roots != uniq]
         root = roots[roots != uniq]
-        return pa.table({"src": pa.array(root), "dst": pa.array(member)})
+        return pa.table({"src": _pack(root), "dst": _pack(member)})
 
+    id_type = _arrow_field_type(edges, "src")
     return ensure_schema(
         edges.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(contract, batch_format="pyarrow"),
-        pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        pa.schema([("src", id_type), ("dst", id_type)]),
     )
 
 
@@ -120,16 +166,17 @@ def _driver_union_find(edges, nodes, num_partitions: int):
     the transitive closure is cheapest on the driver (the Ray guide's
     "union-find on the driver only if the candidate set is provably
     small"). Edges stream to the driver as (src, dst) int64 batches
-    (16 B/edge), the root map broadcasts back via ``ray.put``, and the
+    (32 B/edge), the root map broadcasts back via ``ray.put``, and the
     assignment itself stays a distributed ``map_batches`` over nodes."""
     import ray
 
     srcs, dsts = [], []
     for batch in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        srcs.append(np.asarray(batch["src"]).astype(np.int64))
-        dsts.append(np.asarray(batch["dst"]).astype(np.int64))
-    src = np.concatenate(srcs) if srcs else np.empty(0, dtype=np.int64)
-    dst = np.concatenate(dsts) if dsts else np.empty(0, dtype=np.int64)
+        srcs.append(_ids_of(batch["src"]))
+        dsts.append(_ids_of(batch["dst"]))
+    empty_dt = srcs[0].dtype if srcs else np.dtype(ID_DTYPE)
+    src = np.concatenate(srcs) if srcs else np.empty(0, dtype=empty_dt)
+    dst = np.concatenate(dsts) if dsts else np.empty(0, dtype=empty_dt)
 
     uniq, roots = _numpy_components(src, dst)
 
@@ -137,14 +184,14 @@ def _driver_union_find(edges, nodes, num_partitions: int):
 
     def assign(t: pa.Table) -> pa.Table:
         u, r = ray.get(bcast)
-        ids = np.asarray(t["record_id"]).astype(np.int64)
+        ids = _ids_of(t["record_id"])
         out = ids.copy()
         if u.size:
             pos = np.searchsorted(u, ids)
             pos = np.clip(pos, 0, u.size - 1)
             hit = u[pos] == ids
             out[hit] = r[pos[hit]]
-        return pa.table({"record_id": pa.array(ids), "cluster_id": pa.array(out)})
+        return pa.table({"record_id": _pack(ids), "cluster_id": _pack(out)})
 
     return nodes.select_columns(["record_id"]).map_batches(
         assign, batch_format="pyarrow"
@@ -216,17 +263,27 @@ def connected_components(
     # task overhead dominates when buckets hold only hundreds of rows.
     num_partitions = min(num_partitions, max(4, n_edges // 20_000 + 1))
 
+    id_type = _arrow_field_type(sym, "src")
+    is_bin = _is_id_binary(id_type)
+
     def with_own_marker(own_val):
         """Candidate rows carry ``own``: the node's previous label on its
-        own row, 0 elsewhere. Each node has exactly ONE own row, so
-        Sum(own) recovers the old label inside the SAME aggregate that
-        computes the new one — the fixpoint check costs no extra join."""
+        own row, the dtype's BOTTOM element elsewhere (b"" for binary
+        labels, INT64_MIN for int64). Each node has exactly ONE own row
+        and the bottom sorts below every real label, so Max(own)
+        recovers the old label inside the SAME aggregate that computes
+        the new one — the fixpoint check costs no extra join."""
 
         def fn(t: pa.Table) -> pa.Table:
-            import numpy as np
-
             n = t.num_rows
-            own = t["cand"] if own_val else pa.array(np.zeros(n, dtype=np.int64))
+            if own_val:
+                own = t["cand"]
+            elif is_bin:
+                own = pa.array([b""] * n, type=pa.binary())
+            else:
+                own = pa.array(
+                    np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+                )
             return t.append_column("own", own)
 
         return fn
@@ -267,9 +324,9 @@ def connected_components(
             ensure_schema(
                 cands.groupby("node").aggregate(
                     Min("cand", alias_name="label"),
-                    Sum("own", alias_name="old_label"),
+                    Max("own", alias_name="old_label"),
                 ),
-                _AGG_SCHEMA,
+                _agg_schema(id_type),
             )
             .repartition(num_partitions)
             .materialize()

@@ -6,7 +6,7 @@ deterministic under parallelism by replacing "first wins" with
 "min(record_id) wins" (SURVEY.md §4 determinism note).
 
 One ``groupby(content_sha256)`` shuffle. Output keeps EVERY row and adds
-``rep_id`` (the group's min record_id); downstream:
+``rep_id`` (the group's min 128-bit record_id); downstream:
 
 - representatives (``record_id == rep_id``) feed blocking/scoring;
 - duplicate edges (``record_id != rep_id`` → ``(record_id, rep_id)``)
@@ -19,6 +19,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from address_parser_ray.functions.hashing import ids_np, pack_ids
 from address_parser_ray.rayutil import default_num_partitions, project
 
 
@@ -61,13 +62,13 @@ def _tag_reps_bucket(group: pa.Table) -> pa.Table:
     if "bucket" in g.column_names:
         g = g.drop(["bucket"])
     sha = np.asarray(g["content_sha256"].cast(pa.large_string()).combine_chunks())
-    ids = np.asarray(g["record_id"]).astype(np.int64)
+    ids = ids_np(g["record_id"])
     if len(sha) == 0:
-        return g.append_column("rep_id", pa.array([], type=pa.int64()))
+        return g.append_column("rep_id", pa.array([], type=pa.binary()))
     new_run = np.concatenate([[True], sha[1:] != sha[:-1]])
     run_id = np.cumsum(new_run) - 1
     rep = ids[new_run][run_id]  # first (=min) id of each run
-    return g.append_column("rep_id", pa.array(rep))
+    return g.append_column("rep_id", pack_ids(rep))
 
 
 def _dup_pairs_bucket(group: pa.Table) -> pa.Table:
@@ -115,25 +116,18 @@ def exact_dedup_stage(fingerprints, num_partitions: int | None = None,
     n_dups = dup_pairs.count()
 
     if n_dups <= broadcast_max_dups:
-        dmap: dict[int, int] = {}
+        dmap: dict[bytes, bytes] = {}
         for b in dup_pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-            dmap.update(
-                zip(
-                    np.asarray(b["record_id"]).tolist(),
-                    np.asarray(b["rep_id"]).tolist(),
-                )
-            )
+            # Arrow to_pylist keeps full 16-byte values (numpy .tolist()
+            # would strip trailing NULs — never use it on id columns)
+            dmap.update(zip(b["record_id"].to_pylist(), b["rep_id"].to_pylist()))
         dref = ray.put(dmap)
 
         def attach_rep(t: pa.Table) -> pa.Table:
             m = ray.get(dref)
-            ids = np.asarray(t["record_id"]).astype(np.int64)
-            rep = (
-                np.fromiter((m.get(i, i) for i in ids.tolist()), dtype=np.int64, count=len(ids))
-                if m
-                else ids
-            )
-            return t.append_column("rep_id", pa.array(rep))
+            ids = t["record_id"].to_pylist()
+            rep = [m.get(i, i) for i in ids] if m else ids
+            return t.append_column("rep_id", pa.array(rep, type=pa.binary()))
 
         return fingerprints.map_batches(attach_rep, batch_format="pyarrow")
 

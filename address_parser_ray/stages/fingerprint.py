@@ -5,7 +5,7 @@ The graft analogue of the reference's per-record preprocessing
 ``generate_ngrams`` ``:2657-2660``), fused into one ``map_batches`` pass
 that emits, per record:
 
-- ``record_id``        — stable int64 from (repo, path, commit)
+- ``record_id``        — stable 16-byte blake2b id from (repo, path, commit)
 - ``content_sha256``   — the per-row invariant (BASELINE.json input_hint)
 - ``minhash``          — char-shingle MinHash signature (fixed list<u64>)
 - ``token_minhash``    — word-token MinHash sketch
@@ -28,10 +28,12 @@ import pyarrow.compute as pc
 
 from address_parser_ray.config import DEFAULT_CONFIG, PipelineConfig
 from address_parser_ray.functions.hashing import (
+    ID_DTYPE,
     char_shingle_hashes_u64,
     oph_minhash,
+    pack_ids,
     simhash64,
-    stable_id64,
+    stable_id128,
     string_column_byte_views,
     token_hashes_u64,
 )
@@ -41,7 +43,9 @@ from address_parser_ray.functions.normalize import basename_arrow, normalize_con
 def fingerprint_schema(cfg: PipelineConfig) -> pa.Schema:
     return pa.schema(
         [
-            ("record_id", pa.int64()),
+            # 128-bit identity (blake2b-16 raw bytes): 64-bit ids
+            # birthday-collide ~10^9.7 records (SURVEY §8 debt, closed r4)
+            ("record_id", pa.binary()),
             ("repo", pa.string()),
             ("path", pa.string()),
             ("commit", pa.string()),
@@ -148,7 +152,7 @@ class Fingerprinter:
         want_sha = "content_sha256" in out
 
         n = len(norm_views)
-        rid = np.empty(n, dtype=np.int64)
+        rid = np.empty(n, dtype=ID_DTYPE)
         mh = np.empty((n, cfg.num_perm), dtype=np.uint64) if want_mh else None
         tmh = (
             np.empty((n, cfg.token_num_perm), dtype=np.uint64) if want_tmh else None
@@ -158,7 +162,7 @@ class Fingerprinter:
         n_tok = np.empty(n, dtype=np.int64)
         shas = []
         for i in range(n):
-            rid[i] = stable_id64(repo[i] or "", path[i] or "", commit[i] or "")
+            rid[i] = stable_id128(repo[i] or "", path[i] or "", commit[i] or "")
             if want_sha:
                 shas.append(hashlib.sha256(raw_views[i]).hexdigest())
             # poison-row bound: sketch at most max_sketch_bytes of the
@@ -195,7 +199,7 @@ class Fingerprinter:
 
         n_chars = pc.cast(pc.utf8_length(content), pa.int64())
         cols = {
-            "record_id": pa.array(rid),
+            "record_id": pack_ids(rid),
             "repo": batch["repo"],
             "path": batch["path"],
             "commit": batch["commit"],

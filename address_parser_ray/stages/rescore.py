@@ -36,7 +36,13 @@ import numpy as np
 import pyarrow as pa
 
 from address_parser_ray.config import DEFAULT_CONFIG, PipelineConfig
-from address_parser_ray.functions.hashing import char_shingle_hashes, stable_id64
+from address_parser_ray.functions.hashing import (
+    ID_DTYPE,
+    char_shingle_hashes,
+    ids_np,
+    pack_ids,
+    stable_id128,
+)
 from address_parser_ray.functions.normalize import normalize_content_arrow
 from address_parser_ray.functions.similarity import exact_jaccard
 from address_parser_ray.rayutil import default_num_partitions, pinned_join, project
@@ -53,18 +59,17 @@ def corpus_norm_texts(corpus, cfg: PipelineConfig = DEFAULT_CONFIG, keep_ref=Non
     import ray
 
     def fn(t: pa.Table) -> pa.Table:
-        rid = np.fromiter(
-            (
-                stable_id64(r or "", p or "", c or "")
+        rid = np.array(
+            [
+                stable_id128(r or "", p or "", c or "")
                 for r, p, c in zip(
                     t["repo"].to_pylist(),
                     t["path"].to_pylist(),
                     t["commit"].to_pylist(),
                 )
-            ),
-            dtype=np.int64,
-            count=t.num_rows,
-        )
+            ],
+            dtype=ID_DTYPE,
+        ) if t.num_rows else np.empty(0, dtype=ID_DTYPE)
         if keep_ref is not None:
             keep = ray.get(keep_ref)
             pos = np.clip(np.searchsorted(keep, rid), 0, max(0, len(keep) - 1))
@@ -76,7 +81,7 @@ def corpus_norm_texts(corpus, cfg: PipelineConfig = DEFAULT_CONFIG, keep_ref=Non
         )
         return pa.table(
             {
-                "record_id": pa.array(rid, type=pa.int64()),
+                "record_id": pack_ids(rid),
                 "lang": t["lang"],
                 "norm_text": norm,
             }
@@ -103,7 +108,7 @@ def filter_texts_by_id(norm_texts, keep_ref=None):
         if keep_ref is None:
             return t
         keep = ray.get(keep_ref)
-        rid = np.asarray(t["record_id"]).astype(np.int64)
+        rid = ids_np(t["record_id"])
         if len(keep):
             pos = np.clip(np.searchsorted(keep, rid), 0, len(keep) - 1)
             mask = keep[pos] == rid
@@ -139,8 +144,8 @@ class ContentRescorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         n = batch.num_rows
-        ids_a = np.asarray(batch["id_a"]).astype(np.int64)
-        ids_b = np.asarray(batch["id_b"]).astype(np.int64)
+        ids_a = ids_np(batch["id_a"])
+        ids_b = ids_np(batch["id_b"])
         cache: dict[int, tuple] = {}
         sa = self._sets(batch["text_a"].to_pylist(), ids_a, cache)
         sb = self._sets(batch["text_b"].to_pylist(), ids_b, cache)
@@ -197,8 +202,8 @@ def _broadcast_rescore_fn(cfg: PipelineConfig, tref):
 
     def fn(batch: pa.Table) -> pa.Table:
         rid, langs, txts = ray.get(tref)
-        a = np.asarray(batch["id_a"]).astype(np.int64)
-        b = np.asarray(batch["id_b"]).astype(np.int64)
+        a = ids_np(batch["id_a"])
+        b = ids_np(batch["id_b"])
         ia = np.searchsorted(rid, a)
         ib = np.searchsorted(rid, b)
         if not ((rid[np.clip(ia, 0, len(rid) - 1)] == a).all()
@@ -266,9 +271,7 @@ def content_rescore_stage(
         ids = np.unique(
             np.concatenate(
                 [
-                    np.concatenate(
-                        [np.asarray(b["id_a"]), np.asarray(b["id_b"])]
-                    ).astype(np.int64)
+                    np.concatenate([ids_np(b["id_a"]), ids_np(b["id_b"])])
                     for b in band.iter_batches(
                         batch_size=1 << 20, batch_format="pyarrow"
                     )
@@ -304,7 +307,7 @@ def content_rescore_stage(
                     "dedup_pipeline()."
                 )
             tbl = pa.concat_tables(batches)
-            rid = np.asarray(tbl["record_id"]).astype(np.int64)
+            rid = ids_np(tbl["record_id"])
             order = np.argsort(rid)
             langs = tbl["lang"].to_pylist()
             txts = tbl["norm_text"].to_pylist()

@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 
 from address_parser_ray.config import DEFAULT_CONFIG, PipelineConfig
-from address_parser_ray.functions.hashing import decode_sig_column
+from address_parser_ray.functions.hashing import decode_sig_column, ids_np
 from address_parser_ray.functions.similarity import jaro_winkler
 from address_parser_ray.rayutil import default_concurrency, project
 
@@ -39,7 +39,8 @@ def _score_arrays(cfg, ids_a, ids_b, mh_a, mh_b, tmh_a, tmh_b,
                   nc_a, nc_b, sha_a, sha_b, path_a, path_b,
                   lang_a=None, lang_b=None, fmh_a=None, fmh_b=None) -> pa.Table:
     """Shared scoring math for both scorer variants (joined columns vs
-    broadcast lookup)."""
+    broadcast lookup).  ``ids_a``/``ids_b`` are Arrow binary columns and
+    ride through to the output verbatim."""
     n = len(ids_a)
     jacc = (mh_a == mh_b).mean(axis=1)
     tjacc = (tmh_a == tmh_b).mean(axis=1)
@@ -92,8 +93,9 @@ def _score_arrays(cfg, ids_a, ids_b, mh_a, mh_b, tmh_a, tmh_b,
         is_match = is_match & (lang_ok | exact)
     return pa.table(
         {
-            "id_a": pa.array(np.asarray(ids_a, dtype=np.int64)),
-            "id_b": pa.array(np.asarray(ids_b, dtype=np.int64)),
+            # ids pass through as Arrow binary columns (128-bit identity)
+            "id_a": ids_a,
+            "id_b": ids_b,
             "jacc_shingle": pa.array(jacc),
             "jacc_token": pa.array(tjacc),
             "jw_path": pa.array(jw),
@@ -117,8 +119,8 @@ class PairScorer:
         P, TP = cfg.score_char_lanes, cfg.score_token_lanes
         return _score_arrays(
             cfg,
-            np.asarray(batch["id_a"]),
-            np.asarray(batch["id_b"]),
+            batch["id_a"],
+            batch["id_b"],
             decode_sig_column(batch["mh_sk_a"], P, dtype=np.uint16),
             decode_sig_column(batch["mh_sk_b"], P, dtype=np.uint16),
             decode_sig_column(batch["tmh_sk_a"], TP, dtype=np.uint16),
@@ -148,7 +150,7 @@ class BroadcastPairScorer:
 
         self.cfg = cfg
         t: pa.Table = ray.get(feats_ref)
-        ids = np.asarray(t["record_id"]).astype(np.int64)
+        ids = ids_np(t["record_id"])
         # columns stay in table order (zero-copy views of the shared
         # object-store buffers — reordering would copy ~90 MB per actor);
         # lookups go through one sorted-permutation indirection instead.
@@ -174,12 +176,10 @@ class BroadcastPairScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty_scores()
-        ids_a = np.asarray(batch["id_a"]).astype(np.int64)
-        ids_b = np.asarray(batch["id_b"]).astype(np.int64)
-        ia = self._gather(ids_a)
-        ib = self._gather(ids_b)
+        ia = self._gather(ids_np(batch["id_a"]))
+        ib = self._gather(ids_np(batch["id_b"]))
         return _score_arrays(
-            self.cfg, ids_a, ids_b,
+            self.cfg, batch["id_a"], batch["id_b"],
             self.mh[ia], self.mh[ib],
             self.tmh[ia], self.tmh[ib],
             self.nc[ia], self.nc[ib],
@@ -196,8 +196,8 @@ class BroadcastPairScorer:
 def _empty_scores() -> pa.Table:
     return pa.table(
         {
-            "id_a": pa.array([], type=pa.int64()),
-            "id_b": pa.array([], type=pa.int64()),
+            "id_a": pa.array([], type=pa.binary()),
+            "id_b": pa.array([], type=pa.binary()),
             "jacc_shingle": pa.array([], type=pa.float64()),
             "jacc_token": pa.array([], type=pa.float64()),
             "jw_path": pa.array([], type=pa.float64()),

@@ -7,7 +7,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from address_parser_ray.config import DEFAULT_CONFIG as CFG
-from address_parser_ray.functions.hashing import stable_id64
+from address_parser_ray.functions.hashing import stable_id128
 
 
 @pytest.fixture(scope="module")
@@ -19,7 +19,7 @@ def pipeline_result(ray_session, fixture_corpus):
     res = dedup_pipeline(read_corpus(corpus_dir))
     lab = pq.read_table(labels_path).to_pandas()
     lab["record_id"] = [
-        stable_id64(r, p, c)
+        stable_id128(r, p, c)
         for r, p, c in zip(lab["repo"], lab["path"], lab["commit"])
     ]
     return res, lab
@@ -142,7 +142,7 @@ def test_content_rescore_recovers_heavy_renames(ray_session, tmp_path):
 
     from address_parser_ray.config import DEFAULT_CONFIG
     from address_parser_ray.fixtures.generator import write_corpus
-    from address_parser_ray.functions.hashing import stable_id64
+    from address_parser_ray.functions.hashing import stable_id128
     from address_parser_ray.pipelines.dedup import dedup_pipeline
     from address_parser_ray.pipelines.evaluation import pairwise_f1
     from address_parser_ray.sources import read_corpus
@@ -153,7 +153,7 @@ def test_content_rescore_recovers_heavy_renames(ray_session, tmp_path):
     labels = pd.read_parquet(lp)
     assert (labels.variant_spec == "rename_heavy").sum() >= 5
     labels["record_id"] = [
-        stable_id64(r, p, c) for r, p, c in zip(labels.repo, labels.path, labels.commit)
+        stable_id128(r, p, c) for r, p, c in zip(labels.repo, labels.path, labels.commit)
     ]
 
     off = dataclasses.replace(DEFAULT_CONFIG, content_rescore=False)

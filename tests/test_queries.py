@@ -38,6 +38,12 @@ def _to_df(res):
 SQL_CHECKED = [
     "minhash_lsh_clusters",
     "lsh_cluster_assignments",
+    "score_histogram",
+    "cluster_canonical",
+    "cluster_density",
+    "ngram_jaccard_pairs",
+    "block_size_histogram",
+    "canopy_clusters",
     "exact_dedup_groups",
     "lang_counts",
     "doc_stats_by_lang",
@@ -554,18 +560,14 @@ ROWS_ONLY = [
     "media_features",
     "model_langid",
     "synthetic_corpus_stats",
-    "ngram_jaccard_pairs",
     "embedding_near_dup",
     "residual_tokens",
     "winnow_dup_pairs",
     "media_resize",
     "incremental_dedup_check",
-    "cluster_canonical",
     "bpe_train_merges",
-    "block_size_histogram",
     "media_frame_sample",
     "semantic_dedup",
-    "score_histogram",
     "pr_curve",
 ]
 

@@ -121,7 +121,7 @@ def test_blocking_finds_same_seed_pairs(ray_session, fixture_corpus):
     with its cluster (recall via LSH bands ∪ exact path key)."""
     import pyarrow.parquet as pq
     import ray.data
-    from address_parser_ray.functions.hashing import stable_id64
+    from address_parser_ray.functions.hashing import stable_id128
     from address_parser_ray.sources import read_corpus
     from address_parser_ray.stages.blocking import blocking_stage
     from address_parser_ray.stages.exact_dedup import (
@@ -139,7 +139,7 @@ def test_blocking_finds_same_seed_pairs(ray_session, fixture_corpus):
 
     lab = pq.read_table(labels_path).to_pandas()
     lab["record_id"] = [
-        stable_id64(r, p, c)
+        stable_id128(r, p, c)
         for r, p, c in zip(lab["repo"], lab["path"], lab["commit"])
     ]
     rep_ids = set(reps.to_pandas()["record_id"])
@@ -373,10 +373,16 @@ def test_conjunctive_blocking_kernels():
         _make_pairs_bucket_fn,
     )
 
+    def rid(i: int) -> bytes:
+        return i.to_bytes(16, "big")
+
     g = pa.table(
         {
             "block_key": pa.array([10, 10, 20, 20, 30, 30], type=pa.int64()),
-            "record_id": pa.array([1, 2, 1, 2, 3, 4], type=pa.int64()),
+            "record_id": pa.array(
+                [rid(1), rid(2), rid(1), rid(2), rid(3), rid(4)],
+                type=pa.binary(),
+            ),
         }
     )
     pairs = _make_pairs_bucket_fn(4096)(g)
@@ -384,7 +390,7 @@ def test_conjunctive_blocking_kernels():
     assert _dedup_pairs_bucket_fn(1)(pairs).num_rows == 2
     strict = _dedup_pairs_bucket_fn(2)(pairs)
     assert strict.column_names == ["id_a", "id_b"]
-    assert strict.to_pydict() == {"id_a": [1], "id_b": [2]}
+    assert strict.to_pydict() == {"id_a": [rid(1)], "id_b": [rid(2)]}
 
 
 def test_conjunctive_blocking_end_to_end(ray_session, fixture_corpus):
@@ -395,7 +401,7 @@ def test_conjunctive_blocking_end_to_end(ray_session, fixture_corpus):
     import pandas as pd
 
     from address_parser_ray.config import DEFAULT_CONFIG
-    from address_parser_ray.functions.hashing import stable_id64
+    from address_parser_ray.functions.hashing import stable_id128
     from address_parser_ray.pipelines.dedup import dedup_pipeline
     from address_parser_ray.pipelines.evaluation import pairwise_f1
     from address_parser_ray.sources import read_corpus
@@ -403,7 +409,7 @@ def test_conjunctive_blocking_end_to_end(ray_session, fixture_corpus):
     corpus_dir, labels_path = fixture_corpus
     labels = pd.read_parquet(labels_path)
     labels["record_id"] = [
-        stable_id64(r, p, c) for r, p, c in zip(labels.repo, labels.path, labels.commit)
+        stable_id128(r, p, c) for r, p, c in zip(labels.repo, labels.path, labels.commit)
     ]
     loose = dedup_pipeline(read_corpus(corpus_dir))
     strict = dedup_pipeline(

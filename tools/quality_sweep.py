@@ -27,7 +27,7 @@ def main() -> int:
 
     from address_parser_ray.config import PipelineConfig
     from address_parser_ray.fixtures import write_corpus
-    from address_parser_ray.functions.hashing import stable_id64
+    from address_parser_ray.functions.hashing import stable_id128
     from address_parser_ray.pipelines.dedup import dedup_pipeline
     from address_parser_ray.pipelines.evaluation import pairwise_f1
     from address_parser_ray.sources import read_corpus
@@ -43,7 +43,7 @@ def main() -> int:
         )
         labels = pd.read_parquet(lp)
         labels["record_id"] = [
-            stable_id64(r, p, c)
+            stable_id128(r, p, c)
             for r, p, c in zip(labels.repo, labels.path, labels.commit)
         ]
         corpus = read_corpus(cd)
