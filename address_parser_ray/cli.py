@@ -182,6 +182,31 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """documents/corpus parquet → packed token shards (training ingest).
+
+    Reads (doc_id, text) rows, writes hive-partitioned
+    split/bucket shards via ``pipelines.training.write_packed_shards``
+    and prints the per-split manifest."""
+    import ray
+
+    from address_parser_ray.pipelines.training import write_packed_shards
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    ds = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    manifest = write_packed_shards(
+        ds,
+        args.output,
+        capacity=args.capacity,
+        buckets=args.buckets,
+        holdout_mod=args.holdout_mod,
+    )
+    print(json.dumps({"output": args.output, **manifest}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_query(args) -> int:
     """Run any registered query by name over an sf-style table dir —
     the ad-hoc analytics surface: every SURVEY §2 operator is runnable
@@ -338,6 +363,16 @@ def main(argv=None) -> int:
                    help="comma list of columns → hive-partitioned output dirs")
     q.add_argument("--limit", type=int, default=20, help="rows printed without --output")
     q.set_defaults(fn=cmd_query)
+
+    pk = sub.add_parser(
+        "pack", help="documents parquet → packed token shards (training ingest)"
+    )
+    pk.add_argument("--input", required=True, help="parquet with doc_id, text")
+    pk.add_argument("--output", required=True, help="shard root dir")
+    pk.add_argument("--capacity", type=int, default=512)
+    pk.add_argument("--buckets", type=int, default=16)
+    pk.add_argument("--holdout-mod", type=int, default=10)
+    pk.set_defaults(fn=cmd_pack)
 
     st = sub.add_parser("stats", help="per-stage ds.stats() profile of the dedup pipeline")
     st.add_argument("--input", required=True, help="corpus parquet file/dir")

@@ -5198,3 +5198,37 @@ FROM fin WHERE rn = 1 ORDER BY doc_id"""
 ORACLE_SQL["canopy_clusters"] = _build_simhash_sql(
     tail=_CANOPY_TAIL
 ).replace("WITH norm AS (", "WITH RECURSIVE norm AS (", 1)
+
+
+# Packed-shard panel: the writer's prefix-sum packing rule as a window
+# function (EOS-inclusive token counts: ws tokens + 1; T6 split rule;
+# doc_id % 16 scan buckets; capacity 512).
+ORACLE_SQL["packed_shard_stats"] = r"""
+    WITH tok AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(COALESCE(text, '')), '\s+'))
+                   + 1 AS nt,
+               CASE WHEN doc_id % 10 = 0 THEN 'heldout' ELSE 'train'
+               END AS split,
+               doc_id % 16 AS bucket
+        FROM documents
+    ), w AS (
+        SELECT split, bucket, nt,
+               COALESCE(sum(nt) OVER (
+                   PARTITION BY split, bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS before
+        FROM tok
+    ), seq AS (
+        SELECT split, bucket, before // 512 AS batch_id,
+               CAST(sum(nt) AS BIGINT) AS seq_tokens,
+               CAST(count(*) AS BIGINT) AS nd
+        FROM w GROUP BY 1, 2, 3
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_sequences,
+           CAST(sum(nd) AS BIGINT) AS n_docs,
+           CAST(sum(seq_tokens) AS BIGINT) AS n_tokens,
+           CAST(max(seq_tokens) AS BIGINT) AS max_seq_tokens
+    FROM seq GROUP BY 1 ORDER BY 1
+"""

@@ -2961,6 +2961,46 @@ def _ws_tokens(text) -> list:
     return _WS_ASCII.split((text or "").strip(" "))
 
 
+def q_packed_shard_stats(sf_dir: str):
+    """Training-ingest handoff audit (reference ``ner/ner_train.py:
+    82-138``): materialize the documents corpus as ACTUAL packed token
+    shards (``pipelines/training.write_packed_shards`` — hashing-trick
+    ids + EOS per doc, ``q_seq_pack_stats``'s prefix-sum packing rule,
+    hive-partitioned split/bucket layout), read them BACK, and report
+    per split: sequence count, doc count, total tokens, max sequence
+    length.  The read-back makes the panel a round-trip proof of the
+    writer (a wrong shard shows up as a count/token drift), and the
+    whole rule is a window function — full SQL oracle.  Staging dir
+    under /tmp (single-node assumption, as ``csv_read_counts``),
+    removed after the panel materializes."""
+    import shutil
+    import tempfile
+
+    from address_parser_ray.pipelines.training import (
+        read_packed,
+        write_packed_shards,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="apr_shards_")
+    try:
+        write_packed_shards(_docs(sf_dir, ["doc_id", "text"]), tmp)
+        rows = []
+        for split in ("heldout", "train"):
+            df = read_packed(tmp, split).to_pandas()
+            rows.append(
+                {
+                    "split": split,
+                    "n_sequences": np.int64(len(df)),
+                    "n_docs": np.int64(df["n_docs"].sum()),
+                    "n_tokens": np.int64(df["n_tokens"].sum()),
+                    "max_seq_tokens": np.int64(df["n_tokens"].max()),
+                }
+            )
+        return pd.DataFrame(rows).sort_values("split").reset_index(drop=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_contamination_5gram(sf_dir: str):
     """Benchmark decontamination: flag corpus docs sharing any token
     5-gram with a benchmark/eval set (the standard train-set
@@ -15000,6 +15040,7 @@ QUERIES = {
     "residual_tokens": q_residual_tokens,
     "infer_missing_lang": q_infer_missing_lang,
     "seq_pack_stats": q_seq_pack_stats,
+    "packed_shard_stats": q_packed_shard_stats,
     "contamination_5gram": q_contamination_5gram,
     "repetition_stats": q_repetition_stats,
     "props_k_stats": q_props_k_stats,
