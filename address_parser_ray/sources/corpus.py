@@ -25,7 +25,35 @@ CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 def detect_format(path: str) -> str:
     """File-kind sniffer (reference S3, ``build_real_dataset.py:23-44``
     magic-byte + extension dispatch): 'parquet' or 'json' (JSONL / JSON
-    array both — pyarrow's json reader handles NDJSON natively)."""
+    array both — pyarrow's json reader handles NDJSON natively).
+    Accepts fsspec URIs (``s3://…``, ``file://…``) — the readers and
+    writers below pass URIs straight to Ray's native object-store
+    support; only this probe needs explicit filesystem routing."""
+    if "://" in path:
+        import fsspec
+
+        fs, fpath = fsspec.core.url_to_fs(path)
+        probe = fpath
+        if fs.isdir(fpath):
+            entries = sorted(
+                b
+                for e in fs.ls(fpath, detail=False)
+                for b in [e.rstrip("/").rsplit("/", 1)[-1]]
+                if not b.startswith((".", "_"))
+            )
+            if not entries:
+                return "parquet"
+            probe = f"{fpath.rstrip('/')}/{entries[0]}"
+        ext = os.path.splitext(probe)[1].lower()
+        if ext in (".parquet", ".pq"):
+            return "parquet"
+        if ext in (".json", ".jsonl", ".ndjson"):
+            return "json"
+        if ext in (".csv", ".tsv"):
+            return "csv"
+        with fs.open(probe, "rb") as f:
+            head = f.read(4)
+        return "parquet" if head[:4] == b"PAR1" else "json"
     probe = path
     if os.path.isdir(path):
         entries = sorted(

@@ -13,6 +13,15 @@ write (``ner/build_real_dataset.py:186-232``). Here it is explicit:
 
 At 100 TB the same layout holds: one directory per stage, many part
 files (one per block), manifest small.
+
+Object-store roots: pass a URI (``s3://bucket/ckpt``, ``file:///…``)
+and every metadata operation routes through fsspec while the Parquet
+data moves through Ray's native URI readers/writers — the plumbing a
+real deployment needs on day one.  Plain paths keep the direct
+os/shutil fast path.  NOTE for object stores without atomic directory
+rename (S3): the ``.tmp`` → final rename is copy+delete under fsspec —
+still crash-safe (completeness is judged by ``_lineage.json`` presence,
+written last), just not instantaneous.
 """
 
 from __future__ import annotations
@@ -43,16 +52,84 @@ class Checkpointer:
     def __init__(self, root: str, context: str | None = None):
         """``context``: a ``context_key(...)`` string binding checkpoints
         to (config, input). None keeps the legacy existence-only resume
-        (checkpoints then carry and ignore the key)."""
+        (checkpoints then carry and ignore the key).  ``root`` may be a
+        plain path or an fsspec URI (``file://``, ``s3://``, …)."""
         self.root = root
         self.context = context
-        os.makedirs(root, exist_ok=True)
+        if "://" in root:
+            import fsspec
+
+            self._fs, self._root_path = fsspec.core.url_to_fs(root)
+            self._proto = root.split("://", 1)[0]
+        else:
+            self._fs, self._root_path, self._proto = None, root, None
+        self._makedirs(self._root_path)
+
+    # ---- filesystem shims: local fast path OR fsspec ------------------
+    def _makedirs(self, p: str) -> None:
+        (self._fs.makedirs if self._fs else lambda x, exist_ok=True: os.makedirs(x, exist_ok=True))(p, exist_ok=True)
+
+    def _exists(self, p: str) -> bool:
+        return self._fs.exists(p) if self._fs else os.path.exists(p)
+
+    def _isdir(self, p: str) -> bool:
+        return self._fs.isdir(p) if self._fs else os.path.isdir(p)
+
+    def _rmtree(self, p: str) -> None:
+        if self._fs:
+            self._fs.rm(p, recursive=True)
+        elif os.path.isdir(p):
+            shutil.rmtree(p)
+        else:
+            os.remove(p)
+
+    def _rename(self, src: str, dst: str) -> None:
+        if self._fs:
+            # no atomic dir rename on object stores: copy+delete; safety
+            # still holds because _lineage.json (written LAST into src)
+            # is what marks a stage complete
+            self._fs.mv(src, dst, recursive=True)
+        else:
+            os.rename(src, dst)
+
+    def _listdir(self, p: str) -> list:
+        if self._fs:
+            return sorted(x.rstrip("/").rsplit("/", 1)[-1] for x in self._fs.ls(p, detail=False))
+        return sorted(os.listdir(p))
+
+    def _open(self, p: str, mode: str = "r"):
+        return self._fs.open(p, mode) if self._fs else open(p, mode)
+
+    def _size(self, p: str) -> int:
+        if self._fs:
+            if self._fs.isdir(p):
+                return sum(
+                    i["size"]
+                    for i in self._fs.find(p, detail=True).values()
+                )
+            return self._fs.size(p)
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fls in os.walk(p)
+                for f in fls
+            )
+        return os.path.getsize(p)
+
+    def _uri(self, p: str) -> str:
+        """fs-native path → the URI Ray's readers/writers consume."""
+        return f"{self._proto}://{p}" if self._fs else p
+
+    @property
+    def _pafs(self):
+        """pyarrow filesystem kwarg for pq.* calls (None = local)."""
+        return self._fs
 
     def _dir(self, name: str) -> str:
-        return os.path.join(self.root, name)
+        return f"{self._root_path}/{name}" if self._fs else os.path.join(self.root, name)
 
     def is_done(self, name: str) -> bool:
-        if not os.path.exists(os.path.join(self._dir(name), "_lineage.json")):
+        if not self._exists(f"{self._dir(name)}/_lineage.json"):
             return False
         if self.context is None:
             return True
@@ -66,46 +143,43 @@ class Checkpointer:
         silently reused."""
         final = self._dir(name)
         if self.is_done(name):
-            return ray.data.read_parquet(final)
+            return ray.data.read_parquet(self._uri(final))
         tmp = final + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        if os.path.exists(final):  # incomplete (no lineage) → redo
-            shutil.rmtree(final)
+        if self._exists(tmp):
+            self._rmtree(tmp)
+        if self._exists(final):  # incomplete (no lineage) → redo
+            self._rmtree(final)
         ds = fn()
         t0 = time.time()
-        ds.write_parquet(tmp)
+        ds.write_parquet(self._uri(tmp))
         lineage = self._collect_lineage(tmp)
         lineage["stage"] = name
         lineage["context_key"] = self.context
         lineage["write_seconds"] = round(time.time() - t0, 3)
-        with open(os.path.join(tmp, "_lineage.json"), "w") as f:
+        with self._open(f"{tmp}/_lineage.json", "w") as f:
             json.dump(lineage, f, indent=1)
-        os.rename(tmp, final)
-        return ray.data.read_parquet(final)
+        self._rename(tmp, final)
+        return ray.data.read_parquet(self._uri(final))
 
-    @staticmethod
-    def _collect_lineage(path: str) -> dict:
+    def _collect_lineage(self, path: str) -> dict:
         parts = {}
         total = 0
         schema = None
-        for fname in sorted(os.listdir(path)):
+        for fname in self._listdir(path):
             if not fname.endswith(".parquet"):
                 continue
-            md = pq.read_metadata(os.path.join(path, fname))
+            md = pq.read_metadata(f"{path}/{fname}", filesystem=self._pafs)
             parts[fname] = md.num_rows
             total += md.num_rows
             if schema is None:
-                schema = [
-                    f"{n}:{pq.read_schema(os.path.join(path, fname)).field(n).type}"
-                    for n in pq.read_schema(os.path.join(path, fname)).names
-                ]
+                sch = pq.read_schema(f"{path}/{fname}", filesystem=self._pafs)
+                schema = [f"{n}:{sch.field(n).type}" for n in sch.names]
         return {"rows": total, "files": parts, "schema": schema or []}
 
     def invalidate(self, name: str) -> None:
         final = self._dir(name)
-        if os.path.exists(final):
-            shutil.rmtree(final)
+        if self._exists(final):
+            self._rmtree(final)
 
     def invariant_xor(self, name: str, column: str = "content_sha256"):
         """Order-insensitive MULTISET fingerprint of ``column`` across
@@ -122,10 +196,12 @@ class Checkpointer:
         if not self.is_done(name):
             return None
         acc = (0, 0, 0, 0)
-        for fname in sorted(os.listdir(path)):
+        for fname in self._listdir(path):
             if not fname.endswith(".parquet"):
                 continue
-            t = pq.read_table(os.path.join(path, fname), columns=[column])
+            t = pq.read_table(
+                f"{path}/{fname}", columns=[column], filesystem=self._pafs
+            )
             acc = hex_multiset_fingerprint(t[column], acc)
         return acc
 
@@ -154,24 +230,15 @@ class Checkpointer:
             "bytes_freed": 0,
         }
 
-        def _size(p: str) -> int:
-            if os.path.isdir(p):
-                return sum(
-                    os.path.getsize(os.path.join(dp, f))
-                    for dp, _, fs in os.walk(p)
-                    for f in fs
-                )
-            return os.path.getsize(p)
-
-        for entry in sorted(os.listdir(self.root)):
-            path = os.path.join(self.root, entry)
+        for entry in self._listdir(self._root_path):
+            path = f"{self._root_path}/{entry}" if self._fs else os.path.join(self.root, entry)
             if entry.endswith(".tmp"):
                 report["tmp_dirs"].append(entry)
-                report["bytes_freed"] += _size(path)
+                report["bytes_freed"] += self._size(path)
                 if not dry_run:
-                    (shutil.rmtree if os.path.isdir(path) else os.remove)(path)
+                    self._rmtree(path)
                 continue
-            if not os.path.isdir(path):
+            if not self._isdir(path):
                 continue
             lin = self.lineage(entry)
             if lin is None:
@@ -182,19 +249,19 @@ class Checkpointer:
                 and lin.get("context_key") != self.context
             ):
                 report["stale_stages"].append(entry)
-                report["bytes_freed"] += _size(path)
+                report["bytes_freed"] += self._size(path)
                 if not dry_run:
-                    shutil.rmtree(path)
+                    self._rmtree(path)
                 continue
             manifest = set(lin.get("files", {}))
-            for fname in sorted(os.listdir(path)):
+            for fname in self._listdir(path):
                 if fname == "_lineage.json" or fname in manifest:
                     continue
-                fpath = os.path.join(path, fname)
+                fpath = f"{path}/{fname}"
                 report["orphan_files"].append(f"{entry}/{fname}")
-                report["bytes_freed"] += _size(fpath)
+                report["bytes_freed"] += self._size(fpath)
                 if not dry_run:
-                    (shutil.rmtree if os.path.isdir(fpath) else os.remove)(fpath)
+                    self._rmtree(fpath)
         return report
 
     @staticmethod
@@ -243,27 +310,30 @@ class Checkpointer:
     def save_json(self, name: str, obj) -> None:
         """Persist a small JSON sidecar payload (e.g. the hot-key map the
         band index was salted with) atomically next to the stage dirs."""
-        p = os.path.join(self.root, f"{name}.json")
+        p = f"{self._root_path}/{name}.json" if self._fs else os.path.join(self.root, f"{name}.json")
         tmp = p + ".tmp"
-        with open(tmp, "w") as f:
+        with self._open(tmp, "w") as f:
             json.dump({"context_key": self.context, "payload": obj}, f)
-        os.replace(tmp, p)
+        if self._fs:
+            self._fs.mv(tmp, p)
+        else:
+            os.replace(tmp, p)
 
     def load_json(self, name: str):
         """Read a payload written by :meth:`save_json`; None when absent
         or written under a different context (same rule as stages)."""
-        p = os.path.join(self.root, f"{name}.json")
-        if not os.path.exists(p):
+        p = f"{self._root_path}/{name}.json" if self._fs else os.path.join(self.root, f"{name}.json")
+        if not self._exists(p):
             return None
-        with open(p) as f:
+        with self._open(p, "r") as f:
             rec = json.load(f)
         if self.context is not None and rec.get("context_key") != self.context:
             return None
         return rec.get("payload")
 
     def lineage(self, name: str) -> dict | None:
-        p = os.path.join(self._dir(name), "_lineage.json")
-        if not os.path.exists(p):
+        p = f"{self._dir(name)}/_lineage.json"
+        if not self._exists(p):
             return None
-        with open(p) as f:
+        with self._open(p, "r") as f:
             return json.load(f)
