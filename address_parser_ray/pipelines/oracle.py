@@ -5232,3 +5232,33 @@ ORACLE_SQL["packed_shard_stats"] = r"""
            CAST(max(seq_tokens) AS BIGINT) AS max_seq_tokens
     FROM seq GROUP BY 1 ORDER BY 1
 """
+
+# Residual-token extraction per matched pair: distinct raw-text tokens
+# of one side absent from the other (anti-join count), canonical
+# (min, max) doc orientation; match pairs = the flagship scored_final.
+ORACLE_SQL["residual_tokens"] = _build_flagship_lsh_sql(
+    tail=""", rtok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS w
+    FROM documents)
+  WHERE w <> ''
+), mp AS (
+  SELECT least(da, db) AS da, greatest(da, db) AS db
+  FROM scored_final WHERE is_match
+), resid AS (
+  SELECT m.da, m.db,
+         (SELECT count(*) FROM rtok x
+          WHERE x.doc_id = m.da AND NOT EXISTS (
+              SELECT 1 FROM rtok y WHERE y.doc_id = m.db AND y.w = x.w))
+             AS residual_a,
+         (SELECT count(*) FROM rtok x
+          WHERE x.doc_id = m.db AND NOT EXISTS (
+              SELECT 1 FROM rtok y WHERE y.doc_id = m.da AND y.w = x.w))
+             AS residual_b
+  FROM mp m
+)
+SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+       CAST(residual_a AS BIGINT) AS residual_a,
+       CAST(residual_b AS BIGINT) AS residual_b
+FROM resid ORDER BY doc_a, doc_b"""
+)

@@ -2744,8 +2744,14 @@ def q_residual_tokens(sf_dir: str):
     the tokens of one side NOT covered by the other — a token anti-semi-
     join against the matched counterpart. Content is re-joined by record
     id (bucketed join), never broadcast. Returns per-pair residual counts
-    (ints). Non-SQL (pipeline-derived pair set)."""
+    (ints) in canonical (min, max) DOC-ID orientation — full SQL oracle
+    since r4 (flagship ``scored_final`` match pairs + per-pair distinct
+    token anti-join; the corpus is single-space tokenized, so Python
+    ``.split()`` == the SQL space split, both emitting no empties)."""
+    from address_parser_ray.functions.hashing import ids_np
+
     res = _dedup_documents(sf_dir)
+    map_ref = _doc_id_map_ref(sf_dir)
 
     def matched(t: pa.Table) -> pa.Table:
         keep = pa.array(np.asarray(t["is_match"]))
@@ -2763,12 +2769,26 @@ def q_residual_tokens(sf_dir: str):
             tb = set((y or "").split())
             ra[i] = len(ta - tb)
             rb[i] = len(tb - ta)
+        rids, dids = ray.get(map_ref)
+
+        def docs_of(col) -> np.ndarray:
+            r = ids_np(col)
+            pos = np.clip(np.searchsorted(rids, r), 0, max(0, len(rids) - 1))
+            if len(rids) == 0 or not (rids[pos] == r).all():
+                raise KeyError("pair references record id not in corpus map")
+            return dids[pos]
+
+        da = docs_of(t["id_a"])
+        db = docs_of(t["id_b"])
+        # canonical (min, max) doc orientation — swap the side-specific
+        # residual counts along with the ids
+        swap = da > db
         return pa.table(
             {
-                "id_a": t["id_a"],
-                "id_b": t["id_b"],
-                "residual_a": pa.array(ra),
-                "residual_b": pa.array(rb),
+                "doc_a": pa.array(np.where(swap, db, da)),
+                "doc_b": pa.array(np.where(swap, da, db)),
+                "residual_a": pa.array(np.where(swap, rb, ra)),
+                "residual_b": pa.array(np.where(swap, ra, rb)),
             }
         )
 

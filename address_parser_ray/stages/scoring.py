@@ -161,8 +161,10 @@ class BroadcastPairScorer:
         self.tmh = decode_sig_column(t["tmh_sk"], TP, dtype=np.uint16)
         self.sha = np.asarray(t["sha64"]).astype(np.int64)
         self.nc = np.asarray(t["n_chars"]).astype(np.int64)
-        self.path = t["path"].to_pylist()
-        self.lang = t["lang"].to_pylist()
+        # object ndarrays: per-batch gathers below are one C-level fancy
+        # index instead of a Python list build per pair side
+        self.path = np.array(t["path"].to_pylist(), dtype=object)
+        self.lang = np.array(t["lang"].to_pylist(), dtype=object)
         self.fmh = decode_sig_column(t["fmh_sk"], P, dtype=np.uint16)
 
     def _gather(self, ids: np.ndarray) -> np.ndarray:
@@ -184,10 +186,10 @@ class BroadcastPairScorer:
             self.tmh[ia], self.tmh[ib],
             self.nc[ia], self.nc[ib],
             self.sha[ia], self.sha[ib],
-            [self.path[i] for i in ia],
-            [self.path[i] for i in ib],
-            [self.lang[i] for i in ia],
-            [self.lang[i] for i in ib],
+            self.path[ia],
+            self.path[ib],
+            self.lang[ia],
+            self.lang[ib],
             self.fmh[ia],
             self.fmh[ib],
         )

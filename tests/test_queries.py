@@ -44,6 +44,7 @@ SQL_CHECKED = [
     "ngram_jaccard_pairs",
     "block_size_histogram",
     "canopy_clusters",
+    "residual_tokens",
     "exact_dedup_groups",
     "lang_counts",
     "doc_stats_by_lang",
@@ -561,7 +562,6 @@ ROWS_ONLY = [
     "model_langid",
     "synthetic_corpus_stats",
     "embedding_near_dup",
-    "residual_tokens",
     "winnow_dup_pairs",
     "media_resize",
     "incremental_dedup_check",
