@@ -469,3 +469,136 @@ def rng_for(seed: int, *key_parts) -> np.random.Generator:
         digest_size=16,
     )
     return np.random.default_rng(int.from_bytes(h.digest(), "big"))
+
+
+# ---- batched fingerprint kernels (round 4) -------------------------------
+# The per-row helpers above cost ~0.5 ms/row in Python/numpy call
+# overhead; at corpus scale the fingerprint stage (the pipeline's one
+# content scan and its Amdahl floor) is dominated by it.  These kernels
+# process a WHOLE batch as one concatenated byte stream: every doc's
+# bytes (padded to the widest shingle and separated by one space so
+# token runs cannot span docs) in one u64 array, one global prefix-sum
+# rolling hash, one OPH bin-min pass, one vectorized densification.
+# Hash values are bit-identical to the per-row path (pinned by
+# test_batched_fingerprint_kernels_parity).
+
+
+def concat_doc_bytes(views: list, pad_to: int = 12):
+    """[(uint8 view)…] → (concat u64 array, starts, orig lengths).
+    Each doc occupies ``max(L, pad_to) + 1`` slots: space-padded to the
+    widest shingle (the per-row rule pads short docs with 0x20) plus one
+    trailing space separator."""
+    n = len(views)
+    Ls = np.fromiter((v.size for v in views), dtype=np.int64, count=n)
+    Lp = np.maximum(Ls, pad_to) + 1
+    total = int(Lp.sum())
+    buf = np.full(total, 32, dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(Lp)[:-1]]).astype(np.int64)
+    for i, v in enumerate(views):
+        if v.size:
+            buf[starts[i]: starts[i] + v.size] = v
+    return buf.astype(_U64), starts, Ls
+
+
+def _global_window_hashes(arr: np.ndarray, k: int) -> np.ndarray:
+    """All k-window polynomial hashes over the concatenated stream
+    (identical values to :func:`_rolling_window_hashes` at every
+    position — the hash is position-independent)."""
+    return _rolling_window_hashes(arr, k)
+
+
+def doc_shingle_window_mask(
+    total: int, starts: np.ndarray, Ls: np.ndarray, k: int
+):
+    """(valid-window mask over the global position axis, per-doc window
+    counts) — marks positions whose k-window lies inside one doc
+    (incl. its space padding; excl. the trailing separator).  Built
+    with one slice-assign per DOC, never per element."""
+    W = np.where(Ls == 0, 0, np.maximum(Ls, k) - k + 1)
+    mask = np.zeros(total, dtype=bool)
+    for i in range(len(starts)):
+        w = int(W[i])
+        if w:
+            mask[starts[i]: starts[i] + w] = True
+    return mask, W
+
+
+def token_stream(arr: np.ndarray, starts: np.ndarray, n_docs: int):
+    """Token hashes over the concatenated stream (separators: space /
+    \\t / \\n / \\r — doc pads and the trailing separator are spaces, so
+    runs never span docs) → (hash stream, doc index per token,
+    per-doc token counts).  Values identical to
+    :func:`token_hashes_u64` (position-independent segment hash)."""
+    n = arr.size
+    old = np.seterr(over="ignore")
+    try:
+        is_sep = (arr == 32) | (arr == 10) | (arr == 9) | (arr == 13)
+        tok = ~is_sep
+        t_starts = np.flatnonzero(tok & ~np.concatenate([[False], tok[:-1]]))
+        t_ends = np.flatnonzero(tok & ~np.concatenate([tok[1:], [False]])) + 1
+        counts = np.zeros(n_docs, dtype=np.int64)
+        if t_starts.size == 0:
+            return np.empty(0, dtype=_U64), np.empty(0, dtype=np.int64), counts
+        qpow = _powers(_POLY_BASE, n + 1, "q")
+        qinv = _powers(_POLY_INV, n + 1, "qinv")
+        C = np.cumsum(arr * qinv[:n], dtype=_U64)
+        seg = C[t_ends - 1] - np.where(t_starts > 0, C[t_starts - 1], _U64(0))
+        h = splitmix64(seg * qpow[t_starts] + (t_ends - t_starts).astype(_U64))
+        doc_of = np.searchsorted(starts, t_starts, side="right") - 1
+        np.add.at(counts, doc_of, 1)
+        return h, doc_of, counts
+    finally:
+        np.seterr(**old)
+
+
+def oph_minhash_batch(
+    h_stream: np.ndarray,
+    doc_of: np.ndarray,
+    n_docs: int,
+    num_perm: int,
+    seed: int = 0,
+    mask: np.ndarray | None = None,
+) -> np.ndarray:
+    """(n_docs, num_perm) OPH signatures for a whole batch in three
+    vector passes: seed-mix, global bin-min (``np.minimum.at`` over
+    doc*num_perm+bin), and a fully vectorized rotation densification
+    (suffix-min next-filled per row).  Lane values identical to
+    :func:`oph_minhash`.
+
+    ``mask``: optional validity mask aligned with ``h_stream`` — masked
+    positions are NEUTRALIZED in place of gathered out (their value
+    becomes the empty-lane sentinel, which can never win a min), so the
+    whole pipeline runs gather-free."""
+    shift = _U64(64 - int(num_perm).bit_length() + 1)
+    assert (1 << int(64 - int(shift))) == num_perm, "num_perm must be 2^k"
+    old = np.seterr(over="ignore")
+    try:
+        sig = np.full(n_docs * num_perm, _MASK64, dtype=_U64)
+        if h_stream.size:
+            h = splitmix64(h_stream + _U64(seed) * _U64(0x9E3779B97F4A7C15))
+            if mask is not None:
+                # sentinel never beats a real min; its bin (127, the
+                # all-ones top bits) simply stays "empty" if nothing
+                # real lands there — exactly the per-row semantics
+                h = np.where(mask, h, _MASK64)
+            bins = doc_of * num_perm + (h >> shift).astype(np.int64)
+            np.minimum.at(sig, bins, h)
+        sig = sig.reshape(n_docs, num_perm)
+        empty = sig == _MASK64
+        need = empty.any(axis=1) & ~empty.all(axis=1)
+        if need.any():
+            sub = sig[need]
+            emp = empty[need]
+            P = num_perm
+            lane = np.arange(P, dtype=np.int64)
+            fidx = np.where(~emp, lane[None, :], 2 * P)
+            nxt = np.minimum.accumulate(fidx[:, ::-1], axis=1)[:, ::-1]
+            first = fidx.min(axis=1)
+            src = np.where(nxt < 2 * P, nxt, first[:, None] + P)
+            d = (src - lane[None, :]).astype(_U64)
+            gathered = np.take_along_axis(sub, (src % P), axis=1)
+            borrowed = splitmix64(gathered + d)
+            sig[need] = np.where(emp, borrowed, sub)
+        return sig
+    finally:
+        np.seterr(**old)

@@ -410,3 +410,53 @@ def test_detect_lang_batch_parity():
     got = detect_lang_batch(s).tolist()
     exp = [detect_lang(t or "") for t in texts]
     assert got == exp
+
+
+def test_batched_fingerprint_kernels_parity():
+    """The r4 batched sketch kernels (concat stream + gather-free OPH)
+    must produce BIT-IDENTICAL lanes to the per-row helpers on
+    adversarial docs: empty, sub-shingle-width, padded-boundary,
+    whitespace-mix, long."""
+    import numpy as np
+
+    from address_parser_ray.functions.hashing import (
+        _global_window_hashes,
+        char_shingle_hashes_u64,
+        concat_doc_bytes,
+        doc_shingle_window_mask,
+        oph_minhash,
+        oph_minhash_batch,
+        splitmix64,
+        token_hashes_u64,
+        token_stream,
+    )
+
+    rng = np.random.default_rng(3)
+    words = ["spark", "the", "agg", "window", "a"]
+    docs = ["", "a", "abcdefghijk", "abcdefghijkl", "x" * 500,
+            "  leading and trailing  ", "tab\tand\nnewline\rmix"]
+    docs += [
+        " ".join(rng.choice(words, size=int(rng.integers(0, 40))))
+        for _ in range(120)
+    ]
+    views = [np.frombuffer(d.encode(), dtype=np.uint8) for d in docs]
+    n = len(views)
+    concat, starts, Ls = concat_doc_bytes(views, pad_to=12)
+    doc_by_pos = np.repeat(np.arange(n), np.maximum(Ls, 12) + 1)
+    H12 = splitmix64(_global_window_hashes(concat, 12))
+    m12, _ = doc_shingle_window_mask(H12.size, starts, Ls, 12)
+    mh_b = oph_minhash_batch(H12, doc_by_pos[: H12.size], n, 128, 42, mask=m12)
+    H4 = splitmix64(_global_window_hashes(concat, 4))
+    m4, _ = doc_shingle_window_mask(H4.size, starts, Ls, 4)
+    fmh_b = oph_minhash_batch(H4, doc_by_pos[: H4.size], n, 128, 55, mask=m4)
+    th, tdoc, ntok_b = token_stream(concat, starts, n)
+    tmh_b = oph_minhash_batch(th, tdoc, n, 64, 49)
+    for i in range(n):
+        arr = views[i].astype(np.uint64)
+        sh12 = char_shingle_hashes_u64(arr, 12, unique=False)
+        sh4 = char_shingle_hashes_u64(arr, 4, unique=False)
+        tk, nt = token_hashes_u64(arr, unique=False)
+        assert np.array_equal(mh_b[i], oph_minhash(sh12, 128, 42)), i
+        assert np.array_equal(fmh_b[i], oph_minhash(sh4, 128, 55)), i
+        assert np.array_equal(tmh_b[i], oph_minhash(tk, 64, 49)), i
+        assert ntok_b[i] == nt, i
