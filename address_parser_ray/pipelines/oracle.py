@@ -5262,3 +5262,95 @@ SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
        CAST(residual_b AS BIGINT) AS residual_b
 FROM resid ORDER BY doc_a, doc_b"""
 )
+
+# Bigram-LM rarity score: corpus bigram counts + per-doc integer mean
+# rarity; tokens follow the pinned trim/regexp_split rule (one empty
+# token for the empty string => no bigrams => sentinel -1).
+ORACLE_SQL["bigram_lm_score"] = r"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS w
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, lang,
+               w[i] || chr(31) || w[i + 1] AS b
+        FROM (SELECT doc_id, lang, w,
+                     unnest(generate_series(1, len(w) - 1)) AS i
+              FROM tok)
+    ), cnt AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1
+    ), sc AS (
+        SELECT bg.doc_id, bg.lang,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(1000000 // (1 + cnt.n)) // count(*) AS BIGINT)
+                   AS score_ppm
+        FROM bg JOIN cnt ON cnt.b = bg.b
+        GROUP BY 1, 2
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(sc.score_ppm, -1) AS BIGINT) AS score_ppm
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""
+
+# Bloom membership sketch: 2^16-bit / k=4 double-hashing filter over the
+# benchmark slice's token 5-grams; hits where ALL 4 positions are set.
+# h1 = md5[:15] % 2^16, h2 = md5[15:30] % (2^16 - 1) + 1.
+ORACLE_SQL["bloom_contamination"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS tl
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(tl, i, i + 4), ' ') AS g
+        FROM toks, unnest(range(1, greatest(len(tl) - 3, 1))) AS t(i)
+        WHERE len(tl) >= 5
+    ), gh AS (
+        SELECT g,
+               CAST(list_reduce(
+                   list_transform(
+                       split(substr(md5(g), 1, 15), ''),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
+                   (a, b) -> a * 16 + b) % 65536 AS BIGINT) AS h1,
+               CAST(list_reduce(
+                   list_transform(
+                       split(substr(md5(g), 16, 15), ''),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
+                   (a, b) -> a * 16 + b) % 65535 + 1 AS BIGINT) AS h2
+        FROM (SELECT DISTINCT g FROM grams)
+    ), bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    ), bits AS (
+        SELECT DISTINCT (gh.h1 + i * gh.h2) % 65536 AS bit
+        FROM gh JOIN bench USING (g),
+             unnest(range(0, 4)) AS k(i)
+    ), probe AS (
+        SELECT gr.doc_id, gr.g,
+               count(b.bit) = 4 AS bloom_hit
+        FROM grams gr
+        JOIN gh USING (g)
+        CROSS JOIN unnest(range(0, 4)) AS k(i)
+        LEFT JOIN bits b ON b.bit = (gh.h1 + i * gh.h2) % 65536
+        GROUP BY 1, 2
+    ), per_doc AS (
+        SELECT p.doc_id,
+               bool_or(p.bloom_hit) AS bloom,
+               bool_or(p.bloom_hit AND bn.g IS NOT NULL) AS exact
+        FROM probe p LEFT JOIN bench bn ON bn.g = p.g
+        GROUP BY 1
+    ), lang_panel AS (
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN pd.bloom THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bloom_flagged,
+               CAST(sum(CASE WHEN pd.exact THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_contaminated
+        FROM documents d LEFT JOIN per_doc pd ON pd.doc_id = d.doc_id
+        GROUP BY 1
+    )
+    SELECT lang, n_docs, n_bloom_flagged, n_contaminated,
+           n_bloom_flagged - n_contaminated AS n_false_pos,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS filter_bits_set
+    FROM lang_panel ORDER BY lang
+"""

@@ -3111,6 +3111,205 @@ def q_contamination_5gram(sf_dir: str):
 _REP_N = 3  # n-gram order for the repetition signal
 
 
+_BLOOM_M = 1 << 16   # bits
+_BLOOM_K = 4         # hash functions (Kirsch-Mitzenmacher double hashing)
+
+
+def q_bloom_contamination(sf_dir: str):
+    """Bloom-filter decontamination — the MEMBERSHIP sketch beside the
+    repo's Count-Min (point counts), KMV (distinct), MG (heavy
+    hitters), HLL (cardinality) and HDR (quantiles): the benchmark
+    slice's token 5-grams (``doc_id % 97 == 0``, as
+    ``contamination_5gram``) populate an m=2^16-bit / k=4 Bloom filter
+    (Kirsch-Mitzenmacher double hashing off one 60-bit md5 fold —
+    h_i = (h1 + i*h2) mod m), and every corpus doc probes it.  A Bloom
+    hit is ONE-SIDED: every truly contaminated doc is flagged; clean
+    docs can false-positive, and the panel REPORTS that error by
+    carrying the exact verdict next to the sketch verdict — per lang:
+    docs, bloom-flagged, exactly-contaminated, false positives, and
+    the filter's fill (set bits). At 100 TB the 8 KB filter broadcasts
+    where the exact gram set (GBs) cannot — that is the point of the
+    sketch; integer-exact in both engines."""
+    import hashlib
+
+    def grams_of(text) -> list:
+        toks = _ws_tokens(text)
+        return [
+            " ".join(toks[i: i + _CONTAM_N])
+            for i in range(len(toks) - _CONTAM_N + 1)
+        ]
+
+    def h12(g: str) -> tuple[int, int]:
+        d = hashlib.md5(g.encode()).hexdigest()
+        return int(d[:15], 16) % _BLOOM_M, (int(d[15:30], 16) % (_BLOOM_M - 1)) + 1
+
+    # benchmark slice is small BY DEFINITION: per-batch partial bit
+    # sets union on the driver (≤ 8 KB each), filter broadcasts once
+    def bench_bits(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df[(df["doc_id"] % _CONTAM_MOD) == 0]
+        bits: set[int] = set()
+        grams: set[str] = set()
+        for t in sel["text"]:
+            for g in grams_of(t):
+                grams.add(g)
+                h1, h2 = h12(g)
+                for i in range(_BLOOM_K):
+                    bits.add((h1 + i * h2) % _BLOOM_M)
+        return pd.DataFrame(
+            {"bit": sorted(bits), "g": [None] * len(bits)}
+        ) if False else pd.DataFrame(
+            {"kind": ["b"] * len(bits) + ["g"] * len(grams),
+             "val": [str(x) for x in sorted(bits)] + sorted(grams)}
+        )
+
+    parts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(bench_bits, batch_format="pandas")
+        .to_pandas()
+    )
+    bits = np.zeros(_BLOOM_M, dtype=bool)
+    bset = parts[parts["kind"] == "b"]["val"].astype(int).to_numpy()
+    bits[bset] = True
+    exact_grams = frozenset(parts[parts["kind"] == "g"]["val"])
+    state = ray.put((bits, exact_grams))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        bv, eg = ray.get(state)
+        rows = []
+        for lang, doc_id, t in zip(df["lang"], df["doc_id"], df["text"]):
+            gs = grams_of(t)
+            bloom_hit = False
+            exact_hit = False
+            for g in gs:
+                h1, h2 = h12(g)
+                if all(bv[(h1 + i * h2) % _BLOOM_M] for i in range(_BLOOM_K)):
+                    bloom_hit = True
+                    if g in eg:
+                        exact_hit = True
+                        break
+            if bloom_hit and not exact_hit:
+                exact_hit = any(g in eg for g in gs)
+            rows.append((lang, bloom_hit, exact_hit))
+        g = pd.DataFrame(rows, columns=["lang", "bloom", "exact"]).groupby(
+            "lang", sort=False, as_index=False
+        ).agg(
+            pn=("bloom", "size"),
+            pb=("bloom", "sum"),
+            pe=("exact", "sum"),
+        )
+        for c in ("pn", "pb", "pe"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    n_set = np.int64(bits.sum())
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n_docs": np.array([g["pn"].sum()], dtype=np.int64),
+                "n_bloom_flagged": np.array([g["pb"].sum()], dtype=np.int64),
+                "n_contaminated": np.array([g["pe"].sum()], dtype=np.int64),
+                "n_false_pos": np.array(
+                    [g["pb"].sum() - g["pe"].sum()], dtype=np.int64
+                ),
+                "filter_bits_set": np.array([n_set], dtype=np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(probe, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_bigram_lm_score(sf_dir: str):
+    """Bigram-LM quality proxy — the CCNet/Gopher-style "perplexity
+    filter" in a log-free integer form: train corpus-wide token-BIGRAM
+    counts, then score every doc by the mean RARITY of its bigrams,
+    ``score_ppm = (Σ_i 1e6 // (1 + count(bigram_i))) // n_bigrams`` —
+    high score = built from rare transitions (noise / boilerplate-free
+    garble), low = fluent under the corpus LM. Pure integers both
+    engines, so the filter threshold is hash-exact (a float log-prob
+    would differ in ULPs).
+
+    Shape (the "train on statistics, not rows" discipline): one pass
+    emits per-batch (bigram, partial count) — the shuffle is bounded by
+    the BIGRAM VOCABULARY, not the corpus; one single-key combine; the
+    count panel broadcasts via ``ray.put`` below
+    ``_BIGRAM_BROADCAST_MAX`` distinct bigrams (50M ≈ 1.2 GB of
+    16-byte digests+counts — at web scale the scoring pass becomes a
+    bigram-hash bucketed join, same panel), and the scoring pass
+    re-streams the corpus against it. Whitespace tokens use the pinned
+    ``_ws_tokens`` DuckDB-parity rule. Output per doc:
+    (doc_id, lang, n_bigrams, score_ppm); docs with no bigram score
+    -1 (sentinel, distinct from a real 0)."""
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def bigrams_of(text) -> list:
+        toks = _ws_tokens(text)
+        return [
+            toks[i] + "\x1f" + toks[i + 1] for i in range(len(toks) - 1)
+        ]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in df["text"]:
+            c.update(bigrams_of(t))
+        return pd.DataFrame(
+            {"bg": list(c.keys()),
+             "pn": np.fromiter(c.values(), dtype=np.int64, count=len(c))}
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("bg")
+        .aggregate(Sum("pn", alias_name="n"))
+        .materialize()
+    )
+    n_distinct = counts.count()
+    if n_distinct > _BIGRAM_BROADCAST_MAX:
+        raise NotImplementedError(
+            "bigram vocabulary exceeds the broadcast gate — route the "
+            "scoring pass through the bigram-hash bucketed join"
+        )
+    cmap: dict = {}
+    for b in counts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        cmap.update(zip(b["bg"].to_pylist(), b["n"].to_pylist()))
+    cref = ray.put(cmap)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(cref)
+        n_bg = np.empty(len(df), dtype=np.int64)
+        sc = np.empty(len(df), dtype=np.int64)
+        for i, t in enumerate(df["text"]):
+            bgs = bigrams_of(t)
+            n_bg[i] = len(bgs)
+            if not bgs:
+                sc[i] = -1
+                continue
+            sc[i] = sum(1_000_000 // (1 + m[b]) for b in bgs) // len(bgs)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "lang": df["lang"],
+                "n_bigrams": n_bg,
+                "score_ppm": sc,
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+#: distinct bigrams at or below which the count panel broadcasts; above
+#: it the scoring join must bucket by bigram hash (raise documented).
+_BIGRAM_BROADCAST_MAX = 50_000_000
+
+
 def q_repetition_stats(sf_dir: str):
     """Within-doc repetition signal (the Gopher-style duplicate n-gram
     fraction): per doc, total vs distinct token 3-gram counts — a high
@@ -15091,6 +15290,8 @@ QUERIES = {
     "packed_shard_stats": q_packed_shard_stats,
     "contamination_5gram": q_contamination_5gram,
     "repetition_stats": q_repetition_stats,
+    "bigram_lm_score": q_bigram_lm_score,
+    "bloom_contamination": q_bloom_contamination,
     "props_k_stats": q_props_k_stats,
     "pivot_event_hours": q_pivot_event_hours,
     "embedding_centroids": q_embedding_centroids,

@@ -45,6 +45,8 @@ SQL_CHECKED = [
     "block_size_histogram",
     "canopy_clusters",
     "residual_tokens",
+    "bigram_lm_score",
+    "bloom_contamination",
     "exact_dedup_groups",
     "lang_counts",
     "doc_stats_by_lang",
