@@ -5354,3 +5354,21 @@ ORACLE_SQL["bloom_contamination"] = r"""
            (SELECT CAST(count(*) AS BIGINT) FROM bits) AS filter_bits_set
     FROM lang_panel ORDER BY lang
 """
+
+# Integer A-ES weighted sample: rank = md5_60bit('wrs:'||doc_id) //
+# max(n_chars, 1), ascending top-K with doc_id tie-break.
+ORACLE_SQL["size_weighted_sample"] = """
+    WITH r AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(list_reduce(
+                   list_transform(
+                       split(substr(md5('wrs:' || doc_id), 1, 15), ''),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1
+                                 AS HUGEINT)),
+                   (a, b) -> a * 16 + b)
+                   // greatest(n_chars, 1) AS BIGINT) AS rank
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, rank
+    FROM r ORDER BY rank, doc_id LIMIT 25
+"""

@@ -2484,7 +2484,10 @@ def q_er_quality(sf_dir: str):
     )
     from address_parser_ray.sources import read_corpus
 
-    out_dir = "/tmp/apr_qgen_corpus"
+    # param-suffixed cache dir: runs with identical params produce
+    # byte-identical corpora (deterministic generator), so reuse is
+    # safe and differently-configured runs cannot collide
+    out_dir = "/tmp/apr_qgen_corpus_s200_v6"
     corpus_dir, labels_dir = write_corpus_ray(out_dir, n_seeds=200, variants_per_seed=6)
     res = dedup_pipeline(read_corpus(corpus_dir))
     assign = res.assignments.to_pandas()
@@ -3109,6 +3112,53 @@ def q_contamination_5gram(sf_dir: str):
 
 
 _REP_N = 3  # n-gram order for the repetition signal
+
+
+_WRS_K = 25  # sample size
+
+
+def q_size_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement — the curation op behind
+    length-balanced subset selection (big docs proportionally likelier,
+    not certain): the integer form of A-ES priority sampling
+    (Efraimidis & Spirakis 2006 use rank = u^(1/w); here rank =
+    h // w with h a 60-bit md5 uniform — the same weight-monotone
+    ordering in pure integers, so selection is hash-exact across
+    engines and cluster sizes).  Top-``_WRS_K`` docs by ascending rank
+    (ties → doc_id) with weight = n_chars.
+
+    Shape: per-batch local top-k partials (k rows per batch cross the
+    exchange, never the corpus), one driver-side head — the same
+    bounded-shuffle discipline as ``top_docs``.  Full SQL oracle
+    (row_number over the same integer rank)."""
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = np.maximum(df["n_chars"].to_numpy(np.int64), 1)
+        h = np.array(
+            [
+                int(hashlib.md5(f"wrs:{d}".encode()).hexdigest()[:15], 16)
+                for d in df["doc_id"]
+            ],
+            dtype=np.int64,
+        )
+        rank = h // w
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "lang": df["lang"],
+                "n_chars": df["n_chars"].astype(np.int64),
+                "rank": rank,
+            }
+        )
+        return out.nsmallest(_WRS_K, ["rank", "doc_id"])
+
+    return (
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pandas")
+        .sort(["rank", "doc_id"])
+        .limit(_WRS_K)
+    )
 
 
 _BLOOM_M = 1 << 16   # bits
@@ -15154,7 +15204,7 @@ def q_pr_curve(sf_dir: str):
     from address_parser_ray.pipelines.dedup import dedup_pipeline
     from address_parser_ray.sources import read_corpus
 
-    out_dir = "/tmp/apr_qgen_corpus_pr"
+    out_dir = "/tmp/apr_qgen_corpus_pr_s200_v6"
     corpus_dir, labels_dir = write_corpus_ray(
         out_dir, n_seeds=200, variants_per_seed=6
     )
@@ -15292,6 +15342,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "bigram_lm_score": q_bigram_lm_score,
     "bloom_contamination": q_bloom_contamination,
+    "size_weighted_sample": q_size_weighted_sample,
     "props_k_stats": q_props_k_stats,
     "pivot_event_hours": q_pivot_event_hours,
     "embedding_centroids": q_embedding_centroids,

@@ -47,6 +47,7 @@ SQL_CHECKED = [
     "residual_tokens",
     "bigram_lm_score",
     "bloom_contamination",
+    "size_weighted_sample",
     "exact_dedup_groups",
     "lang_counts",
     "doc_stats_by_lang",
