@@ -5516,20 +5516,25 @@ def q_pagerank_ranks(sf_dir: str, _gate_bytes: int = 64 << 20):
                     }
                 )
 
-            panel = (
-                edges_deg.map_batches(
-                    contribs, batch_format="pyarrow", zero_copy_batch=True
-                )
-                .groupby("node")
-                .aggregate(Sum("c", alias_name="csum"))
-                .to_pandas()
-            )
-            nodes = panel["node"].to_numpy(np.int64)
-            order = np.argsort(nodes)
-            nodes = nodes[order]
-            vals = (
-                _PR_BASE + panel["csum"].to_numpy(np.int64)[order]
-            )
+            # the contrib stream is ALREADY per-dst pre-aggregated per
+            # block, so the combine input is ≤ blocks × nodes rows —
+            # node-sized. A per-key groupby(node).aggregate here is the
+            # measured Ray 2.49 sort-aggregate trap (the former path:
+            # 3 iterations × ~15 s of shuffle for an 11k-node panel);
+            # fold the partials with one driver-side searchsorted pass
+            # instead (same discipline as the k-means seeding panel).
+            nparts_list, cparts = [], []
+            for b in edges_deg.map_batches(
+                contribs, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+                nparts_list.append(np.asarray(b["node"], dtype=np.int64))
+                cparts.append(np.asarray(b["c"], dtype=np.int64))
+            allnodes = np.concatenate(nparts_list)
+            allc = np.concatenate(cparts)
+            nodes = np.unique(allnodes)
+            sums = np.zeros(nodes.size, dtype=np.int64)
+            np.add.at(sums, np.searchsorted(nodes, allnodes), allc)
+            vals = _PR_BASE + sums
             rank_ref = ray.put((nodes, vals))
         return pa.table(
             {
@@ -9416,6 +9421,42 @@ def q_kcore_nodes(sf_dir: str, _gate_bytes: int = _KCORE_BROADCAST_GATE):
         .materialize()
     )
 
+    if edges.size_bytes() <= _gate_bytes:
+        # driver peel under the byte gate: the loop's cost on a small
+        # panel is EXECUTION COUNT, not data — the former per-round
+        # count()/groupby/materialize chain paid ~30 Ray executions
+        # (~20 s of fixed overhead at sf0.1 for a graph that fits in
+        # one numpy array). Same monotone peel, vectorized: dense-index
+        # nodes, bincount degrees, boolean survivor masks. The
+        # distributed path below stays the above-gate fallback
+        # (identical output — same fixpoint, pinned by the oracle).
+        us, vs = [], []
+        for b in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            us.append(np.asarray(b["u"], dtype=np.int64))
+            vs.append(np.asarray(b["v"], dtype=np.int64))
+        u = np.concatenate(us) if us else np.array([], dtype=np.int64)
+        v = np.concatenate(vs) if vs else np.array([], dtype=np.int64)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = inv[: u.size], inv[u.size:]
+        alive_edges = np.ones(u.size, dtype=bool)
+        for _ in range(_KCORE_ROUNDS):
+            if not alive_edges.any():
+                break
+            deg = np.bincount(ui[alive_edges], minlength=nodes.size)
+            keep_node = deg >= _KCORE_K
+            new_alive = alive_edges & keep_node[ui] & keep_node[vi]
+            if new_alive.sum() == alive_edges.sum():
+                break  # fixpoint
+            alive_edges = new_alive
+        deg = np.bincount(ui[alive_edges], minlength=nodes.size)
+        sel = np.flatnonzero(deg > 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(nodes[sel]),
+                "core_deg": pa.array(deg[sel].astype(np.int64)),
+            }
+        )
+
     for _ in range(_KCORE_ROUNDS):
         n_edges = edges.count()
         if n_edges == 0:
@@ -11551,8 +11592,8 @@ def q_cluster_medoids(sf_dir: str):
     )
     tids = np.asarray(texts["doc_id"], dtype=np.int64)
     torder = np.argsort(tids)
-    norms_sorted = [texts["norm"].to_pylist()[i] for i in torder]
-    texts_ref = ray.put((tids[torder], norms_sorted))
+    norms = texts["norm"].to_pylist()
+    texts_ref = ray.put((tids[torder], [norms[i] for i in torder]))
 
     def medoid(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["record_id"].to_numpy(np.int64))
