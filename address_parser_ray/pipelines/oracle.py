@@ -4703,11 +4703,14 @@ def _build_flagship_lsh_sql(tail: str | None = None) -> str:
     1. No hot-key salting and no per-block pair-cap truncation
        (``probe_hot_keys`` = {} and band multiplicity ≤ 91 — caps are
        record_id(blake2b)-ordered, not SQL-recomputable).
-    2. Representative choice: oracle picks min doc_id per sha; engine
-       picks min record_id.  Same-sha members share every sketch, so
-       rep choice can only matter through path/lang scoring inputs —
-       there are no duplicate-sha groups at oracle scale (and langs are
-       constant within groups in this testdata).
+    2. Representative election is recomputed EXACTLY: the engine's r4
+       rule is min (md5(repo || 0x1f || path), record order) per sha —
+       a pure function of the natural key, chosen precisely so this
+       oracle can mirror it (sf0.1 has same-sha groups whose members
+       differ in lang, which feeds the P4 rule; blake2b record-id
+       order was not SQL-expressible).  The record_id tie-break only
+       fires for identical (repo, path) across commits — impossible in
+       the documents corpus, whose paths embed doc_id.
     3. ``jaro_winkler_similarity`` (DuckDB, boost-threshold 0.7) equals
        the engine's unconditional-boost JW (``functions/similarity.py``)
        because candidate paths share the ≥4-char "docs" prefix, so
@@ -4793,6 +4796,7 @@ CREATE OR REPLACE MACRO sm64(x) AS smz3(smz2(smz1((CAST(x AS HUGEINT) + 11400714
 WITH RECURSIVE base AS (
   SELECT doc_id, lang,
          'docs/doc_' || doc_id || '.txt' AS path,
+         source || chr(31) || 'docs/doc_' || doc_id || '.txt' AS repo_key,
          length(COALESCE(text, '')) AS n_chars,
          sha256(COALESCE(text, '')) AS sha
   FROM documents
@@ -4809,12 +4813,17 @@ WITH RECURSIVE base AS (
       '\\s+', ' ', 'g'))) AS t0
   FROM documents
 ), reps AS (
-  -- exact-dedup representatives: min doc id per full content sha.
-  -- (engine reps are min record_id = blake2b order; rep CHOICE only
-  -- affects path/lang scoring inputs, identical-content members are
-  -- interchangeable for sketches — see docstring assumptions)
+  -- exact-dedup representatives: the ENGINE's r4 rule, recomputed —
+  -- rep = min (rep_key, doc order) per content sha, where rep_key =
+  -- md5(repo || 0x1f || path) is a pure function of the natural key.
+  -- (Same-sha members share every sketch but may differ in lang/path,
+  -- which feed the P4 rule and the JW term — sf0.1 exposed exactly
+  -- this, so rep election must match bit-for-bit.)
   SELECT b.doc_id, b.lang, b.path, b.n_chars, b.sha,
-         min(b.doc_id) OVER (PARTITION BY b.sha) AS rep_doc
+         first_value(b.doc_id) OVER (
+             PARTITION BY b.sha
+             ORDER BY md5(b.repo_key), b.doc_id
+         ) AS rep_doc
   FROM base b
 ), pad12 AS (
   SELECT doc_id,

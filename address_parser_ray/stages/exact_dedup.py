@@ -3,7 +3,12 @@
 Reference analogue: first-wins signature dedup
 (``ner/build_standard_dataset.py:949-965`` ``seen_sequences``), made
 deterministic under parallelism by replacing "first wins" with
-"min(record_id) wins" (SURVEY.md §4 determinism note).
+"min (rep_key, record_id) wins" — rep_key = md5 of the natural key
+(repo, path), a pure function of record identity that the DuckDB
+oracles recompute (blake2b record-id order is not SQL-expressible;
+round 4 made rep election engine-independent after sf0.1 exposed
+same-sha groups whose members carry different lang metadata, where the
+rep's lang feeds the P4 scorer rule).
 
 One ``groupby(content_sha256)`` shuffle. Output keeps EVERY row and adds
 ``rep_id`` (the group's min 128-bit record_id); downstream:
@@ -52,11 +57,16 @@ def _sha_bucket(col, n_buckets: int) -> np.ndarray:
 
 def _tag_reps_bucket(group: pa.Table) -> pa.Table:
     """Vectorized rep-tagging for one hash bucket of sha groups: sort by
-    (sha, record_id), min id of each run becomes the run's rep.
+    (sha, rep_key, record_id), first of each run becomes the run's rep.
     One Python call per BUCKET, not per sha (a per-group ``map_groups``
     costs one call per distinct content hash — millions at scale)."""
     idx = pc.sort_indices(
-        group, sort_keys=[("content_sha256", "ascending"), ("record_id", "ascending")]
+        group,
+        sort_keys=[
+            ("content_sha256", "ascending"),
+            ("rep_key", "ascending"),
+            ("record_id", "ascending"),
+        ],
     )
     g = group.take(idx)
     if "bucket" in g.column_names:
@@ -67,7 +77,7 @@ def _tag_reps_bucket(group: pa.Table) -> pa.Table:
         return g.append_column("rep_id", pa.array([], type=pa.binary()))
     new_run = np.concatenate([[True], sha[1:] != sha[:-1]])
     run_id = np.cumsum(new_run) - 1
-    rep = ids[new_run][run_id]  # first (=min) id of each run
+    rep = ids[new_run][run_id]  # first (= min rep_key) of each run
     return g.append_column("rep_id", pack_ids(rep))
 
 
@@ -102,12 +112,13 @@ def exact_dedup_stage(fingerprints, num_partitions: int | None = None,
             {
                 "record_id": t["record_id"],
                 "content_sha256": t["content_sha256"],
+                "rep_key": t["rep_key"],
                 "bucket": pa.array(_sha_bucket(t["content_sha256"], n_buckets)),
             }
         )
 
     dup_pairs = (
-        fingerprints.select_columns(["record_id", "content_sha256"])
+        fingerprints.select_columns(["record_id", "content_sha256", "rep_key"])
         .map_batches(add_bucket_light, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_dup_pairs_bucket, batch_format="pyarrow")

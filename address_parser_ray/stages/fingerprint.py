@@ -58,6 +58,14 @@ def fingerprint_schema(cfg: PipelineConfig) -> pa.Schema:
             ("lang", pa.string()),
             ("basename", pa.string()),
             ("content_sha256", pa.string()),
+            # deterministic representative-election priority: md5 of the
+            # natural key (repo, path) — a pure function of the record's
+            # identity that ANY engine (incl. the DuckDB oracle) can
+            # recompute, unlike blake2b record-id order. Same-sha groups
+            # elect rep = min (rep_key, record_id); the record_id
+            # tie-break only fires when two records share (repo, path)
+            # across commits (never at oracle scale, documented).
+            ("rep_key", pa.string()),
             ("n_chars", pa.int64()),
             ("n_tokens", pa.int64()),
             # signatures are packed little-endian u64 bytes: binary survives
@@ -155,6 +163,12 @@ class Fingerprinter:
         repo = batch["repo"].to_pylist()
         path = batch["path"].to_pylist()
         commit = batch["commit"].to_pylist()
+        rep_key = [
+            hashlib.md5(
+                f"{repo[i] or ''}\x1f{path[i] or ''}".encode("utf-8")
+            ).hexdigest()
+            for i in range(len(repo))
+        ]
 
         want_mh = "minhash" in out
         want_tmh = "token_minhash" in out
@@ -297,6 +311,7 @@ class Fingerprinter:
             "basename": basename_arrow(batch["path"]),
             "n_chars": n_chars,
             "n_tokens": pa.array(n_tok),
+            "rep_key": pa.array(rep_key, type=pa.string()),
         }
         if want_sha:
             cols["content_sha256"] = pa.array(shas, type=pa.string())

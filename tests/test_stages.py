@@ -109,11 +109,21 @@ def test_exact_dedup_min_wins(ray_session):
     dd = exact_dedup_stage(fingerprint_stage(corpus, CFG)).materialize()
     df = dd.to_pandas()
     grp = df[df["content_sha256"] == df["content_sha256"].mode()[0]]
-    assert (grp["rep_id"] == grp["record_id"].min()).all()
+    # r4 rule: rep = min (rep_key = md5(repo\x1fpath), record_id) —
+    # a pure function of the natural key, recomputable by the oracles
+    import hashlib
+
+    want_rep = grp.loc[
+        grp["path"].map(
+            lambda p: hashlib.md5(f"r\x1f{p}".encode()).hexdigest()
+        ).idxmin(),
+        "record_id",
+    ]
+    assert (grp["rep_id"] == want_rep).all()
     assert representatives(dd).count() == 2
     edges = duplicate_edges(dd).to_pandas()
     assert len(edges) == 2
-    assert set(edges["dst"]) == {grp["record_id"].min()}
+    assert set(edges["dst"]) == {want_rep}
 
 
 def test_blocking_finds_same_seed_pairs(ray_session, fixture_corpus):
