@@ -102,14 +102,24 @@ def ids_np(col) -> np.ndarray:
     n = len(arr)
     if n == 0:
         return np.empty(0, dtype=ID_DTYPE)
-    if arr.null_count == 0 and not isinstance(arr.type, pa.lib.FixedSizeBinaryType):
-        offsets = np.frombuffer(
-            arr.buffers()[1], dtype=np.int32, count=n + 1, offset=arr.offset * 4
-        )
-        if offsets[-1] - offsets[0] == n * 16 and np.all(np.diff(offsets) == 16):
+    if arr.null_count == 0:
+        if pa.types.is_fixed_size_binary(arr.type) and arr.type.byte_width == 16:
             return np.frombuffer(
-                arr.buffers()[2], dtype=ID_DTYPE, count=n, offset=int(offsets[0])
+                arr.buffers()[1], dtype=ID_DTYPE, count=n, offset=arr.offset * 16
             )
+        if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+            # binary carries int32 offsets, large_binary int64 — read the
+            # right width so both types hit the zero-copy path
+            odt, ow = (
+                (np.int64, 8) if pa.types.is_large_binary(arr.type) else (np.int32, 4)
+            )
+            offsets = np.frombuffer(
+                arr.buffers()[1], dtype=odt, count=n + 1, offset=arr.offset * ow
+            )
+            if offsets[-1] - offsets[0] == n * 16 and np.all(np.diff(offsets) == 16):
+                return np.frombuffer(
+                    arr.buffers()[2], dtype=ID_DTYPE, count=n, offset=int(offsets[0])
+                )
     return np.array(
         [v if v is not None else b"\x00" * 16 for v in arr.to_pylist()],
         dtype=ID_DTYPE,

@@ -161,8 +161,8 @@ def q_lsh_cluster_assignments(sf_dir: str):
         rids, dids = ray.get(map_ref)
         r = ids_np(t["record_id"])
         c = ids_np(t["cluster_id"])
-        pr = np.searchsorted(rids, r)
-        pc = np.searchsorted(rids, c)
+        pr = np.clip(np.searchsorted(rids, r), 0, len(rids) - 1)
+        pc = np.clip(np.searchsorted(rids, c), 0, len(rids) - 1)
         if not ((rids[pr] == r).all() and (rids[pc] == c).all()):
             raise KeyError("assignment references record id not in corpus map")
         return pa.table(

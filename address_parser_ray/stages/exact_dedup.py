@@ -95,10 +95,12 @@ def exact_dedup_stage(fingerprints, num_partitions: int | None = None,
     """fingerprints Dataset → same rows + ``rep_id`` column.
 
     Two-phase to keep the wide signature columns OUT of the shuffle:
-    (1) a LIGHT (record_id, sha) projection is bucketed by sha prefix and
-    rep-tagged (rep = min(record_id) per sha — "first wins" made
-    deterministic, ``ner/build_standard_dataset.py:949-965``); only the
-    DUPLICATE rows come back.
+    (1) a LIGHT (record_id, sha, rep_key) projection is bucketed by sha
+    prefix and rep-tagged (rep = min ``(rep_key, record_id)`` per sha,
+    where rep_key = md5(repo, path) — the engine-independent,
+    SQL-recomputable "first wins" election of round 4; see
+    ``_tag_reps_bucket`` and ``ner/build_standard_dataset.py:949-965``);
+    only the DUPLICATE rows come back.
     (2) below ``broadcast_max_dups`` the dup→rep map broadcasts via
     ``ray.put`` and rep_id is attached with a per-batch dict lookup (no
     shuffle of the 1.5 KB/row fingerprint table at all); above it, the

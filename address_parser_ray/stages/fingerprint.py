@@ -218,8 +218,13 @@ class Fingerprinter:
             )
             n_tok = np.empty(n, dtype=np.int64)
             CHUNK_BYTES = 256 << 10
+            # pad to the LARGEST k any sketch on this path uses: a short
+            # doc padded only to shingle_k would let a fine_shingle_k >
+            # shingle_k window read past its slot into the separator /
+            # next doc while the window mask still marks it valid
+            pad_k = max(cfg.shingle_k, cfg.fine_shingle_k)
             lens = np.fromiter(
-                (max(v.size, cfg.shingle_k) + 1 for v in capped),
+                (max(v.size, pad_k) + 1 for v in capped),
                 dtype=np.int64,
                 count=n,
             )
@@ -232,10 +237,10 @@ class Fingerprinter:
                     hi += 1
                 m = hi - lo
                 concat, starts, Ls = concat_doc_bytes(
-                    capped[lo:hi], pad_to=cfg.shingle_k
+                    capped[lo:hi], pad_to=pad_k
                 )
                 doc_by_pos = np.repeat(
-                    np.arange(m, dtype=np.int64), np.maximum(Ls, cfg.shingle_k) + 1
+                    np.arange(m, dtype=np.int64), np.maximum(Ls, pad_k) + 1
                 )
                 if want_mh:
                     H12 = splitmix64(

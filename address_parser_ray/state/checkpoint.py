@@ -20,8 +20,10 @@ data moves through Ray's native URI readers/writers — the plumbing a
 real deployment needs on day one.  Plain paths keep the direct
 os/shutil fast path.  NOTE for object stores without atomic directory
 rename (S3): the ``.tmp`` → final rename is copy+delete under fsspec —
-still crash-safe (completeness is judged by ``_lineage.json`` presence,
-written last), just not instantaneous.
+still crash-safe because ``is_done`` additionally verifies every
+manifest-listed part file exists in the final dir (the copy is not
+atomic and fsspec copies in sorted order, so the sidecar can land
+before the data), just not instantaneous.
 """
 
 from __future__ import annotations
@@ -85,9 +87,10 @@ class Checkpointer:
 
     def _rename(self, src: str, dst: str) -> None:
         if self._fs:
-            # no atomic dir rename on object stores: copy+delete; safety
-            # still holds because _lineage.json (written LAST into src)
-            # is what marks a stage complete
+            # no atomic dir rename on object stores: copy+delete; the
+            # copy lands in sorted order so _lineage.json can precede
+            # the data files — is_done() compensates by verifying every
+            # manifest-listed part exists before declaring completeness
             self._fs.mv(src, dst, recursive=True)
         else:
             os.rename(src, dst)
@@ -131,10 +134,23 @@ class Checkpointer:
     def is_done(self, name: str) -> bool:
         if not self._exists(f"{self._dir(name)}/_lineage.json"):
             return False
+        lin = self.lineage(name) or {}
+        if self._fs is not None:
+            # fsspec rename is copy+delete (non-atomic) and copies in
+            # sorted order — '_lineage.json' sorts before the hex part
+            # names, so a crash mid-copy can leave the manifest present
+            # with data files missing.  Completeness therefore requires
+            # every manifest-listed part to exist, not just the sidecar.
+            d = self._dir(name)
+            try:
+                present = set(self._listdir(d))
+            except FileNotFoundError:
+                return False
+            if not set(lin.get("files", {})) <= present:
+                return False
         if self.context is None:
             return True
-        recorded = (self.lineage(name) or {}).get("context_key")
-        return recorded == self.context
+        return lin.get("context_key") == self.context
 
     def stage(self, name: str, fn) -> ray.data.Dataset:
         """Return the Dataset for ``name``, computing+persisting it only
