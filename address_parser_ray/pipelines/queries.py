@@ -8913,6 +8913,87 @@ def _mh_candidate_pairs(sf_dir: str):
     )
 
 
+_DOC_TEXTS_MEMO: dict = {}
+_DOC_TEXTS_GATE_ENV = "APR_DOC_TEXTS_BROADCAST_MAX_BYTES"
+
+
+def _norm_doc_texts_ds(sf_dir: str):
+    """Streaming (doc_id, norm) panel — every document normalized the
+    same way the diagnostics' shingle sets expect.  A Dataset, never
+    driver-collected by itself."""
+    from address_parser_ray.functions.normalize import normalize_content_arrow
+
+    def norm_texts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "norm": normalize_content_arrow(t["text"])}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        norm_texts, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _gated_doc_texts(sf_dir: str):
+    """Byte-GATED texts-by-id for the doc-id diagnostics — the
+    ``stages/rescore.py`` ``filter_texts_by_id`` discipline: returns
+    ``(texts_ref, texts_ds)`` with exactly one side set.
+
+    Below the gate (env ``APR_DOC_TEXTS_BROADCAST_MAX_BYTES``, default
+    ``DEFAULT_CONFIG.broadcast_feats_max_bytes``) the panel is collected
+    once, sorted by doc_id and broadcast via ``ray.put`` — each consumer
+    batch does one searchsorted lookup.  ABOVE the gate nothing
+    corpus-scale reaches the driver: ``texts_ds`` comes back instead and
+    consumers attach text through the bucketed ``pinned_join``
+    (``_attach_pair_texts`` / a record_id join).  Memoized per
+    (sf_dir, gate) — three diagnostics share the panel."""
+    import os
+
+    gate = int(
+        os.environ.get(_DOC_TEXTS_GATE_ENV)
+        or DEFAULT_CONFIG.broadcast_feats_max_bytes
+    )
+    key = (sf_dir, gate)
+    if key in _DOC_TEXTS_MEMO:
+        return _DOC_TEXTS_MEMO[key]
+    texts_ds = _norm_doc_texts_ds(sf_dir).materialize()
+    if texts_ds.size_bytes() <= gate:
+        tbl = pa.concat_tables(
+            texts_ds.iter_batches(batch_size=1 << 18, batch_format="pyarrow")
+        )
+        tids = np.asarray(tbl["doc_id"], dtype=np.int64)
+        order = np.argsort(tids)
+        norms = tbl["norm"].to_pylist()
+        out = (ray.put((tids[order], [norms[i] for i in order])), None)
+    else:
+        out = (None, texts_ds)
+    _DOC_TEXTS_MEMO[key] = out
+    return out
+
+
+def _attach_pair_texts(pairs, texts_ds):
+    """(id_a, id_b, …) pairs + (doc_id, norm) panel → pairs with
+    ``norm_a``/``norm_b`` attached via two bucketed ``pinned_join``s —
+    the above-gate path (text shuffles by id, bounded by the pair set;
+    nothing driver-side)."""
+    from address_parser_ray.rayutil import default_num_partitions
+
+    nparts = default_num_partitions()
+    j = pinned_join(
+        pairs,
+        project(texts_ds, {"doc_id": "doc_id", "norm": "norm_a"}),
+        on="id_a",
+        right_on="doc_id",
+        num_partitions=nparts,
+    )
+    return pinned_join(
+        j,
+        project(texts_ds, {"doc_id": "doc_id", "norm": "norm_b"}),
+        on="id_b",
+        right_on="doc_id",
+        num_partitions=nparts,
+    )
+
+
 def q_containment_pairs(sf_dir: str):
     """ASYMMETRIC containment join over the LSH candidate pairs — the
     quote/inclusion detector symmetric Jaccard misses (a file pasted
@@ -8922,47 +9003,36 @@ def q_containment_pairs(sf_dir: str):
     |A| over DISTINCT 8-gram shingle hash sets, reported in both
     directions (a = smaller doc_id). Candidate pairs come from the
     band-bucket run-length expansion (the triangles/cluster shape);
-    texts re-attach by id via a broadcast under the feats byte gate
-    (docs panel here) — at 100 TB the same pairs would re-join through
-    ``pinned_join`` like the rescore band. Full SQL oracle (distinct
-    shingle-hash sets recomputed in DuckDB)."""
+    texts re-attach by id through ``_gated_doc_texts``: a ``ray.put``
+    broadcast under the byte gate, the bucketed ``pinned_join``
+    (``_attach_pair_texts``) above it — the driver never holds
+    corpus-scale text. Full SQL oracle (distinct shingle-hash sets
+    recomputed in DuckDB)."""
     from address_parser_ray.functions.hashing import char_shingle_hashes
-    from address_parser_ray.functions.normalize import normalize_content_arrow
 
     pairs = _mh_candidate_pairs(sf_dir)
-
-    # texts by id: the docs panel broadcasts at this table's scale
-    # (≤ MBs); the at-scale path is the rescore band's bucketed
-    # pinned_join — same semantics, no broadcast.
-    def norm_texts(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "norm": normalize_content_arrow(t["text"]),
-            }
-        )
-
-    texts = pa.concat_tables(
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(norm_texts, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_size=1 << 18, batch_format="pyarrow")
-    )
-    tids = np.asarray(texts["doc_id"], dtype=np.int64)
-    torder = np.argsort(tids)
-    norms = texts["norm"].to_pylist()
-    texts_ref = ray.put((tids[torder], [norms[i] for i in torder]))
+    texts_ref, texts_ds = _gated_doc_texts(sf_dir)
 
     def score(batch: pa.Table) -> pa.Table:
-        ids_sorted, norms = ray.get(texts_ref)
         a = np.asarray(batch["id_a"], dtype=np.int64)
         b = np.asarray(batch["id_b"], dtype=np.int64)
         cache: dict[int, set] = {}
+        if texts_ref is not None:
+            ids_sorted, norms = ray.get(texts_ref)
 
-        def sset(doc: int) -> set:
+            def text_of(doc: int, i: int, side: int) -> str:
+                return norms[int(np.searchsorted(ids_sorted, doc))]
+        else:
+            na = batch["norm_a"].to_pylist()
+            nb = batch["norm_b"].to_pylist()
+
+            def text_of(doc: int, i: int, side: int) -> str:
+                return na[i] if side == 0 else nb[i]
+
+        def sset(doc: int, i: int, side: int) -> set:
             got = cache.get(doc)
             if got is None:
-                pos = int(np.searchsorted(ids_sorted, doc))
-                got = set(char_shingle_hashes(norms[pos], 8).tolist())
+                got = set(char_shingle_hashes(text_of(doc, i, side), 8).tolist())
                 cache[doc] = got
             return got
 
@@ -8970,7 +9040,7 @@ def q_containment_pairs(sf_dir: str):
         cb = np.empty(len(a), dtype=np.int64)
         ni_arr = np.empty(len(a), dtype=np.int64)
         for i in range(len(a)):
-            sa, sb = sset(int(a[i])), sset(int(b[i]))
+            sa, sb = sset(int(a[i]), i, 0), sset(int(b[i]), i, 1)
             ni = len(sa & sb)
             ni_arr[i] = ni
             ca[i] = ni * 1_000_000 // len(sa) if sa else 0
@@ -8985,7 +9055,8 @@ def q_containment_pairs(sf_dir: str):
             }
         )
 
-    return pairs.map_batches(
+    src = pairs if texts_ref is not None else _attach_pair_texts(pairs, texts_ds)
+    return src.map_batches(
         score, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
     )
 
@@ -11567,36 +11638,23 @@ def q_cluster_medoids(sf_dir: str):
     (``_mh_assignments``); the per-cluster greedy is one vectorized
     O(m²) set pass bounded by a deterministic 256-member cap taken in
     doc_id order (mirrored in SQL via row_number ≤ cap — the SemDeDup
-    cap discipline).  Normalized texts ride the same broadcast panel
-    as ``containment_pairs`` (at 100 TB: the rescore band's bucketed
-    ``pinned_join`` by id); the assignments shuffle carries (id,
-    label) only.  Full SQL oracle (recursive-CTE closure + shingle-set
-    self-join + argmax window)."""
+    cap discipline).  Normalized texts ride ``_gated_doc_texts``: the
+    shared broadcast panel under the byte gate, a bucketed
+    ``pinned_join`` on record_id above it (norm travels WITH the
+    assignment row into the group); the assignments shuffle carries
+    (id, label[, norm-above-gate]) only.  Full SQL oracle
+    (recursive-CTE closure + shingle-set self-join + argmax window)."""
     from address_parser_ray.functions.hashing import char_shingle_hashes
-    from address_parser_ray.functions.normalize import normalize_content_arrow
 
     asg = _mh_assignments(sf_dir)
-
-    def norm_texts(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "norm": normalize_content_arrow(t["text"]),
-            }
-        )
-
-    texts = pa.concat_tables(
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(norm_texts, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_size=1 << 18, batch_format="pyarrow")
-    )
-    tids = np.asarray(texts["doc_id"], dtype=np.int64)
-    torder = np.argsort(tids)
-    norms = texts["norm"].to_pylist()
-    texts_ref = ray.put((tids[torder], [norms[i] for i in torder]))
+    texts_ref, texts_ds = _gated_doc_texts(sf_dir)
+    if texts_ds is not None:
+        asg = pinned_join(asg, texts_ds, on="record_id", right_on="doc_id")
 
     def medoid(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["record_id"].to_numpy(np.int64))
+        rid = g["record_id"].to_numpy(np.int64)
+        order = np.argsort(rid)
+        ids = rid[order]
         empty = pd.DataFrame(
             {
                 "cluster_id": pd.Series([], dtype=np.int64),
@@ -11608,9 +11666,14 @@ def q_cluster_medoids(sf_dir: str):
         if len(ids) < 2:
             return empty
         ids = ids[:_MEDOID_CAP]
-        ids_sorted, norms = ray.get(texts_ref)
-        pos = np.searchsorted(ids_sorted, ids)
-        sets = [set(char_shingle_hashes(norms[int(p)], 8).tolist()) for p in pos]
+        if texts_ref is not None:
+            ids_sorted, norms = ray.get(texts_ref)
+            pos = np.searchsorted(ids_sorted, ids)
+            texts = [norms[int(p)] for p in pos]
+        else:
+            gn = g["norm"].to_numpy(dtype=object)
+            texts = [gn[i] for i in order[: len(ids)]]
+        sets = [set(char_shingle_hashes(t, 8).tolist()) for t in texts]
         k = len(ids)
         score = np.zeros(k, dtype=np.int64)
         for i in range(k):
@@ -14760,48 +14823,40 @@ def q_minhash_jaccard_error(sf_dir: str):
     distinct 8-gram shingle-hash sets; reported as a per-est-bucket
     panel (n_pairs, mean exact ppm, max |est − exact| ppm — integer
     arithmetic throughout).  Pairs from ``_mh_candidate_pairs``; texts
-    re-attach via the docs-panel broadcast (the rescore band's
-    pinned_join is the at-scale path).  Full SQL oracle (signatures AND
-    shingle sets recomputed in DuckDB via the splitmix macros)."""
+    re-attach through ``_gated_doc_texts`` (broadcast under the byte
+    gate, ``_attach_pair_texts``'s bucketed pinned_join above).  Full
+    SQL oracle (signatures AND shingle sets recomputed in DuckDB via
+    the splitmix macros)."""
     from address_parser_ray.functions.hashing import (
         char_shingle_hashes,
         minhash_params,
         minhash_signature,
     )
-    from address_parser_ray.functions.normalize import normalize_content_arrow
 
     pairs = _mh_candidate_pairs(sf_dir)
-
-    def norm_texts(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "norm": normalize_content_arrow(t["text"]),
-            }
-        )
-
-    texts = pa.concat_tables(
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(norm_texts, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_size=1 << 18, batch_format="pyarrow")
-    )
-    tids = np.asarray(texts["doc_id"], dtype=np.int64)
-    torder = np.argsort(tids)
-    norms = texts["norm"].to_pylist()
-    texts_ref = ray.put((tids[torder], [norms[i] for i in torder]))
+    texts_ref, texts_ds = _gated_doc_texts(sf_dir)
     mh_a, mh_b = minhash_params(_MH_P, _MH_SEED)
 
     def score(batch: pa.Table) -> pa.Table:
-        ids_sorted, norms = ray.get(texts_ref)
         a = np.asarray(batch["id_a"], dtype=np.int64)
         b = np.asarray(batch["id_b"], dtype=np.int64)
         cache: dict[int, tuple] = {}
+        if texts_ref is not None:
+            ids_sorted, norms = ray.get(texts_ref)
 
-        def feats(doc: int) -> tuple:
+            def text_of(doc: int, i: int, side: int) -> str:
+                return norms[int(np.searchsorted(ids_sorted, doc))]
+        else:
+            na = batch["norm_a"].to_pylist()
+            nb = batch["norm_b"].to_pylist()
+
+            def text_of(doc: int, i: int, side: int) -> str:
+                return na[i] if side == 0 else nb[i]
+
+        def feats(doc: int, i: int, side: int) -> tuple:
             got = cache.get(doc)
             if got is None:
-                pos = int(np.searchsorted(ids_sorted, doc))
-                sh = char_shingle_hashes(norms[pos], 8)
+                sh = char_shingle_hashes(text_of(doc, i, side), 8)
                 sig = minhash_signature(sh, mh_a, mh_b)
                 got = (set(sh.tolist()), sig)
                 cache[doc] = got
@@ -14810,7 +14865,7 @@ def q_minhash_jaccard_error(sf_dir: str):
         est = np.empty(len(a), dtype=np.int64)
         exact = np.empty(len(a), dtype=np.int64)
         for i in range(len(a)):
-            (sa, ga), (sb, gb) = feats(int(a[i])), feats(int(b[i]))
+            (sa, ga), (sb, gb) = feats(int(a[i]), i, 0), feats(int(b[i]), i, 1)
             est[i] = int((ga == gb).sum())
             ni = len(sa & sb)
             nu = len(sa) + len(sb) - ni
@@ -14838,8 +14893,9 @@ def q_minhash_jaccard_error(sf_dir: str):
             }
         )
 
+    src = pairs if texts_ref is not None else _attach_pair_texts(pairs, texts_ds)
     return (
-        pairs.map_batches(score, batch_format="pyarrow", batch_size=4096)
+        src.map_batches(score, batch_format="pyarrow", batch_size=4096)
         .groupby("est_matches")
         .aggregate(
             Sum("pn", alias_name="n_pairs"),

@@ -560,6 +560,30 @@ def test_query_matches_oracle(ray_session, con, name):
     pd.testing.assert_frame_equal(rdf, odf, check_dtype=False)
 
 
+@pytest.mark.parametrize(
+    "name", ["containment_pairs", "cluster_medoids", "minhash_jaccard_error"]
+)
+def test_gated_texts_join_path_matches_oracle(ray_session, con, name, monkeypatch):
+    """Forcing the texts byte gate to 1 byte sends the three doc-text
+    diagnostics down the bucketed pinned_join path (the 100 TB shape —
+    no driver-side corpus text at all); results must stay bit-identical
+    to the oracle the broadcast path is checked against."""
+    monkeypatch.setenv("APR_DOC_TEXTS_BROADCAST_MAX_BYTES", "1")
+    from address_parser_ray.pipelines import queries as Q
+    from address_parser_ray.pipelines.oracle import ORACLE_SQL
+
+    tref, tds = Q._gated_doc_texts(SF)
+    assert tref is None and tds is not None, "gate not forced to join path"
+    rdf = _canon(_to_df(Q.QUERIES[name](SF)))
+    odf = _canon(con.sql(ORACLE_SQL[name]).df())
+    assert list(rdf.columns) == list(odf.columns), (rdf.columns, odf.columns)
+    assert len(rdf) == len(odf)
+    for c in rdf.columns:
+        if rdf[c].dtype != odf[c].dtype:
+            rdf[c] = rdf[c].astype(odf[c].dtype)
+    pd.testing.assert_frame_equal(rdf, odf, check_dtype=False)
+
+
 ROWS_ONLY = [
     "media_features",
     "model_langid",
