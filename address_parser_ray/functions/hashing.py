@@ -260,6 +260,63 @@ def token_hashes_u64(arr: np.ndarray, unique: bool = True) -> tuple[np.ndarray, 
         np.seterr(**old)
 
 
+def text_hash60(col) -> np.ndarray:
+    """Vectorized 60-bit content hash of a whole string column — the
+    replacement for the per-row ``hashlib.md5`` fold the samplers and
+    sketch diagnostics used to run (the named per-row-Python
+    anti-pattern): ``acc = acc·B + byte`` polynomial over the UTF-8
+    bytes (B = FNV-64 prime, computed in ONE prefix-sum pass over the
+    concatenated Arrow buffer — O(total bytes), no per-row Python),
+    ``+ length``, splitmix64 finalize, top 60 bits (``>> 4`` so the
+    value fits int64 exactly like the old 15-hex-char md5 prefix).
+
+    SQL twin: the ``strh60(expr)`` macro family in ``pipelines.oracle``
+    (mulmod64 fold over ``ascii()`` code points — the ASCII-corpus
+    assumption shared with the shingle oracles).  Nulls hash as ''.
+
+    Accepts a pyarrow Array/ChunkedArray, pandas Series, list, or numpy
+    object array."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = pa.array(col, type=pa.string(), from_pandas=True)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    if pa.types.is_large_string(arr.type):
+        odt, ow = np.int64, 8
+    else:
+        odt, ow = np.int32, 4
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    offs = np.frombuffer(
+        arr.buffers()[1], dtype=odt, count=n + 1, offset=arr.offset * ow
+    ).astype(np.int64)
+    starts = offs[:-1] - offs[0]
+    ends = offs[1:] - offs[0]
+    old = np.seterr(over="ignore")
+    try:
+        nb = int(ends[-1]) if n else 0
+        if nb == 0:
+            h = splitmix64(np.zeros(n, dtype=_U64))
+            return (h >> _U64(4)).astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8, count=nb,
+                             offset=int(offs[0]))
+        b = data.astype(_U64)
+        qpow = _powers(_POLY_BASE, nb + 1, "q")
+        qinv = _powers(_POLY_INV, nb + 1, "qinv")
+        C = np.cumsum(b * qinv[:nb], dtype=_U64)
+        e1 = np.maximum(ends, 1) - 1
+        seg = C[e1] - np.where(starts > 0, C[np.maximum(starts, 1) - 1], _U64(0))
+        poly = np.where(ends > starts, seg * qpow[e1], _U64(0))
+        h = splitmix64(poly + (ends - starts).astype(_U64))
+        return (h >> _U64(4)).astype(np.int64)
+    finally:
+        np.seterr(**old)
+
+
 def token_hashes(text: str) -> np.ndarray:
     """Unique 64-bit hashes of whitespace-separated tokens, fully
     vectorized: one polynomial segment-hash pass over the byte buffer

@@ -17,6 +17,34 @@ simhash_hamming_pairs) and the md5-fold sketches (distinct_kmv,
 table_profile).
 """
 
+# Shared macro prelude for the vectorized string-hash twins: strh60(s)
+# reproduces functions.hashing.text_hash60 bit-for-bit (acc·B + byte
+# polynomial over the characters, B = FNV-64 prime, + length, splitmix64
+# finalize, top 60 bits).  ascii() = code point = UTF-8 byte under the
+# ASCII-corpus assumption the shingle oracles already document.  Same
+# xr/shr/mulmod64/smz*/sm64 definitions as the winnow/simhash twins
+# (CREATE OR REPLACE keeps repeated installs on one connection safe).
+_STRH_PRELUDE = r"""
+CREATE OR REPLACE MACRO xr(a, b) AS CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT);
+CREATE OR REPLACE MACRO shr(a, n) AS CAST(a AS HUGEINT) // (CAST(1 AS HUGEINT) << n);
+CREATE OR REPLACE MACRO mulmod64(a, b) AS (
+  ((a % 4294967296) * (b % 4294967296)
+   + (((a % 4294967296) * (b // 4294967296) + (a // 4294967296) * (b % 4294967296)) % 4294967296) * 4294967296
+  ) % 18446744073709551616);
+CREATE OR REPLACE MACRO smz1(x) AS mulmod64(xr(x, shr(x, 30)), CAST(13787848793156543929 AS HUGEINT));
+CREATE OR REPLACE MACRO smz2(x) AS mulmod64(xr(x, shr(x, 27)), CAST(10723151780598845931 AS HUGEINT));
+CREATE OR REPLACE MACRO smz3(x) AS xr(x, shr(x, 31));
+CREATE OR REPLACE MACRO sm64(x) AS smz3(smz2(smz1((CAST(x AS HUGEINT) + 11400714819323198485) % 18446744073709551616)));
+CREATE OR REPLACE MACRO strh64(s) AS (
+  sm64((CASE WHEN length(s) = 0 THEN CAST(0 AS HUGEINT)
+        ELSE list_reduce(list_transform(range(1, length(s) + 1),
+               i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS HUGEINT)),
+               (a, b) -> (mulmod64(a, CAST(1099511628211 AS HUGEINT)) + b) % 18446744073709551616)
+        END + length(s)) % 18446744073709551616)
+);
+CREATE OR REPLACE MACRO strh60(s) AS CAST(strh64(s) // 16 AS BIGINT);
+"""
+
 ORACLE_SQL = {
     "exact_dedup_groups": """
         SELECT sha256(COALESCE(text, '')) AS content_sha256,
@@ -131,17 +159,13 @@ ORACLE_SQL = {
                CAST(min(CASE WHEN cum >= (99 * total + 99) // 100 THEN cents END) AS BIGINT) AS p99_cents
         FROM c GROUP BY 1
     """,
-    # the 60-bit hash is the md5 hex prefix folded with integer reduce —
-    # bit-identical to the engine's int(md5[:15], 16); estimator is
-    # HUGEINT-exact so the comparison needs no float tolerance
+    # the 60-bit hash is the strh60 polynomial twin of the engine's
+    # vectorized text_hash60; estimator is HUGEINT-exact so the
+    # comparison needs no float tolerance
     "distinct_kmv": """
         WITH h AS (
             SELECT DISTINCT lang,
-                   list_reduce(
-                       list_transform(
-                           split(substr(md5(COALESCE(text, '')), 1, 15), ''),
-                           c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
-                       (a, b) -> a * 16 + b) AS hv
+                   strh60(COALESCE(text, '')) AS hv
             FROM documents
         ), r AS (
             SELECT lang, hv,
@@ -200,15 +224,11 @@ ORACLE_SQL = {
                CAST(sum(mm) AS BIGINT) AS rows_matched
         FROM parts GROUP BY 1
     """,
-    # weighted sample: integer A-ES priority = md5-fold // weight
+    # weighted sample: integer A-ES priority = strh60-fold // weight
     "weighted_sample": """
         WITH p AS (
             SELECT lang, doc_id, n_chars,
-                   CAST(list_reduce(
-                       list_transform(
-                           split(substr(md5(COALESCE(text, '')), 1, 15), ''),
-                           c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
-                       (a, b) -> a * 16 + b)
+                   CAST(strh60(COALESCE(text, ''))
                        // GREATEST(n_chars, 1) AS BIGINT) AS priority
             FROM documents
         ), r AS (
@@ -281,18 +301,14 @@ ORACLE_SQL = {
         FROM events e JOIN su USING (user_id)
         GROUP BY 1, 2
     """,
-    # HyperLogLog registers: same md5-fold hash as distinct_kmv; rank =
+    # HyperLogLog registers: same strh60 hash as distinct_kmv; rank =
     # 55 - bit_length(h >> 6) via length(bin(w)) (w > 0); missing
     # registers contribute rank 0. All-integer estimator — HUGEINT twin
     # of the engine's Python-int arithmetic.
     "hll_distinct": """
         WITH h AS (
             SELECT lang,
-                   CAST(list_reduce(
-                       list_transform(
-                           split(substr(md5(COALESCE(text, '')), 1, 15), ''),
-                           c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
-                       (a, b) -> a * 16 + b) AS BIGINT) AS hv
+                   strh60(COALESCE(text, '')) AS hv
             FROM documents
         ), r AS (
             SELECT lang, hv % 64 AS reg,
@@ -394,13 +410,15 @@ ORACLE_SQL = {
                CAST(max(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS top_token_n
         FROM ranked GROUP BY 1
     """,
-    # hex strings are fixed-width lowercase → lexicographic order in SQL
-    # == Python string sort == numeric hash order
+    # integer splitmix rank (salt 1002 = queries._STRAT_SALT), doc_id
+    # tie-break pinned on both engines
     "stratified_sample": """
         WITH k AS (
             SELECT lang, doc_id,
                    row_number() OVER (
-                       PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))
+                       PARTITION BY lang
+                       ORDER BY sm64((CAST(doc_id AS HUGEINT) + 1002)
+                                     % 18446744073709551616) // 16, doc_id
                    ) AS sample_rank
             FROM documents
         )
@@ -857,22 +875,15 @@ ORACLE_SQL = {
         )
         GROUP BY label, gs
     """,
-    # 32-bit md5 prefixes (8 hex chars) fold exactly into BIGINT; the
-    # rate rule and the row gate are both pure hashes of their keys, so
-    # the "random" mixture is bit-identical in both engines.
+    # strh60 (source rate) and the sm64 row gate (salt 1003 =
+    # queries._MIX_SALT) are both pure hashes of their keys, so the
+    # "random" mixture is bit-identical in both engines.
     "mixture_sample": """
         WITH g AS (
             SELECT source, n_chars,
-                   100 + list_reduce(
-                       list_transform(
-                           split(substr(md5(source), 1, 8), ''),
-                           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-                       (a, b) -> a * 16 + b) % 800 AS rate_permille,
-                   list_reduce(
-                       list_transform(
-                           split(substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
-                           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-                       (a, b) -> a * 16 + b) % 1000 AS gate
+                   100 + strh60(source) % 800 AS rate_permille,
+                   sm64((CAST(doc_id AS HUGEINT) + 1003)
+                        % 18446744073709551616) // 16 % 1000 AS gate
             FROM documents
         )
         SELECT source,
@@ -932,9 +943,9 @@ ORACLE_SQL = {
                CAST(len(list_slice(toks, chunk_idx * 24 + 1,
                                    least(chunk_idx * 24 + 32, n))) AS BIGINT)
                    AS n_tokens,
-               md5(array_to_string(
+               strh60(array_to_string(
                    list_slice(toks, chunk_idx * 24 + 1,
-                              least(chunk_idx * 24 + 32, n)), ' ')) AS chunk_md5
+                              least(chunk_idx * 24 + 32, n)), ' ')) AS chunk_h60
         FROM c
     """,
     # same 16-seed-row hyperplane rule as ann_lsh_buckets, then exact
@@ -1389,7 +1400,7 @@ ORACLE_SQL = {
         SELECT doc_id, n_emails,
                CAST(len(regexp_extract_all(s1, '\\d{9,}')) AS BIGINT)
                    AS n_long_digits,
-               md5(regexp_replace(s1, '\\d{9,}', '<ID>', 'g')) AS clean_md5
+               strh60(regexp_replace(s1, '\\d{9,}', '<ID>', 'g')) AS clean_h60
         FROM det
     """,
     # Exact distributed quantiles (two-pass bracketing sketch). DuckDB's
@@ -1620,11 +1631,7 @@ def _build_table_profile_sql() -> str:
     """One UNION ALL block per profiled column. Kept generated (the five
     blocks differ only in the column expression) so the KMV idiom stays
     in one place."""
-    hash_expr = (
-        "list_reduce(list_transform(split(substr(md5({expr}), 1, 15), ''), "
-        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)), "
-        "(a, b) -> a * 16 + b)"
-    )
+    hash_expr = "CAST(strh60({expr}) AS HUGEINT)"
     blocks = []
     for col, numeric in (
         ("doc_id", True),
@@ -2745,10 +2752,10 @@ ORACLE_SQL["winsorized_stats"] = """
     GROUP BY 1, 2, 3, 4
 """
 
-# Mixture balancing: keep the n_min smallest-md5(doc_id) docs per lang,
-# n_min = the smallest lang's row count (same hash-priority rule as
-# stratified_sample, data-dependent k).
-ORACLE_SQL["balanced_sample"] = """
+# Mixture balancing: keep the n_min smallest-sm64-rank docs per lang
+# (salt 1004 = queries._BAL_SALT), n_min = the smallest lang's row count
+# (same hash-priority rule as stratified_sample, data-dependent k).
+ORACLE_SQL["balanced_sample"] = _STRH_PRELUDE + """
     WITH c AS (
         SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
     ), m AS (
@@ -2757,7 +2764,8 @@ ORACLE_SQL["balanced_sample"] = """
         SELECT lang, doc_id,
                row_number() OVER (
                    PARTITION BY lang
-                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ORDER BY sm64((CAST(doc_id AS HUGEINT) + 1004)
+                                 % 18446744073709551616) // 16, doc_id
                ) AS rk
         FROM documents
     )
@@ -2882,15 +2890,11 @@ ORACLE_SQL["length_outliers"] = """
 """
 
 # Anti-entropy partition fingerprints: order-independent additive
-# (sum mod 2^60) and xor digests over md5-60bit text hashes per source.
+# (sum mod 2^60) and xor digests over strh60 text hashes per source.
 ORACLE_SQL["partition_digests"] = """
     WITH h AS (
         SELECT source,
-               list_reduce(
-                   list_transform(
-                       split(substr(md5(COALESCE(text, '')), 1, 15), ''),
-                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
-                   (a, b) -> a * 16 + b) AS hv
+               CAST(strh60(COALESCE(text, '')) AS HUGEINT) AS hv
         FROM documents
     )
     SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
@@ -3767,7 +3771,8 @@ _REVIEW_TAIL = """, edges AS (
     FROM comp
 ), cand AS (
     SELECT cluster_id, rep AS id_a, doc_id AS id_b,
-           md5(CAST(doc_id AS VARCHAR)) AS pri
+           sm64((CAST(doc_id AS HUGEINT) + 1005)
+                % 18446744073709551616) // 16 AS pri
     FROM mem WHERE csz >= 2 AND doc_id <> rep
 ), ranked AS (
     SELECT cluster_id, id_a, id_b,
@@ -4371,17 +4376,12 @@ ORACLE_SQL["match_waterfall"] = """
 """
 
 # CSV round-trip proof: the oracle reads the ORIGINAL parquet — the
-# engine reads its own CSV copy; hash equality of the per-lang text
-# md5-fold (60-bit, summed mod 2^61) proves the quoting layer lossless.
-ORACLE_SQL["csv_read_counts"] = """
+# engine reads its own CSV copy; hash equality of the per-lang strh60
+# text fold (60-bit, summed mod 2^61) proves the quoting layer lossless.
+ORACLE_SQL["csv_read_counts"] = _STRH_PRELUDE + """
     WITH f AS (
         SELECT lang, n_chars,
-               list_reduce(
-                   list_transform(
-                       split(substr(md5(COALESCE(text, '')), 1, 15), ''),
-                       c -> CAST(strpos('0123456789abcdef', c) - 1
-                                 AS HUGEINT)),
-                   (a, b) -> a * 16 + b) AS hv
+               CAST(strh60(COALESCE(text, '')) AS HUGEINT) AS hv
         FROM documents
     )
     SELECT lang,
@@ -4673,7 +4673,11 @@ ORACLE_SQL["vocab_growth"] = """
 
 
 # ---- flagship MinHash-LSH dedup pipeline (VERDICT r3 item 2) ----
-def _build_flagship_lsh_sql(tail: str | None = None) -> str:
+def _build_flagship_lsh_sql(
+    tail: str | None = None,
+    src: str | None = None,
+    cand_extra: str | None = None,
+) -> str:
     """Full-fidelity DuckDB twin of the FLAGSHIP dedup pipeline
     (``pipelines/dedup.py``) over documents-as-corpus — fingerprint →
     exact dedup → LSH blocking → sketch scoring → content rescore band →
@@ -4722,6 +4726,18 @@ def _build_flagship_lsh_sql(tail: str | None = None) -> str:
 
     ``tail``: optional replacement for the final histogram SELECT —
     must consume the ``comp (doc_id, cluster_id)`` CTE.
+
+    ``src``: optional replacement for the corpus source CTE — a SELECT
+    yielding ``(doc_id, lang, path, repo_key, text)`` (extra columns
+    allowed; ``text`` must be non-null).  Default: the documents-as-
+    corpus synthesis.  Lets the same twin run over a DIFFERENT corpus
+    parquet (e.g. the dup-dense fixture corpus for ``pr_curve``).
+
+    ``cand_extra``: optional ``UNION ALL SELECT da, db …`` fragment
+    appended inside the candidate CTE — used to model the M18 exact
+    (lang, basename) blocking key, which contributes nothing on the
+    documents corpus (basenames unique) but matters on corpora with
+    shared basenames.  Must emit ``doc_id``-pairs over the rep set.
     """
     from address_parser_ray.functions.hashing import _mod_inverse_u64
 
@@ -4793,25 +4809,25 @@ CREATE OR REPLACE MACRO smz1(x) AS mulmod64(xr(x, shr(x, 30)), CAST(137878487931
 CREATE OR REPLACE MACRO smz2(x) AS mulmod64(xr(x, shr(x, 27)), CAST(10723151780598845931 AS HUGEINT));
 CREATE OR REPLACE MACRO smz3(x) AS xr(x, shr(x, 31));
 CREATE OR REPLACE MACRO sm64(x) AS smz3(smz2(smz1((CAST(x AS HUGEINT) + 11400714819323198485) % {M})));
-WITH RECURSIVE base AS (
-  SELECT doc_id, lang,
-         'docs/doc_' || doc_id || '.txt' AS path,
-         source || chr(31) || 'docs/doc_' || doc_id || '.txt' AS repo_key,
-         length(COALESCE(text, '')) AS n_chars,
-         sha256(COALESCE(text, '')) AS sha
-  FROM documents
+WITH RECURSIVE src AS (
+@SRC@
+), base AS (
+  SELECT doc_id, lang, path, repo_key,
+         length(text) AS n_chars,
+         sha256(text) AS sha
+  FROM src
 ), norm AS (
   SELECT doc_id,
     lower(trim(regexp_replace(
       regexp_replace(
         regexp_replace(
           regexp_replace(
-            regexp_replace(COALESCE(text, ''), '(?s)/\\*.*?\\*/', '', 'g'),
+            regexp_replace(text, '(?s)/\\*.*?\\*/', '', 'g'),
             $dq$(?s)@DQ@.*?@DQ@$dq$, '', 'g'),
           $sq$(?s)@SQ@.*?@SQ@$sq$, '', 'g'),
         '(#|//|--)[^\\n]*', '', 'g'),
       '\\s+', ' ', 'g'))) AS t0
-  FROM documents
+  FROM src
 ), reps AS (
   -- exact-dedup representatives: the ENGINE's r4 rule, recomputed —
   -- rep = min (rep_key, doc order) per content sha, where rep_key =
@@ -4889,8 +4905,11 @@ WITH RECURSIVE base AS (
   JOIN (SELECT doc_id AS rd FROM reps WHERE doc_id = rep_doc) r
     ON r.rd = doc_id
 ), cand AS MATERIALIZED (
-  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-  FROM bkeys a JOIN bkeys b ON a.k = b.k AND a.doc_id < b.doc_id
+  SELECT DISTINCT da, db FROM (
+    SELECT a.doc_id AS da, b.doc_id AS db
+    FROM bkeys a JOIN bkeys b ON a.k = b.k AND a.doc_id < b.doc_id
+    @CAND_EXTRA@
+  )
 ), jacc_p AS (
   SELECT c.da, c.db,
          CAST(sum(CASE WHEN (x.v % 65536) = (y.v % 65536) THEN 1 ELSE 0 END)
@@ -5021,7 +5040,7 @@ WITH RECURSIVE base AS (
   UNION
   SELECT dst, src FROM match_edges
 ), reach AS (
-  SELECT doc_id AS id, doc_id AS lab FROM documents
+  SELECT doc_id AS id, doc_id AS lab FROM src
   UNION
   SELECT e.dst AS id, r.lab
   FROM reach r JOIN edges e ON e.src = r.id
@@ -5037,10 +5056,20 @@ WITH RECURSIVE base AS (
         "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters\n"
         "FROM sizes GROUP BY 1 ORDER BY 1"
     )
+    default_src = (
+        "  SELECT doc_id, lang,\n"
+        "         'docs/doc_' || doc_id || '.txt' AS path,\n"
+        "         source || chr(31) || 'docs/doc_' || doc_id || '.txt'"
+        " AS repo_key,\n"
+        "         COALESCE(text, '') AS text\n"
+        "  FROM documents"
+    )
     return (
         sql.replace("@DQ@", '"' * 3)
         .replace("@SQ@", "'" * 3)
         .replace("@TAIL@", tail or default_tail)
+        .replace("@SRC@", src or default_src)
+        .replace("@CAND_EXTRA@", cand_extra or "")
     )
 
 
@@ -5081,6 +5110,85 @@ ORACLE_SQL["cluster_canonical"] = _build_flagship_lsh_sql(
         "ORDER BY rep_doc_id"
     )
 )
+
+# PR operating-point sweep over the dup-dense FIXTURE corpus: the SAME
+# flagship twin retargeted via the src hook to the generator's parquet
+# (inputs to both engines — the query writes/reuses the deterministic
+# cache dir before the oracle runs), truth joined from labels.parquet on
+# the natural key.  This is also the dup-dense oracle evidence run the
+# sf-scale corpora don't exercise (clusters of ~6 variants per seed).
+def _fixture_pr_paths() -> tuple[str, str]:
+    import os as _os
+
+    root = _os.environ.get("APR_FIXTURE_CACHE_ROOT", "/tmp")
+    base = _os.path.join(root, "apr_qgen_corpus_pr_s200_v6_nh")
+    return _os.path.join(base, "corpus"), _os.path.join(base, "labels")
+
+
+def _build_pr_curve_sql() -> str:
+    corpus_dir, labels_dir = _fixture_pr_paths()
+    src = f"""
+  SELECT row_number() OVER (ORDER BY repo, path, "commit") AS doc_id,
+         lang, path,
+         repo || chr(31) || path AS repo_key,
+         COALESCE(content, '') AS text,
+         repo, "commit"
+  FROM read_parquet('{corpus_dir}/*.parquet')
+"""
+    tail = f""", truth AS (
+  SELECT s.doc_id, l.cluster_id AS tc
+  FROM src s JOIN read_parquet('{labels_dir}/*.parquet') l
+    ON l.repo = s.repo AND l.path = s.path AND l."commit" = s."commit"
+), bins AS (
+  SELECT CAST(floor(sf.score * 20 + 0.0000001) AS BIGINT) AS bp,
+         ta.tc = tb.tc AS same
+  FROM scored_final sf
+  JOIN truth ta ON ta.doc_id = sf.da
+  JOIN truth tb ON tb.doc_id = sf.db
+), th AS (
+  SELECT unnest(range(0, 21)) AS t
+), tot AS (
+  SELECT CAST(COALESCE(sum(CASE WHEN same THEN 1 ELSE 0 END), 0) AS BIGINT)
+      AS n_true
+  FROM bins
+), agg AS (
+  SELECT th.t,
+         CAST(COALESCE(sum(CASE WHEN b.bp >= th.t AND b.same
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+         CAST(COALESCE(sum(CASE WHEN b.bp >= th.t AND NOT b.same
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp
+  FROM th LEFT JOIN bins b ON true
+  GROUP BY th.t
+), ppm AS (
+  SELECT a.t, a.tp, a.fp, tot.n_true - a.tp AS fn,
+         a.tp * 1000000 // greatest(a.tp + a.fp, 1) AS precision_ppm,
+         a.tp * 1000000 // greatest(tot.n_true, 1) AS recall_ppm
+  FROM agg a, tot
+)
+SELECT CAST(t * 500 AS BIGINT) AS threshold_bp, tp, fp, fn,
+       precision_ppm, recall_ppm,
+       2 * precision_ppm * recall_ppm
+           // greatest(precision_ppm + recall_ppm, 1) AS f1_ppm
+FROM ppm ORDER BY 1
+"""
+    # M18 exact (lang, basename) blocking key over the rep set — the
+    # fixture's variants share basenames, so this key contributes
+    # candidates the documents-corpus twin never needed to model
+    cand_extra = """
+    UNION ALL
+    SELECT a.doc_id, b.doc_id FROM
+      (SELECT doc_id, lang, regexp_replace(path, '^.*/', '') AS bn
+       FROM reps WHERE doc_id = rep_doc) a
+      JOIN
+      (SELECT doc_id, lang, regexp_replace(path, '^.*/', '') AS bn
+       FROM reps WHERE doc_id = rep_doc) b
+      ON a.lang = b.lang AND a.bn = b.bn AND a.doc_id < b.doc_id
+"""
+    return _build_flagship_lsh_sql(tail=tail, src=src, cand_extra=cand_extra)
+
+
+ORACLE_SQL["pr_curve"] = _build_pr_curve_sql()
+
 
 # Per-cluster edge density: decided edges (score >= 0.5, both endpoints
 # same cluster) over C(n,2) in integer ppm; inner-join semantics (a
@@ -5305,8 +5413,8 @@ ORACLE_SQL["bigram_lm_score"] = r"""
 
 # Bloom membership sketch: 2^16-bit / k=4 double-hashing filter over the
 # benchmark slice's token 5-grams; hits where ALL 4 positions are set.
-# h1 = md5[:15] % 2^16, h2 = md5[15:30] % (2^16 - 1) + 1.
-ORACLE_SQL["bloom_contamination"] = r"""
+# h1 = strh60(g) % 2^16, h2 = (strh60(g) // 2^16) % (2^16 - 1) + 1.
+ORACLE_SQL["bloom_contamination"] = _STRH_PRELUDE + r"""
     WITH toks AS (
         SELECT doc_id,
                regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS tl
@@ -5317,16 +5425,8 @@ ORACLE_SQL["bloom_contamination"] = r"""
         WHERE len(tl) >= 5
     ), gh AS (
         SELECT g,
-               CAST(list_reduce(
-                   list_transform(
-                       split(substr(md5(g), 1, 15), ''),
-                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
-                   (a, b) -> a * 16 + b) % 65536 AS BIGINT) AS h1,
-               CAST(list_reduce(
-                   list_transform(
-                       split(substr(md5(g), 16, 15), ''),
-                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
-                   (a, b) -> a * 16 + b) % 65535 + 1 AS BIGINT) AS h2
+               CAST(strh60(g) % 65536 AS BIGINT) AS h1,
+               CAST((strh60(g) // 65536) % 65535 + 1 AS BIGINT) AS h2
         FROM (SELECT DISTINCT g FROM grams)
     ), bench AS (
         SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
@@ -5364,20 +5464,34 @@ ORACLE_SQL["bloom_contamination"] = r"""
     FROM lang_panel ORDER BY lang
 """
 
-# Integer A-ES weighted sample: rank = md5_60bit('wrs:'||doc_id) //
-# max(n_chars, 1), ascending top-K with doc_id tie-break.
-ORACLE_SQL["size_weighted_sample"] = """
+# Integer A-ES weighted sample: rank = (sm64(doc_id + salt) >> 4) //
+# max(n_chars, 1), ascending top-K with doc_id tie-break (salt 1001 =
+# queries._WRS_SALT).
+ORACLE_SQL["size_weighted_sample"] = _STRH_PRELUDE + """
     WITH r AS (
         SELECT doc_id, lang, n_chars,
-               CAST(list_reduce(
-                   list_transform(
-                       split(substr(md5('wrs:' || doc_id), 1, 15), ''),
-                       c -> CAST(strpos('0123456789abcdef', c) - 1
-                                 AS HUGEINT)),
-                   (a, b) -> a * 16 + b)
+               CAST(sm64((CAST(doc_id AS HUGEINT) + 1001)
+                         % 18446744073709551616) // 16
                    // greatest(n_chars, 1) AS BIGINT) AS rank
         FROM documents
     )
     SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, rank
     FROM r ORDER BY rank, doc_id LIMIT 25
 """
+
+# Prepend the strh60 macro prelude to every oracle that calls it (the
+# entries above stay readable as pure SELECTs; DuckDB executes the
+# multi-statement string and returns the last result).
+for _k in (
+    "distinct_kmv",
+    "weighted_sample",
+    "hll_distinct",
+    "partition_digests",
+    "table_profile",
+    "stratified_sample",
+    "mixture_sample",
+    "pii_scrub",
+    "doc_chunks",
+):
+    ORACLE_SQL[_k] = _STRH_PRELUDE + ORACLE_SQL[_k]
+del _k

@@ -763,15 +763,14 @@ def q_cdc_chunk_stats(sf_dir: str):
     ``fuzz/inexus_parser.py:468-889``, inverted to chunk granularity.
 
     Shape (identical contract to :func:`q_dup_span_stats`): one content
-    pass emits (bucket, chunk-md5 key, doc_id, cnt, clen) postings
+    pass emits (bucket, chunk-hash key, doc_id, cnt, clen) postings
     pre-counted per (doc, chunk) and hash-bucketed by key — content
-    itself never shuffles, only 16-byte digests; document-frequency and
-    per-doc partials are one vectorized pandas pass per bucket; a
-    single-key ``groupby(doc_id)`` Sum combines. A key=b'' marker row
+    itself never shuffles, only 60-bit digests (vectorized
+    ``_text_60bit`` over every chunk of a batch; equality-only, the
+    oracle groups by the actual substrings via md5); document-frequency
+    and per-doc partials are one vectorized pandas pass per bucket; a
+    single-key ``groupby(doc_id)`` Sum combines. A key=-1 marker row
     per doc (bucketed by doc id) keeps empty docs in the output."""
-    import hashlib
-    from collections import Counter
-
     from address_parser_ray.functions.hashing import splitmix64
     from address_parser_ray.rayutil import default_num_partitions
 
@@ -780,50 +779,65 @@ def q_cdc_chunk_stats(sf_dir: str):
     def emit(t: pa.Table) -> pa.Table:
         doc_ids = t["doc_id"].to_pylist()
         texts = t["text"].to_pylist()
-        docs, keys, cnts, lens = [], [], [], []
+        m_docs: list = []
+        ch_docs: list = []
+        ch_txt: list = []
+        ch_len: list = []
         for d, text in zip(doc_ids, texts):
             s = text or ""
-            docs.append(d)  # marker row: presence with zero chunks
-            keys.append(b"")
-            cnts.append(0)
-            lens.append(0)
+            m_docs.append(d)  # marker row: presence with zero chunks
             if not s:
                 continue
             cps = np.frombuffer(
                 s.encode("utf-32-le"), dtype=np.uint32
             ).astype(np.int64)
             starts, ends = _cdc_chunk_spans(cps)
-            c: Counter = Counter()
-            clen: dict[bytes, int] = {}
             for lo, hi in zip(starts, ends):
-                k = hashlib.md5(s[lo:hi].encode()).digest()
-                c[k] += 1
-                clen[k] = int(hi - lo)
-            for k, m in c.items():
-                docs.append(d)
-                keys.append(k)
-                cnts.append(m)
-                lens.append(clen[k])
-        doc_arr = np.asarray(docs, dtype=np.int64)
-        pref = np.array(
-            [int.from_bytes(k[:8], "little") if k else 0 for k in keys],
-            dtype=np.uint64,
+                ch_docs.append(d)
+                ch_txt.append(s[lo:hi])
+                ch_len.append(int(hi - lo))
+        if ch_txt:
+            agg = (
+                pd.DataFrame(
+                    {
+                        "doc_id": np.asarray(ch_docs, dtype=np.int64),
+                        "key": _text_60bit(ch_txt),
+                        "clen": np.asarray(ch_len, dtype=np.int64),
+                    }
+                )
+                .groupby(["doc_id", "key"], as_index=False)
+                .agg(cnt=("clen", "size"), clen=("clen", "min"))
+            )
+        else:
+            agg = pd.DataFrame(
+                {"doc_id": [], "key": [], "cnt": [], "clen": []}
+            ).astype(np.int64)
+        doc_arr = np.concatenate(
+            [np.asarray(m_docs, dtype=np.int64), agg["doc_id"].to_numpy(np.int64)]
         )
-        is_marker = np.array([not k for k in keys], dtype=bool)
-        mixed = np.where(is_marker, doc_arr.view(np.uint64), pref)
+        key_arr = np.concatenate(
+            [np.full(len(m_docs), -1, dtype=np.int64), agg["key"].to_numpy(np.int64)]
+        )
+        cnt_arr = np.concatenate(
+            [np.zeros(len(m_docs), dtype=np.int64), agg["cnt"].to_numpy(np.int64)]
+        )
+        len_arr = np.concatenate(
+            [np.zeros(len(m_docs), dtype=np.int64), agg["clen"].to_numpy(np.int64)]
+        )
+        mixed = np.where(key_arr < 0, doc_arr, key_arr).view(np.uint64)
         bucket = (splitmix64(mixed) % np.uint64(nparts)).astype(np.int64)
         return pa.table(
             {
                 "bucket": pa.array(bucket),
-                "key": pa.array(keys, type=pa.binary()),
+                "key": pa.array(key_arr),
                 "doc_id": pa.array(doc_arr),
-                "cnt": pa.array(np.asarray(cnts, dtype=np.int64)),
-                "clen": pa.array(np.asarray(lens, dtype=np.int64)),
+                "cnt": pa.array(cnt_arr),
+                "clen": pa.array(len_arr),
             }
         )
 
     def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
-        marker = g["key"].str.len() == 0
+        marker = g["key"] < 0
         chunks = g[~marker]
         parts = [
             pd.DataFrame(
@@ -2271,20 +2285,40 @@ _KMV_K = 64
 _HEXVAL = {c: i for i, c in enumerate("0123456789abcdef")}
 
 
-def _md5_60bit(texts: list) -> np.ndarray:
-    """First 15 hex chars of md5 as int64 (< 2^60) — the same value
-    DuckDB derives via ``list_reduce`` over the md5 hex string, so the
-    sketch is exactly SQL-checkable."""
-    import hashlib
+def _fixture_cache_dir(suffix: str) -> str:
+    """Fixture-corpus cache dir for the synthetic-eval queries: rooted at
+    env ``APR_FIXTURE_CACHE_ROOT`` (default /tmp) and param-suffixed so
+    runs with different generator parameters cannot collide (identical
+    params produce byte-identical corpora — reuse is safe)."""
+    import os
 
-    return np.fromiter(
-        (
-            int(hashlib.md5((t or "").encode("utf-8")).hexdigest()[:15], 16)
-            for t in texts
-        ),
-        dtype=np.int64,
-        count=len(texts),
-    )
+    root = os.environ.get("APR_FIXTURE_CACHE_ROOT", "/tmp")
+    return os.path.join(root, f"apr_qgen_corpus{suffix}")
+
+
+def _id_rank60(ids: np.ndarray, salt: int) -> np.ndarray:
+    """Uniform 60-bit per-id sampling priority, fully vectorized —
+    ``splitmix64(id + salt) >> 4`` (the retired idiom was a per-row
+    ``hashlib.md5(f"tag:{id}")`` loop).  SQL twin:
+    ``sm64((doc_id + salt) % 2^64) // 16`` via the shared macro
+    prelude.  Distinct salts keep the samplers' draws independent."""
+    from address_parser_ray.functions.hashing import splitmix64
+
+    with np.errstate(over="ignore"):
+        h = splitmix64(np.asarray(ids, dtype=np.int64).view(np.uint64) + np.uint64(salt))
+    return (h >> np.uint64(4)).astype(np.int64)
+
+
+def _text_60bit(texts) -> np.ndarray:
+    """60-bit content hash of a string column, fully vectorized (ONE
+    polynomial prefix pass over the concatenated UTF-8 bytes — the
+    ``functions.hashing.text_hash60`` kernel; no per-row Python, unlike
+    the retired per-row ``hashlib.md5`` fold).  The same value DuckDB
+    derives via the ``strh60`` macro, so sketches stay exactly
+    SQL-checkable."""
+    from address_parser_ray.functions.hashing import text_hash60
+
+    return text_hash60(texts)
 
 
 def q_distinct_kmv(sf_dir: str):
@@ -2300,7 +2334,7 @@ def q_distinct_kmv(sf_dir: str):
     docs = _docs(sf_dir, ["lang", "text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        h = _md5_60bit(df["text"].tolist())
+        h = _text_60bit(df["text"].tolist())
         g = pd.DataFrame({"lang": df["lang"], "h": h}).drop_duplicates()
         g = g.sort_values("h", kind="stable").groupby("lang", sort=False).head(_KMV_K)
         return g.reset_index(drop=True)
@@ -2390,32 +2424,34 @@ def q_vocab_stats(sf_dir: str):
     return parts.groupby("lang").map_groups(final, batch_format="pandas")
 
 
+_STRAT_SALT = 1002  # sampler salt (see _id_rank60; mirrored in the SQL twin)
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic stratified sample: 3 documents per lang, chosen by
-    md5 order of the doc id — the train-subset-sampling op every data
-    pipeline needs, reproducible across runs/cluster sizes because the
-    'random' order is a pure hash of the row key (same discipline as the
-    T6 hash split). Per-batch top-k partials bound the shuffle to
-    k x langs x batches rows; hex strings compare identically in Python
-    and SQL (fixed-width lowercase)."""
-    import hashlib
-
+    splitmix64 hash order of the doc id (vectorized ``_id_rank60`` —
+    the retired form was a per-row md5 hexdigest loop) — the
+    train-subset-sampling op every data pipeline needs, reproducible
+    across runs/cluster sizes because the 'random' order is a pure hash
+    of the row key (same discipline as the T6 hash split). Per-batch
+    top-k partials bound the shuffle to k x langs x batches rows;
+    (rank, doc_id) ordering is pinned identically in the SQL twin."""
     docs = _docs(sf_dir, ["lang", "doc_id"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        key = [
-            hashlib.md5(str(int(d)).encode()).hexdigest() for d in df["doc_id"]
-        ]
-        g = pd.DataFrame({"lang": df["lang"], "doc_id": df["doc_id"], "skey": key})
+        g = pd.DataFrame(
+            {"lang": df["lang"], "doc_id": df["doc_id"].astype(np.int64)}
+        )
+        g["skey"] = _id_rank60(g["doc_id"].to_numpy(np.int64), _STRAT_SALT)
         return (
-            g.sort_values("skey", kind="stable")
+            g.sort_values(["skey", "doc_id"], kind="stable")
             .groupby("lang", sort=False)
             .head(3)
             .reset_index(drop=True)
         )
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("skey", kind="stable").head(3)
+        g = g.sort_values(["skey", "doc_id"], kind="stable").head(3)
         g = g.reset_index(drop=True)
         g["sample_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["lang", "doc_id", "sample_rank"]]
@@ -2463,7 +2499,7 @@ def q_synthetic_corpus_stats(sf_dir: str):
     only; the corpus itself is synthesized — no external data.)"""
     from address_parser_ray.fixtures import write_corpus_ray
 
-    out_dir = "/tmp/apr_qgen_corpus"
+    out_dir = _fixture_cache_dir("")
     _, labels_dir = write_corpus_ray(out_dir, n_seeds=200, variants_per_seed=6)
     return (
         ray.data.read_parquet(labels_dir, columns=["variant_spec"])
@@ -2484,10 +2520,7 @@ def q_er_quality(sf_dir: str):
     )
     from address_parser_ray.sources import read_corpus
 
-    # param-suffixed cache dir: runs with identical params produce
-    # byte-identical corpora (deterministic generator), so reuse is
-    # safe and differently-configured runs cannot collide
-    out_dir = "/tmp/apr_qgen_corpus_s200_v6"
+    out_dir = _fixture_cache_dir("_s200_v6")
     corpus_dir, labels_dir = write_corpus_ray(out_dir, n_seeds=200, variants_per_seed=6)
     res = dedup_pipeline(read_corpus(corpus_dir))
     assign = res.assignments.to_pandas()
@@ -3115,6 +3148,7 @@ _REP_N = 3  # n-gram order for the repetition signal
 
 
 _WRS_K = 25  # sample size
+_WRS_SALT = 1001  # sampler salt (see _id_rank60; mirrored in the SQL twin)
 
 
 def q_size_weighted_sample(sf_dir: str):
@@ -3122,26 +3156,19 @@ def q_size_weighted_sample(sf_dir: str):
     length-balanced subset selection (big docs proportionally likelier,
     not certain): the integer form of A-ES priority sampling
     (Efraimidis & Spirakis 2006 use rank = u^(1/w); here rank =
-    h // w with h a 60-bit md5 uniform — the same weight-monotone
-    ordering in pure integers, so selection is hash-exact across
-    engines and cluster sizes).  Top-``_WRS_K`` docs by ascending rank
-    (ties → doc_id) with weight = n_chars.
+    h // w with h a 60-bit splitmix64 uniform — the same
+    weight-monotone ordering in pure integers, so selection is
+    hash-exact across engines and cluster sizes).  Top-``_WRS_K`` docs
+    by ascending rank (ties → doc_id) with weight = n_chars.
 
     Shape: per-batch local top-k partials (k rows per batch cross the
     exchange, never the corpus), one driver-side head — the same
     bounded-shuffle discipline as ``top_docs``.  Full SQL oracle
     (row_number over the same integer rank)."""
-    import hashlib
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         w = np.maximum(df["n_chars"].to_numpy(np.int64), 1)
-        h = np.array(
-            [
-                int(hashlib.md5(f"wrs:{d}".encode()).hexdigest()[:15], 16)
-                for d in df["doc_id"]
-            ],
-            dtype=np.int64,
-        )
+        h = _id_rank60(df["doc_id"].to_numpy(np.int64), _WRS_SALT)
         rank = h // w
         out = pd.DataFrame(
             {
@@ -3171,8 +3198,11 @@ def q_bloom_contamination(sf_dir: str):
     hitters), HLL (cardinality) and HDR (quantiles): the benchmark
     slice's token 5-grams (``doc_id % 97 == 0``, as
     ``contamination_5gram``) populate an m=2^16-bit / k=4 Bloom filter
-    (Kirsch-Mitzenmacher double hashing off one 60-bit md5 fold —
-    h_i = (h1 + i*h2) mod m), and every corpus doc probes it.  A Bloom
+    (Kirsch-Mitzenmacher double hashing off one 60-bit ``_text_60bit``
+    content hash — h1 = low 16 bits, h2 from the upper bits,
+    h_i = (h1 + i*h2) mod m; vectorized over every gram of a batch —
+    the retired form md5-hashed each gram in a Python loop), and every
+    corpus doc probes it.  A Bloom
     hit is ONE-SIDED: every truly contaminated doc is flagged; clean
     docs can false-positive, and the panel REPORTS that error by
     carrying the exact verdict next to the sketch verdict — per lang:
@@ -3180,7 +3210,6 @@ def q_bloom_contamination(sf_dir: str):
     the filter's fill (set bits). At 100 TB the 8 KB filter broadcasts
     where the exact gram set (GBs) cannot — that is the point of the
     sketch; integer-exact in both engines."""
-    import hashlib
 
     def grams_of(text) -> list:
         toks = _ws_tokens(text)
@@ -3189,27 +3218,29 @@ def q_bloom_contamination(sf_dir: str):
             for i in range(len(toks) - _CONTAM_N + 1)
         ]
 
-    def h12(g: str) -> tuple[int, int]:
-        d = hashlib.md5(g.encode()).hexdigest()
-        return int(d[:15], 16) % _BLOOM_M, (int(d[15:30], 16) % (_BLOOM_M - 1)) + 1
+    def h12(grams: list) -> tuple[np.ndarray, np.ndarray]:
+        h = _text_60bit(grams)
+        return h % _BLOOM_M, (h // _BLOOM_M) % (_BLOOM_M - 1) + 1
 
     # benchmark slice is small BY DEFINITION: per-batch partial bit
     # sets union on the driver (≤ 8 KB each), filter broadcasts once
     def bench_bits(df: pd.DataFrame) -> pd.DataFrame:
         sel = df[(df["doc_id"] % _CONTAM_MOD) == 0]
-        bits: set[int] = set()
-        grams: set[str] = set()
+        flat: list[str] = []
         for t in sel["text"]:
-            for g in grams_of(t):
-                grams.add(g)
-                h1, h2 = h12(g)
-                for i in range(_BLOOM_K):
-                    bits.add((h1 + i * h2) % _BLOOM_M)
+            flat.extend(grams_of(t))
+        grams = sorted(set(flat))
+        if grams:
+            h1, h2 = h12(grams)
+            ks = np.arange(_BLOOM_K, dtype=np.int64)
+            bits = np.unique(
+                (h1[:, None] + ks[None, :] * h2[:, None]) % _BLOOM_M
+            )
+        else:
+            bits = np.empty(0, dtype=np.int64)
         return pd.DataFrame(
-            {"bit": sorted(bits), "g": [None] * len(bits)}
-        ) if False else pd.DataFrame(
             {"kind": ["b"] * len(bits) + ["g"] * len(grams),
-             "val": [str(x) for x in sorted(bits)] + sorted(grams)}
+             "val": [str(int(x)) for x in bits] + grams}
         )
 
     parts = (
@@ -3225,24 +3256,29 @@ def q_bloom_contamination(sf_dir: str):
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         bv, eg = ray.get(state)
-        rows = []
-        for lang, doc_id, t in zip(df["lang"], df["doc_id"], df["text"]):
-            gs = grams_of(t)
-            bloom_hit = False
-            exact_hit = False
-            for g in gs:
-                h1, h2 = h12(g)
-                if all(bv[(h1 + i * h2) % _BLOOM_M] for i in range(_BLOOM_K)):
-                    bloom_hit = True
-                    if g in eg:
-                        exact_hit = True
-                        break
-            if bloom_hit and not exact_hit:
-                exact_hit = any(g in eg for g in gs)
-            rows.append((lang, bloom_hit, exact_hit))
-        g = pd.DataFrame(rows, columns=["lang", "bloom", "exact"]).groupby(
-            "lang", sort=False, as_index=False
-        ).agg(
+        gs_per = [grams_of(t) for t in df["text"]]
+        lens = np.fromiter((len(g) for g in gs_per), dtype=np.int64,
+                           count=len(gs_per))
+        flat = [g for gs in gs_per for g in gs]
+        n_docs = len(gs_per)
+        bloom_doc = np.zeros(n_docs, dtype=bool)
+        exact_doc = np.zeros(n_docs, dtype=bool)
+        if flat:
+            h1, h2 = h12(flat)
+            ok = np.ones(len(flat), dtype=bool)
+            for i in range(_BLOOM_K):
+                ok &= bv[(h1 + i * h2) % _BLOOM_M]
+            # a benchmark gram's bits are all set by construction, so
+            # exact ⟹ bloom — the early-exit scan and this vector form
+            # agree doc-by-doc
+            ex = pd.Series(flat, dtype=object).isin(eg).to_numpy()
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            np.logical_or.at(bloom_doc, doc_of, ok)
+            np.logical_or.at(exact_doc, doc_of, ex)
+        g = pd.DataFrame(
+            {"lang": df["lang"].to_numpy(), "bloom": bloom_doc,
+             "exact": exact_doc}
+        ).groupby("lang", sort=False, as_index=False).agg(
             pn=("bloom", "size"),
             pb=("bloom", "sum"),
             pe=("exact", "sum"),
@@ -3990,35 +4026,30 @@ def q_incremental_dedup_check(sf_dir: str):
     )
 
 
+_MIX_SALT = 1003  # sampler salt (see _id_rank60; mirrored in the SQL twin)
+
+
 def q_mixture_sample(sf_dir: str):
     """Source-mixture weighted sampling — the data-mixing op of a
     pretraining pipeline: each source (crawl/domain) gets a deterministic
-    sampling rate derived from its name (``100 + md5(source)[:8] % 800``
-    permille) and rows are kept by an independent per-row hash gate
-    (``md5('mix:'+doc_id)[:8] % 1000 < rate``). Pure hash of the row key
-    → reproducible across runs and cluster sizes (same discipline as the
-    T6 hash split / stratified sample). Per-batch partials bound the
-    shuffle to sources x batches rows; 32-bit md5 prefixes are exact in
-    both engines (int64 / BIGINT)."""
-    import hashlib
-
+    sampling rate derived from its name (``100 + strh60(source) % 800``
+    permille, computed once per distinct source) and rows are kept by an
+    independent vectorized per-row hash gate
+    (``_id_rank60(doc_id) % 1000 < rate`` — the retired form was a
+    per-row md5 loop). Pure hash of the row key → reproducible across
+    runs and cluster sizes (same discipline as the T6 hash split /
+    stratified sample). Per-batch partials bound the shuffle to
+    sources x batches rows; integer arithmetic is exact in both engines
+    (int64 / BIGINT)."""
     docs = _docs(sf_dir, ["doc_id", "source", "n_chars"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        rate_of = {
-            s: 100 + int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 800
-            for s in df["source"].unique()
-        }
-        rate = df["source"].map(rate_of).to_numpy(dtype=np.int64)
-        gate = np.fromiter(
-            (
-                int(hashlib.md5(f"mix:{int(d)}".encode()).hexdigest()[:8], 16)
-                % 1000
-                for d in df["doc_id"]
-            ),
-            dtype=np.int64,
-            count=len(df),
+        uniq = list(df["source"].unique())
+        rate_of = dict(
+            zip(uniq, (100 + (_text_60bit(uniq) % 800)).tolist())
         )
+        rate = df["source"].map(rate_of).to_numpy(dtype=np.int64)
+        gate = _id_rank60(df["doc_id"].to_numpy(np.int64), _MIX_SALT) % 1000
         keep = gate < rate
         g = pd.DataFrame(
             {
@@ -4119,12 +4150,12 @@ def q_doc_chunks(sf_dir: str):
     fixed-size token windows (size 32, stride 24 — overlapping, the
     standard LM pre-training chunking; reference M17's one-row-to-many
     flat-map shape, ``ner/build_standard_dataset.py:952-978``). Each
-    chunk row carries its token count AND an md5 signature of the joined
-    chunk text, so oracle parity verifies the actual chunk CONTENT, not
-    just the window arithmetic. Stateless map, no shuffle; at 100 TB
-    this is a pure streaming pass whose output is ~size/stride x the
-    input rows."""
-    import hashlib
+    chunk row carries its token count AND a ``_text_60bit`` signature
+    of the joined chunk text (one vectorized hash pass per batch — the
+    retired form md5'd each chunk in the loop), so oracle parity
+    verifies the actual chunk CONTENT, not just the window arithmetic.
+    Stateless map, no shuffle; at 100 TB this is a pure streaming pass
+    whose output is ~size/stride x the input rows."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         doc_ids: list[int] = []
@@ -4138,13 +4169,13 @@ def q_doc_chunks(sf_dir: str):
                 doc_ids.append(int(doc_id))
                 idxs.append(i)
                 ntoks.append(len(chunk))
-                sigs.append(hashlib.md5(" ".join(chunk).encode()).hexdigest())
+                sigs.append(" ".join(chunk))
         return pd.DataFrame(
             {
                 "doc_id": np.array(doc_ids, dtype=np.int64),
                 "chunk_idx": np.array(idxs, dtype=np.int64),
                 "n_tokens": np.array(ntoks, dtype=np.int64),
-                "chunk_md5": sigs,
+                "chunk_h60": _text_60bit(sigs),
             }
         )
 
@@ -4412,7 +4443,7 @@ def q_table_profile(sf_dir: str):
                 mn = _PROFILE_EMPTY_MIN
                 mx = _PROFILE_EMPTY_MAX
                 reprs = vals.tolist()
-            h = np.unique(_md5_60bit(reprs))[:_KMV_K]
+            h = np.unique(_text_60bit(reprs))[:_KMV_K]
             k = max(1, len(h))
             frames.append(
                 pd.DataFrame(
@@ -5902,7 +5933,7 @@ def q_clustering_agreement(sf_dir: str):
 
     # A: exact-text labels (min doc_id per identical text)
     def emit_text_hash(t: pa.Table) -> pa.Table:
-        h = _md5_60bit(t["text"].to_pylist())
+        h = _text_60bit(t["text"].to_pylist())
         return pa.table(
             {
                 "bucket": pa.array(
@@ -6787,19 +6818,19 @@ def q_pii_scrub(sf_dir: str):
     """PII detection + redaction — the scrub pass a training-data
     pipeline runs before anything leaves the corpus: find emails and
     long (≥9-digit) identifier runs, count them per doc, and emit the
-    md5 of the REDACTED text so downstream exactness checks never touch
-    the raw PII. The shipped corpus contains no natural PII, so both
-    sides append a deterministic contact line derived from (source,
-    doc_id) — the mechanics under test are the detect/redact kernels,
-    not the synthesis. Redaction order matters and is pinned: emails
-    first (they contain digits), then digit runs.
+    ``_text_60bit`` content hash of the REDACTED text so downstream
+    exactness checks never touch the raw PII. The shipped corpus
+    contains no natural PII, so both sides append a deterministic
+    contact line derived from (source, doc_id) — the mechanics under
+    test are the detect/redact kernels, not the synthesis. Redaction
+    order matters and is pinned: emails first (they contain digits),
+    then digit runs.
 
     Everything is RE2 on BOTH sides — pyarrow.compute's regex kernels
     and DuckDB's regexp_* are the same engine, so ``\\d`` / class
     semantics match exactly (the same discipline as the BPE tokenizer's
-    re.ASCII). Vectorized Arrow end-to-end; the only per-row work is
-    the md5 fold (hashlib C loop, the repo's established idiom)."""
-    import hashlib
+    re.ASCII). Vectorized end-to-end, including the content hash (the
+    strh60 twin; the retired form was a per-row md5 loop)."""
 
     def scrub(t: pa.Table) -> pa.Table:
         base = pc.coalesce(t["text"], pa.scalar("", type=pa.string()))
@@ -6817,13 +6848,12 @@ def q_pii_scrub(sf_dir: str):
         s1 = pc.replace_substring_regex(s, _PII_EMAIL, "<EMAIL>")
         n_digits = pc.cast(pc.count_substring_regex(s1, _PII_DIGITS), pa.int64())
         s2 = pc.replace_substring_regex(s1, _PII_DIGITS, "<ID>")
-        md5 = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in s2.to_pylist()]
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "n_emails": n_emails,
                 "n_long_digits": n_digits,
-                "clean_md5": pa.array(md5, type=pa.string()),
+                "clean_h60": pa.array(_text_60bit(s2)),
             }
         )
 
@@ -7953,11 +7983,12 @@ def q_blocking_quality(sf_dir: str):
     reduction ratio RR = 1 - |candidates| / C(n,2) and pairs
     completeness PC = |true ∩ candidates| / |true|, measured for the
     SQL-checkable MinHash-LSH blocking (``_mh_band_rows``) against
-    exact-duplicate ground truth (identical text md5). One pass emits
-    band keys + content hash per doc; candidates pair within (band,
-    key) groups, dedup across bands via pair-hash buckets; true-pair
-    counts fold from md5 group sizes. Output: ONE summary row."""
-    import hashlib
+    exact-duplicate ground truth (identical-text content hash —
+    vectorized ``_text_60bit``; equality-only, so the SQL twin's md5
+    grouping is equivalent). One pass emits band keys + content hash
+    per doc; candidates pair within (band, key) groups, dedup across
+    bands via pair-hash buckets; true-pair counts fold from content
+    group sizes. Output: ONE summary row."""
     import math
 
     from address_parser_ray.functions.hashing import splitmix64
@@ -7968,13 +7999,11 @@ def q_blocking_quality(sf_dir: str):
 
     def band_rows(t: pa.Table) -> pa.Table:
         ids, bands, keys = _mh_band_rows(t)
-        # md5 per emitted row's doc (align by position via a doc->md5 map)
-        texts = t["text"].to_pylist()
+        # content hash per emitted row's doc (align via searchsorted)
         dids = np.asarray(t["doc_id"], dtype=np.int64)
-        md = {
-            int(d): hashlib.md5((x or "").encode("utf-8")).hexdigest()
-            for d, x in zip(dids, texts)
-        }
+        h60 = _text_60bit(t["text"])
+        order = np.argsort(dids)
+        hrow = h60[order][np.searchsorted(dids[order], ids)]
         gb = (
             splitmix64(
                 keys.astype(np.uint64)
@@ -7988,7 +8017,7 @@ def q_blocking_quality(sf_dir: str):
                 "band": pa.array(bands),
                 "key": pa.array(keys.view(np.int64)),
                 "doc_id": pa.array(ids),
-                "h": pa.array([md[int(d)] for d in ids], type=pa.string()),
+                "h": pa.array(hrow),
             }
         )
 
@@ -7998,7 +8027,7 @@ def q_blocking_quality(sf_dir: str):
             np.int64
         )
         ids = df["doc_id"].to_numpy(np.int64)
-        hs = df["h"].to_numpy(object)
+        hs = df["h"].to_numpy(np.int64)
         new = np.concatenate([[True], bk[1:] != bk[:-1]])
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, len(bk)))
@@ -8061,22 +8090,17 @@ def q_blocking_quality(sf_dir: str):
     n_cand = int(cand["n_cand"].sum()) if len(cand) else 0
     n_cov = int(cand["n_cov"].sum()) if len(cand) else 0
 
-    def md5_partial(df: pd.DataFrame) -> pd.DataFrame:
-        h = [
-            hashlib.md5((x or "").encode("utf-8")).hexdigest()
-            for x in df["text"]
-        ]
+    def hash_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _text_60bit(df["text"].tolist())
         out = pd.DataFrame({"h": h}).groupby("h").size().reset_index()
         out.columns = ["h", "m"]
         out["m"] = out["m"].astype(np.int64)
-        # hash-bucket the md5 keys: ONE bucketed combine, not one
+        # hash-bucket the content keys: ONE bucketed combine, not one
         # Python map_groups call per distinct text
-        hb = np.fromiter(
-            (int(x[:15], 16) for x in out["h"]),
-            dtype=np.uint64,
-            count=len(out),
-        )
-        out["hb"] = (splitmix64(hb) % np.uint64(nparts)).astype(np.int64)
+        out["hb"] = (
+            splitmix64(out["h"].to_numpy(np.int64).view(np.uint64))
+            % np.uint64(nparts)
+        ).astype(np.int64)
         return out
 
     def true_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -8086,7 +8110,7 @@ def q_blocking_quality(sf_dir: str):
         )
 
     tp = (
-        docs.map_batches(md5_partial, batch_format="pandas")
+        docs.map_batches(hash_partial, batch_format="pandas")
         .groupby("hb")
         .map_groups(true_pairs, batch_format="pandas")
         .to_pandas()
@@ -8558,28 +8582,32 @@ def q_winsorized_stats(sf_dir: str):
     )
 
 
+_BAL_SALT = 1004  # sampler salt (see _id_rank60; mirrored in the SQL twin)
+
+
 def q_balanced_sample(sf_dir: str):
     """Mixture balancing — per-lang downsample to the SMALLEST lang's
     row count (the training-mixture equalizer every multilingual
     pipeline runs before tokenization): kept rows are the n_min
-    smallest-md5(doc_id) docs of each lang, so the 'random' subset is a
-    pure function of the row key (reproducible across runs and cluster
-    sizes, the T6 hash-split discipline). Two passes: a lang-count panel
-    (langs-sized) fixes n_min, then per-batch per-lang head(n_min)
-    partials bound the shuffle before the per-lang final head. Full SQL
-    oracle (row_number over md5 order)."""
-    import hashlib
-
+    smallest-``_id_rank60(doc_id)`` docs of each lang (vectorized
+    splitmix64 — the retired form was a per-row md5 hexdigest loop), so
+    the 'random' subset is a pure function of the row key (reproducible
+    across runs and cluster sizes, the T6 hash-split discipline). Two
+    passes: a lang-count panel (langs-sized) fixes n_min, then
+    per-batch per-lang head(n_min) partials bound the shuffle before
+    the per-lang final head. Full SQL oracle (row_number over the same
+    integer rank)."""
     docs = _docs(sf_dir, ["lang", "doc_id"])
     counts = docs.groupby("lang").count().to_pandas()
     n_min = int(counts["count()"].min())
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        key = [
-            hashlib.md5(str(int(d)).encode()).hexdigest() for d in df["doc_id"]
-        ]
         g = pd.DataFrame(
-            {"lang": df["lang"], "doc_id": df["doc_id"], "skey": key}
+            {
+                "lang": df["lang"],
+                "doc_id": df["doc_id"].astype(np.int64),
+                "skey": _id_rank60(df["doc_id"].to_numpy(np.int64), _BAL_SALT),
+            }
         )
         return (
             g.sort_values(["skey", "doc_id"], kind="stable")
@@ -8944,7 +8972,7 @@ def _gated_doc_texts(sf_dir: str):
     batch does one searchsorted lookup.  ABOVE the gate nothing
     corpus-scale reaches the driver: ``texts_ds`` comes back instead and
     consumers attach text through the bucketed ``pinned_join``
-    (``_attach_pair_texts`` / a record_id join).  Memoized per
+    (``_attach_norm_texts`` / a record_id join).  Memoized per
     (sf_dir, gate) — three diagnostics share the panel."""
     import os
 
@@ -8970,7 +8998,7 @@ def _gated_doc_texts(sf_dir: str):
     return out
 
 
-def _attach_pair_texts(pairs, texts_ds):
+def _attach_norm_texts(pairs, texts_ds):
     """(id_a, id_b, …) pairs + (doc_id, norm) panel → pairs with
     ``norm_a``/``norm_b`` attached via two bucketed ``pinned_join``s —
     the above-gate path (text shuffles by id, bounded by the pair set;
@@ -9005,7 +9033,7 @@ def q_containment_pairs(sf_dir: str):
     band-bucket run-length expansion (the triangles/cluster shape);
     texts re-attach by id through ``_gated_doc_texts``: a ``ray.put``
     broadcast under the byte gate, the bucketed ``pinned_join``
-    (``_attach_pair_texts``) above it — the driver never holds
+    (``_attach_norm_texts``) above it — the driver never holds
     corpus-scale text. Full SQL oracle (distinct shingle-hash sets
     recomputed in DuckDB)."""
     from address_parser_ray.functions.hashing import char_shingle_hashes
@@ -9055,7 +9083,7 @@ def q_containment_pairs(sf_dir: str):
             }
         )
 
-    src = pairs if texts_ref is not None else _attach_pair_texts(pairs, texts_ds)
+    src = pairs if texts_ref is not None else _attach_norm_texts(pairs, texts_ds)
     return src.map_batches(
         score, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
     )
@@ -9264,7 +9292,7 @@ def q_partition_digests(sf_dir: str):
     MOD = 1 << 60
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        h = _md5_60bit(df["text"].tolist())
+        h = _text_60bit(df["text"].tolist())
         rows = []
         for src, grp in pd.DataFrame({"source": df["source"], "h": h}).groupby(
             "source", sort=False
@@ -9316,16 +9344,15 @@ def q_fragment_stitching(sf_dir: str):
     and each bucket joins tails×heads locally (self-pairs excluded).
     Shuffle carries two short keys per doc — content never moves. Docs
     shorter than 6 tokens are skipped on both sides (head and tail
-    would overlap). Full SQL oracle (list-slice joins)."""
-    import hashlib
-
+    would overlap). Full SQL oracle (list-slice joins; the bucket hash
+    is routing-only — ``_text_60bit`` vectorized, never compared)."""
     from address_parser_ray.rayutil import default_num_partitions
 
     nparts = default_num_partitions()
     docs = _docs(sf_dir, ["doc_id", "text"])
 
     def postings(df: pd.DataFrame) -> pd.DataFrame:
-        out_b, out_key, out_id, out_side = [], [], [], []
+        out_key, out_id, out_side = [], [], []
         for doc_id, text in zip(df["doc_id"], df["text"]):
             w = _SPACE_TOK.findall(text or "")
             if len(w) < 2 * _STITCH_K:
@@ -9333,18 +9360,17 @@ def q_fragment_stitching(sf_dir: str):
             head = " ".join(w[:_STITCH_K])
             tail = " ".join(w[-_STITCH_K:])
             for key, side in ((head, 0), (tail, 1)):
-                out_b.append(
-                    int.from_bytes(
-                        hashlib.md5(key.encode("utf-8")).digest()[:8], "little"
-                    )
-                    % nparts
-                )
                 out_key.append(key)
                 out_id.append(int(doc_id))
                 out_side.append(side)
+        bucket = (
+            _text_60bit(out_key) % nparts
+            if out_key
+            else np.empty(0, dtype=np.int64)
+        )
         return pd.DataFrame(
             {
-                "bucket": np.asarray(out_b, dtype=np.int64),
+                "bucket": bucket,
                 "key": pd.Series(out_key, dtype=str),
                 "doc_id": np.asarray(out_id, dtype=np.int64),
                 "side": np.asarray(out_side, dtype=np.int8),
@@ -11013,7 +11039,7 @@ def q_weighted_sample(sf_dir: str):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         w = np.maximum(df["n_chars"].to_numpy(np.int64), 1)
-        pri = _md5_60bit(df["text"].tolist()) // w
+        pri = _text_60bit(df["text"].tolist()) // w
         g = pd.DataFrame(
             {
                 "lang": df["lang"],
@@ -11334,7 +11360,7 @@ def q_hll_distinct(sf_dir: str):
     docs = _docs(sf_dir, ["lang", "text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        h = _md5_60bit(df["text"].tolist())
+        h = _text_60bit(df["text"].tolist())
         reg = h % _HLL_M
         w = h >> 6
         rank = np.int64(55) - np.searchsorted(pow2, w, side="right").astype(np.int64)
@@ -12319,7 +12345,7 @@ def q_dedup_savings(sf_dir: str):
     docs = _docs(sf_dir, ["source", "text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        h = _md5_60bit(df["text"].tolist())
+        h = _text_60bit(df["text"].tolist())
         nb = (
             df["text"].fillna("").str.encode("utf-8").str.len().to_numpy(np.int64)
         )
@@ -12695,22 +12721,24 @@ def q_bpe_eval(sf_dir: str):
     )
 
 
+_REVIEW_SALT = 1005  # sampler salt (see _id_rank60; mirrored in the SQL twin)
+
+
 def q_review_pairs(sf_dir: str):
     """Human-review QUEUE construction — the labeling-workflow step of
     an ER engine: from every non-singleton LSH cluster, sample ≤ 2
-    (representative, member) pairs for annotator review, picked by md5
-    hash priority of the member id (hash-order "random" — reproducible
-    at any cluster size, the T6 sampling discipline; reference
-    analogue: the golden-pair eval sets of hcmut_assigment/test.json).
-    Pairing members against the min-id representative (not all-pairs)
-    keeps the queue linear in cluster count.
+    (representative, member) pairs for annotator review, picked by
+    splitmix64 hash priority of the member id (vectorized
+    ``_id_rank60``; hash-order "random" — reproducible at any cluster
+    size, the T6 sampling discipline; reference analogue: the
+    golden-pair eval sets of hcmut_assigment/test.json).  Pairing
+    members against the min-id representative (not all-pairs) keeps
+    the queue linear in cluster count.
 
     Shape: the assignments panel ((id, label) rows, content never
-    moves) groups per cluster; the pick is an in-group sort of ≤
-    member-count hash strings.  Full SQL oracle (recursive-CTE
-    clusters + row_number over md5 priority)."""
-    import hashlib
-
+    moves) groups per cluster; the pick is an in-group argsort of
+    member-count integer ranks.  Full SQL oracle (recursive-CTE
+    clusters + row_number over the same sm64 priority)."""
     asg = _mh_assignments(sf_dir)
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
@@ -12726,8 +12754,8 @@ def q_review_pairs(sf_dir: str):
             )
         rep = int(ids[0])
         members = ids[1:]
-        pri = [hashlib.md5(str(int(m)).encode()).hexdigest() for m in members]
-        order = np.lexsort((members, np.asarray(pri, dtype=object)))[:2]
+        pri = _id_rank60(members, _REVIEW_SALT)
+        order = np.lexsort((members, pri))[:2]
         return pd.DataFrame(
             {
                 "cluster_id": np.full(len(order), g["cluster_id"].iloc[0],
@@ -14414,11 +14442,11 @@ def q_match_waterfall(sf_dir: str):
     (``fuzz/inexus_parser.py:1718-1756``) ahead of the fuzzy scorer.
 
     Shape: ONE corpus pass emits per-batch partial counts per
-    (tier, md5-of-key) — 16-byte digests bound the shuffle regardless
-    of text width; a fused-key combine; then per-tier rollups fold from
-    the digest panel.  Full SQL oracle (count(DISTINCT) per tier)."""
-    import hashlib
-
+    (tier, hash-of-key) — vectorized 60-bit ``_text_60bit`` digests
+    (equality-only; the oracle counts DISTINCT actual strings) bound
+    the shuffle regardless of text width; a fused-key combine; then
+    per-tier rollups fold from the digest panel.  Full SQL oracle
+    (count(DISTINCT) per tier)."""
     SEP = "\x1f"
     # explicit class: Python ASCII \s includes \x0b (vertical tab) but
     # RE2/DuckDB \s does not — pin BOTH engine and oracle to the same
@@ -14439,12 +14467,11 @@ def q_match_waterfall(sf_dir: str):
         }
         frames = []
         for tier, keys in tiers.items():
-            dig = [
-                hashlib.md5(k.encode("utf-8", "surrogatepass")).hexdigest()
-                for k in keys
-            ]
+            dig = _text_60bit(keys.tolist())
             g = (
-                pd.DataFrame({"tk": [tier + SEP + d for d in dig]})
+                pd.DataFrame(
+                    {"tk": pd.Series(dig).astype(str).radd(tier + SEP)}
+                )
                 .groupby("tk", sort=False, as_index=False)
                 .agg(pn=("tk", "size"))
             )
@@ -14502,8 +14529,8 @@ def q_csv_read_counts(sf_dir: str):
     """CSV source round-trip proof — documents written to CSV (quoted
     fields, one file per block) and read back through
     ``sources.read_csv_corpus`` (``newlines_in_values`` parse), then
-    aggregated per lang: doc count, char sum, and a 60-bit md5 fold of
-    the text column summed mod 2^61 — the fold makes the oracle
+    aggregated per lang: doc count, char sum, and the 60-bit
+    ``_text_60bit`` content hash summed mod 2^61 — the fold makes the oracle
     comparison sensitive to ANY text corruption through the CSV
     quoting layer, not just row counts.  The oracle reads the original
     Parquet — hash equality IS the round-trip proof.  (CSV is the
@@ -14515,7 +14542,6 @@ def q_csv_read_counts(sf_dir: str):
     deployment would point it at shared storage (s3://...).  The per-
     lang panel (≤ |langs| rows) is materialized so the staging dir can
     be removed before returning."""
-    import hashlib
     import shutil
     import tempfile
 
@@ -14529,13 +14555,7 @@ def q_csv_read_counts(sf_dir: str):
     MOD = 1 << 61
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        folds = np.array(
-            [
-                int(hashlib.md5((t or "").encode()).hexdigest()[:15], 16)
-                for t in df["text"]
-            ],
-            dtype=np.int64,
-        )
+        folds = _text_60bit(df["text"].tolist())
         g = pd.DataFrame(
             {
                 "lang": df["lang"],
@@ -14824,7 +14844,7 @@ def q_minhash_jaccard_error(sf_dir: str):
     panel (n_pairs, mean exact ppm, max |est − exact| ppm — integer
     arithmetic throughout).  Pairs from ``_mh_candidate_pairs``; texts
     re-attach through ``_gated_doc_texts`` (broadcast under the byte
-    gate, ``_attach_pair_texts``'s bucketed pinned_join above).  Full
+    gate, ``_attach_norm_texts``'s bucketed pinned_join above).  Full
     SQL oracle (signatures AND shingle sets recomputed in DuckDB via
     the splitmix macros)."""
     from address_parser_ray.functions.hashing import (
@@ -14893,7 +14913,7 @@ def q_minhash_jaccard_error(sf_dir: str):
             }
         )
 
-    src = pairs if texts_ref is not None else _attach_pair_texts(pairs, texts_ds)
+    src = pairs if texts_ref is not None else _attach_norm_texts(pairs, texts_ds)
     return (
         src.map_batches(score, batch_format="pyarrow", batch_size=4096)
         .groupby("est_matches")
@@ -15294,16 +15314,21 @@ def q_pr_curve(sf_dir: str):
     5%-wide score threshold reports tp / fp / fn and integer-ppm
     P / R / F1 over the CANDIDATE pairs (same-block basis — pairs
     blocking never surfaced are `blocking_quality`'s recall, not the
-    scorer's).  Non-SQL (flagship-derived scores); pinned by pytest
-    monotonicity + the shipped threshold's operating point."""
+    scorer's).  Full SQL oracle since r5: the flagship DuckDB twin
+    retargeted to the fixture corpus parquet (src hook) + the M18
+    exact (lang, basename) candidates; the fixture runs WITHOUT hot
+    basenames (hot_basename_frac=0) so the twin's no-salting/no-caps
+    domain assumption holds — near-miss adversarial docs still supply
+    the negative class.  Also pinned by pytest monotonicity + the
+    shipped threshold's operating point."""
     from address_parser_ray.fixtures import write_corpus_ray
     from address_parser_ray.functions.hashing import stable_id128
     from address_parser_ray.pipelines.dedup import dedup_pipeline
     from address_parser_ray.sources import read_corpus
 
-    out_dir = "/tmp/apr_qgen_corpus_pr_s200_v6"
+    out_dir = _fixture_cache_dir("_pr_s200_v6_nh")
     corpus_dir, labels_dir = write_corpus_ray(
-        out_dir, n_seeds=200, variants_per_seed=6
+        out_dir, n_seeds=200, variants_per_seed=6, hot_basename_frac=0.0
     )
     res = dedup_pipeline(read_corpus(corpus_dir))
     sp = res.scored_pairs.to_pandas()
