@@ -5121,7 +5121,7 @@ def _fixture_pr_paths() -> tuple[str, str]:
     import os as _os
 
     root = _os.environ.get("APR_FIXTURE_CACHE_ROOT", "/tmp")
-    base = _os.path.join(root, "apr_qgen_corpus_pr_s200_v6_nh")
+    base = _os.path.join(root, "apr_qgen_corpus_pr_s200_v6_h10")
     return _os.path.join(base, "corpus"), _os.path.join(base, "labels")
 
 
@@ -5495,3 +5495,18 @@ for _k in (
 ):
     ORACLE_SQL[_k] = _STRH_PRELUDE + ORACLE_SQL[_k]
 del _k
+
+# Incremental-linkage equivalence: the engine splits the corpus 80/20,
+# dedups the 80, attaches the 20 incrementally and compares against the
+# full run.  The oracle pins the CLAIM the op exists to make — the
+# incremental result must be bit-identical to the full run (the full
+# run itself is verified against the flagship DuckDB twin via
+# lsh_cluster_assignments): n_records = corpus size, labels_identical,
+# F1 = 1.0.  Any incremental/full divergence flips the engine's
+# booleans and hash-fails this oracle.
+ORACLE_SQL["incremental_dedup_check"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_records,
+           true AS labels_identical,
+           CAST(1000000 AS BIGINT) AS f1_vs_full_1e6
+    FROM documents
+"""

@@ -15317,18 +15317,20 @@ def q_pr_curve(sf_dir: str):
     scorer's).  Full SQL oracle since r5: the flagship DuckDB twin
     retargeted to the fixture corpus parquet (src hook) + the M18
     exact (lang, basename) candidates; the fixture runs WITHOUT hot
-    basenames (hot_basename_frac=0) so the twin's no-salting/no-caps
-    domain assumption holds — near-miss adversarial docs still supply
-    the negative class.  Also pinned by pytest monotonicity + the
+    basenames at frac=0.1 — large enough that cross-cluster docs share
+    the (lang, basename) key (the negative class: fp pairs), small
+    enough (~22-row blocks) that the twin's no-salting/no-caps domain
+    assumption holds (salting fires above ~128 est. rows, pair caps at
+    91).  Also pinned by pytest monotonicity + the
     shipped threshold's operating point."""
     from address_parser_ray.fixtures import write_corpus_ray
     from address_parser_ray.functions.hashing import stable_id128
     from address_parser_ray.pipelines.dedup import dedup_pipeline
     from address_parser_ray.sources import read_corpus
 
-    out_dir = _fixture_cache_dir("_pr_s200_v6_nh")
+    out_dir = _fixture_cache_dir("_pr_s200_v6_h10")
     corpus_dir, labels_dir = write_corpus_ray(
-        out_dir, n_seeds=200, variants_per_seed=6, hot_basename_frac=0.0
+        out_dir, n_seeds=200, variants_per_seed=6, hot_basename_frac=0.1
     )
     res = dedup_pipeline(read_corpus(corpus_dir))
     sp = res.scored_pairs.to_pandas()

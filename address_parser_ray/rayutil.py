@@ -85,6 +85,81 @@ def clamped_pool(pool, ds):
     return pool
 
 
+def task_shuffle_groupby(
+    ds, bucket_col: str, fn, n_buckets: int, empty_result: pa.Table | None = None
+):
+    """Hash-shuffle + per-bucket apply WITHOUT Ray's sort machinery —
+    the classic two-phase map-reduce shuffle in raw Ray tasks.
+
+    Ray 2.49's ``groupby(k).map_groups`` range-sorts the whole dataset
+    to co-locate groups — an avoidable comparison sort when the key is
+    already a hash bucket in [0, n_buckets).  Here each input block is
+    SPLIT once by bucket (one stable argsort of small ints per block,
+    O(rows) slicing), the per-bucket slices flow to one reduce task per
+    bucket (concat + ``fn``), and the reduced tables come back as a
+    Dataset via ``from_arrow_refs`` — no comparison sort, no pivot
+    sampling, map-side parallelism = input blocks, reduce-side =
+    n_buckets.  Every intermediate is an object-store table; the driver
+    holds only refs.
+
+    ``fn`` must not depend on row order within its bucket (both blocking
+    bucket fns sort internally).  ``empty_result``: zero-row table
+    returned for buckets whose every part is one of Ray 2.49's
+    SCHEMA-LESS empty blocks (map_batches skips empty blocks and emits
+    new schema-less empties — the same poisoning ``pinned_join`` works
+    around); callers pass their output schema's empty table.  Falls
+    back to the sort-based ``groupby().map_groups`` via env
+    ``APR_BUCKET_SHUFFLE=sort``.
+    """
+    import os
+
+    import ray
+    import ray.data
+
+    if os.environ.get("APR_BUCKET_SHUFFLE", "tasks") == "sort":
+        return ds.groupby(bucket_col).map_groups(fn, batch_format="pyarrow")
+
+    @ray.remote(num_returns=n_buckets)
+    def split_block(tbl: pa.Table):
+        if tbl.num_rows == 0 or bucket_col not in tbl.column_names:
+            out = [pa.table({})] * n_buckets
+        else:
+            b = np.asarray(tbl[bucket_col], dtype=np.int64)
+            order = np.argsort(b, kind="stable")
+            srt = tbl.take(pa.array(order))
+            bs = b[order]
+            cuts = np.searchsorted(
+                bs, np.arange(n_buckets + 1, dtype=np.int64)
+            )
+            out = [srt.slice(int(cuts[i]), int(cuts[i + 1] - cuts[i]))
+                   for i in range(n_buckets)]
+        return out[0] if n_buckets == 1 else tuple(out)
+
+    @ray.remote
+    def reduce_bucket(*parts):
+        keep = [p for p in parts if p.num_columns and p.num_rows]
+        if keep:
+            return fn(pa.concat_tables(keep).combine_chunks())
+        typed = [p for p in parts if p.num_columns]
+        if typed:
+            return fn(typed[0])
+        if empty_result is not None:
+            return empty_result
+        return pa.table({})
+
+    block_refs = ds.to_arrow_refs()
+    if not block_refs:
+        return ds.map_batches(fn, batch_format="pyarrow")
+    per_block = [split_block.remote(r) for r in block_refs]
+    if n_buckets == 1:
+        per_block = [[r] for r in per_block]
+    reduced = [
+        reduce_bucket.remote(*(per_block[j][i] for j in range(len(per_block))))
+        for i in range(n_buckets)
+    ]
+    return ray.data.from_arrow_refs(reduced)
+
+
 def default_num_partitions(requested=None) -> int:
     """Shuffle/bucket fan-out: one bucket per CPU (min 8). At 8 CPUs a
     fixed 32 starves nothing but a fixed 8 caps a 32-CPU run at 8-way

@@ -414,8 +414,18 @@ def pairs_from_exploded(
             zero_copy_batch=True,
         )
 
-    pairs = exploded.groupby("bucket").map_groups(
-        _make_pairs_bucket_fn(cfg.max_pairs_per_block), batch_format="pyarrow"
+    from address_parser_ray.rayutil import task_shuffle_groupby
+
+    # raw-task hash shuffle: the bucket ids are already hash buckets, so
+    # Ray 2.49's sort-based map_groups would pay a pointless comparison
+    # sort + pivot sampling on the exploded relation (the largest
+    # intermediate in the pipeline). APR_BUCKET_SHUFFLE=sort restores it.
+    pairs = task_shuffle_groupby(
+        exploded,
+        "bucket",
+        _make_pairs_bucket_fn(cfg.max_pairs_per_block),
+        n_buckets,
+        empty_result=_PAIR_HITS_SCHEMA.empty_table(),
     )
 
     # a pair found by several bands/keys survives once
@@ -429,10 +439,12 @@ def pairs_from_exploded(
             np.seterr(**old)
         return t.append_column("bucket", pa.array(pb))
 
-    return (
-        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(_dedup_pairs_bucket_fn(cfg.min_band_hits), batch_format="pyarrow")
+    return task_shuffle_groupby(
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow"),
+        "bucket",
+        _dedup_pairs_bucket_fn(cfg.min_band_hits),
+        n_buckets,
+        empty_result=_PAIR_SCHEMA.empty_table(),
     )
 
 

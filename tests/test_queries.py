@@ -591,11 +591,9 @@ ROWS_ONLY = [
     "embedding_near_dup",
     "winnow_dup_pairs",
     "media_resize",
-    "incremental_dedup_check",
     "bpe_train_merges",
     "media_frame_sample",
     "semantic_dedup",
-    "pr_curve",
 ]
 
 

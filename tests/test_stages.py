@@ -169,6 +169,36 @@ def test_blocking_finds_same_seed_pairs(ray_session, fixture_corpus):
     assert missing / total < 0.05, (missing, total)
 
 
+def test_bucket_shuffle_paths_identical(ray_session, fixture_corpus, monkeypatch):
+    """The raw-task hash shuffle (default) and Ray's sort-based
+    ``groupby().map_groups`` must produce the IDENTICAL candidate pair
+    set — the task shuffle replaces only the exchange mechanism, never
+    the bucket semantics."""
+    from address_parser_ray.sources import read_corpus
+    from address_parser_ray.stages.blocking import blocking_stage
+    from address_parser_ray.stages.exact_dedup import (
+        exact_dedup_stage,
+        representatives,
+    )
+    from address_parser_ray.stages.fingerprint import fingerprint_stage
+
+    corpus_dir, _ = fixture_corpus
+    reps = representatives(
+        exact_dedup_stage(fingerprint_stage(read_corpus(corpus_dir), CFG))
+    ).materialize()
+
+    def pair_set():
+        df = blocking_stage(reps, CFG).to_pandas()
+        return set(map(tuple, df[["id_a", "id_b"]].values.tolist()))
+
+    monkeypatch.setenv("APR_BUCKET_SHUFFLE", "tasks")
+    tasks = pair_set()
+    monkeypatch.setenv("APR_BUCKET_SHUFFLE", "sort")
+    srt = pair_set()
+    assert tasks == srt
+    assert len(tasks) > 50
+
+
 def _py_union_find(n_nodes, edges):
     parent = list(range(n_nodes))
 
