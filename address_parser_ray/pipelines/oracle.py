@@ -4809,6 +4809,14 @@ CREATE OR REPLACE MACRO smz1(x) AS mulmod64(xr(x, shr(x, 30)), CAST(137878487931
 CREATE OR REPLACE MACRO smz2(x) AS mulmod64(xr(x, shr(x, 27)), CAST(10723151780598845931 AS HUGEINT));
 CREATE OR REPLACE MACRO smz3(x) AS xr(x, shr(x, 31));
 CREATE OR REPLACE MACRO sm64(x) AS smz3(smz2(smz1((CAST(x AS HUGEINT) + 11400714819323198485) % {M})));
+CREATE OR REPLACE MACRO strh64(s) AS (
+  sm64((CASE WHEN length(s) = 0 THEN CAST(0 AS HUGEINT)
+        ELSE list_reduce(list_transform(range(1, length(s) + 1),
+               i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS HUGEINT)),
+               (a, b) -> (mulmod64(a, CAST(1099511628211 AS HUGEINT)) + b) % 18446744073709551616)
+        END + length(s)) % 18446744073709551616)
+);
+CREATE OR REPLACE MACRO strh60(s) AS CAST(strh64(s) // 16 AS BIGINT);
 WITH RECURSIVE src AS (
 @SRC@
 ), base AS (

@@ -65,6 +65,10 @@ def fingerprint_schema(cfg: PipelineConfig) -> pa.Schema:
             # elect rep = min (rep_key, record_id); the record_id
             # tie-break only fires when two records share (repo, path)
             # across commits (never at oracle scale, documented).
+            # NOTE: md5 (hashlib C call) is deliberate — a strh60 SQL
+            # twin evaluated inside the reps window exploded DuckDB's
+            # jemalloc retained-VM map count (measured +18k mmaps/run,
+            # exhausting vm.max_map_count across a multi-oracle sweep).
             ("rep_key", pa.string()),
             ("n_chars", pa.int64()),
             ("n_tokens", pa.int64()),
