@@ -5,6 +5,13 @@ sorted, values hashed from their string repr — dtype KIND matters:
 int64 vs float64 of identical values hashes red, as round 1 proved).
 
 Usage: python tools/correctness_sweep.py [sf_dir] [query ...]
+
+Run SOLO (no concurrent Ray sessions / heavy DuckDB on the box): each
+flagship-twin oracle retains ~2k mmaps in-process (DuckDB jemalloc
+retained VM; measured round 5), and concurrent heavy processes have
+produced transient mmap failures ("bad allocation" on KB blocks,
+"can't start new thread") well before RAM runs out — vm.max_map_count
+is 65530 here.  The full 205-query sweep fits comfortably when solo.
 """
 
 from __future__ import annotations
